@@ -1,0 +1,92 @@
+"""Concatenation of heterogeneous datasets with provenance stamping.
+
+Behavioral parity with /root/reference/mmlearn/datasets/core/combined_dataset.py:
+concatenates map-style and iterable-style datasets, indexes map-style ones via
+cumulative-size bisect, consumes iterable ones sequentially with iterator reset
+on ``StopIteration`` (reference lines 82-91), and stamps ``dataset_index`` on
+every example before triggering ``create_ids()`` (reference lines 105-108).
+
+Datasets here are any objects implementing ``__getitem__``/``__len__``
+(map-style) or ``__iter__`` (iterable-style) and returning
+:class:`~mmlearn_tpu.datasets.core.example.Example`.
+"""
+
+from __future__ import annotations
+
+import bisect
+from collections.abc import Iterable, Iterator, Sequence
+from typing import Any
+
+import numpy as np
+
+from mmlearn_tpu.datasets.core.example import Example
+
+
+def _is_map_style(dataset: Any) -> bool:
+    return hasattr(dataset, "__getitem__") and hasattr(dataset, "__len__")
+
+
+class CombinedDataset:
+    """Combine multiple datasets (map- or iterable-style) into one."""
+
+    def __init__(self, datasets: Sequence[Any] | Iterable[Any]) -> None:
+        self.datasets = list(datasets)
+        if not self.datasets:
+            raise ValueError("CombinedDataset requires at least one dataset")
+        for ds in self.datasets:
+            if not (_is_map_style(ds) or hasattr(ds, "__iter__")):
+                raise TypeError(
+                    f"Dataset {ds!r} is neither map-style nor iterable"
+                )
+        self._iterators: dict[int, Iterator] = {}
+        self._cumulative_sizes = np.cumsum(
+            [self._dataset_len(ds) for ds in self.datasets]
+        ).tolist()
+
+    @staticmethod
+    def _dataset_len(dataset: Any) -> int:
+        if _is_map_style(dataset):
+            return len(dataset)
+        # iterable-style: honor __len__ if present, else treat as size-1 slot
+        # consumed repeatedly (reference uses the same cumulative scheme).
+        return len(dataset) if hasattr(dataset, "__len__") else 1
+
+    def __len__(self) -> int:
+        return int(self._cumulative_sizes[-1])
+
+    @property
+    def cumulative_sizes(self) -> list[int]:
+        return list(self._cumulative_sizes)
+
+    def _next_from_iterable(self, dataset_idx: int) -> Example:
+        if dataset_idx not in self._iterators:
+            self._iterators[dataset_idx] = iter(self.datasets[dataset_idx])
+        try:
+            return next(self._iterators[dataset_idx])
+        except StopIteration:
+            self._iterators[dataset_idx] = iter(self.datasets[dataset_idx])
+            return next(self._iterators[dataset_idx])
+
+    def __getitem__(self, idx: int) -> Example:
+        if idx < 0:
+            idx += len(self)
+        if not 0 <= idx < len(self):
+            raise IndexError(f"Index {idx} out of range for size {len(self)}")
+        dataset_idx = bisect.bisect_right(self._cumulative_sizes, idx)
+        sample_idx = idx - (
+            self._cumulative_sizes[dataset_idx - 1] if dataset_idx > 0 else 0
+        )
+        dataset = self.datasets[dataset_idx]
+        if _is_map_style(dataset):
+            example = dataset[sample_idx]
+        else:
+            example = self._next_from_iterable(dataset_idx)
+
+        if not isinstance(example, Example):
+            raise TypeError(
+                f"Expected datasets to return Example, got {type(example).__name__} "
+                f"from dataset {dataset_idx}"
+            )
+        example["dataset_index"] = dataset_idx
+        example.create_ids()
+        return example

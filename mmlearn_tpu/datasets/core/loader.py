@@ -1,0 +1,129 @@
+"""Host-side data loader with background prefetch.
+
+Replaces ``torch.utils.data.DataLoader`` in the reference stack. Design goals
+for TPU training:
+
+- **fixed batch shapes**: ``drop_last=True`` by default for training; for
+  evaluation, partial batches are padded to ``batch_size`` and carry a
+  ``batch_validity`` mask so jitted eval steps never recompile
+  (SURVEY.md §7, hard part #1);
+- **overlap**: a background thread pool maps examples and a bounded queue
+  prefetches collated numpy batches while the device computes;
+- host-only: device placement/sharding happens in the trainer
+  (``jax.device_put`` with a ``NamedSharding`` over the ``data`` axis).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+from mmlearn_tpu.datasets.core.data_collator import DefaultDataCollator
+from mmlearn_tpu.datasets.core.samplers import RandomSampler, SequentialSampler
+
+_BATCH_VALIDITY_KEY = "batch_validity"
+
+
+class DataLoader:
+    """Iterate a map-style dataset in collated, fixed-size numpy batches."""
+
+    def __init__(
+        self,
+        dataset: Any = None,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        sampler: Optional[Any] = None,
+        drop_last: bool = False,
+        collate_fn: Optional[Callable] = None,
+        num_workers: int = 0,
+        prefetch_factor: int = 2,
+        pad_partial_batches: bool = False,
+        seed: int = 0,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.drop_last = drop_last
+        self.pad_partial_batches = pad_partial_batches
+        self.collate_fn = collate_fn or DefaultDataCollator()
+        self.num_workers = int(num_workers)
+        self.prefetch_factor = max(1, int(prefetch_factor))
+        if sampler is not None:
+            self.sampler = sampler
+        elif shuffle:
+            self.sampler = RandomSampler(dataset, seed=seed)
+        else:
+            self.sampler = SequentialSampler(dataset)
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> Iterator[list[int]]:
+        batch: list[int] = []
+        for idx in self.sampler:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def _fetch(self, indices: list[int]) -> dict[str, Any]:
+        if self.num_workers > 0 and len(indices) > 1:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                examples = list(pool.map(self.dataset.__getitem__, indices))
+        else:
+            examples = [self.dataset[i] for i in indices]
+        n_real = len(examples)
+        if self.pad_partial_batches and n_real < self.batch_size:
+            examples = examples + [examples[-1]] * (self.batch_size - n_real)
+        batch = self.collate_fn(examples)
+        if self.pad_partial_batches:
+            validity = np.zeros(len(examples), dtype=bool)
+            validity[:n_real] = True
+            batch[_BATCH_VALIDITY_KEY] = validity
+        return batch
+
+    def _iter_sync(self) -> Iterator[dict[str, Any]]:
+        for indices in self._index_batches():
+            yield self._fetch(indices)
+
+    def _iter_prefetch(self) -> Iterator[dict[str, Any]]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_factor)
+        sentinel = object()
+        error_box: list[BaseException] = []
+
+        def producer() -> None:
+            try:
+                for indices in self._index_batches():
+                    q.put(self._fetch(indices))
+            except BaseException as err:  # propagate into consumer
+                error_box.append(err)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if error_box:
+            raise error_box[0]
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        if self.num_workers > 0 or self.prefetch_factor > 1:
+            return self._iter_prefetch()
+        return self._iter_sync()

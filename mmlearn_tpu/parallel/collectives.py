@@ -1,0 +1,87 @@
+"""Thin collective layer over named mesh axes.
+
+Maps the reference's five gather patterns (SURVEY.md §2.8; call sites in
+/root/reference/mmlearn/modules/losses/contrastive.py:431-578 and
+metrics/retrieval_recall.py:140-161) onto XLA collectives. Two regimes:
+
+1. **GSPMD (primary)**: the train step is jitted over the full global batch;
+   contrastive logits are an ordinary global matmul and XLA inserts the
+   all-gathers itself. Nothing from this module is needed.
+2. **Explicit SPMD (``jax.shard_map``)**: these wrappers provide
+   reference-equivalent semantics, including the detached-gather variant
+   (``gather_with_grad=False`` — plain ``dist.all_gather`` in torch is
+   non-differentiable except through the local shard, reproduced here with
+   ``stop_gradient`` + local-shard reinsertion).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def all_gather(
+    x: jax.Array,
+    axis_name: str,
+    *,
+    with_grad: bool = True,
+    tiled: bool = True,
+) -> jax.Array:
+    """All-gather along a named axis (inside shard_map/pmap).
+
+    ``with_grad=True`` is the default JAX behavior (differentiable gather ==
+    ``torch.distributed.nn.all_gather``). ``with_grad=False`` reproduces the
+    reference's detached gather: gradients flow only through the local shard
+    (contrastive.py:491-510).
+    """
+    gathered = lax.all_gather(x, axis_name, tiled=tiled)
+    if with_grad:
+        return gathered
+    detached = lax.stop_gradient(gathered)
+    idx = lax.axis_index(axis_name)
+    shard = x.shape[0]
+    # reinsert the (differentiable) local shard at this rank's offset
+    return lax.dynamic_update_slice_in_dim(detached, x, idx * shard, axis=0)
+
+
+def psum(x: Any, axis_name: str) -> Any:
+    return lax.psum(x, axis_name)
+
+
+def pmean(x: Any, axis_name: str) -> Any:
+    return lax.pmean(x, axis_name)
+
+
+def axis_index(axis_name: str) -> jax.Array:
+    return lax.axis_index(axis_name)
+
+
+def axis_size(axis_name: str) -> int:
+    return lax.axis_size(axis_name)
+
+
+def local_loss_label_offset(axis_name: str, local_batch: int) -> jax.Array:
+    """Label offset for the local-loss trick.
+
+    With only one side's features gathered, the positives for local row ``i``
+    sit at global column ``rank * local_batch + i`` (reference label-offset
+    logic: contrastive.py:162-219, simplified here because SPMD guarantees
+    equal shard sizes).
+    """
+    return lax.axis_index(axis_name) * local_batch
+
+
+def process_allgather(x: Any) -> Any:
+    """Host-side gather of per-process arrays (metric state, labels).
+
+    Replaces ``torchmetrics.gather_all_tensors`` / ``all_gather_object`` for
+    eval accumulation (retrieval_recall.py:140-161).
+    """
+    import jax.experimental.multihost_utils as mhu
+
+    if jax.process_count() == 1:
+        return jax.tree.map(jnp.asarray, x)
+    return mhu.process_allgather(x, tiled=True)

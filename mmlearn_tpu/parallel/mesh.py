@@ -1,0 +1,129 @@
+"""Device mesh construction and batch/param sharding helpers.
+
+This is the TPU-native replacement for the reference's distributed runtime
+(Lightning DDP + NCCL, SURVEY.md §2.8). Parallelism is expressed as a
+`jax.sharding.Mesh` with three named axes:
+
+- ``data``: pure data parallelism (the only strategy the reference has);
+- ``fsdp``: weight sharding (ZeRO-3-style) — batch is sharded over
+  ``data × fsdp`` jointly, params over ``fsdp``;
+- ``model``: tensor parallelism for attention heads / MLP width.
+
+Under ``jax.jit`` + GSPMD, annotating arrays with ``NamedSharding`` on these
+axes is sufficient for XLA to partition matmuls and insert ICI collectives
+(all-gather / reduce-scatter) automatically; no NCCL-style call sites needed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+MODEL_AXIS = "model"
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, MODEL_AXIS)
+
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def create_mesh(
+    data: int = -1,
+    fsdp: int = 1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a 3-axis mesh over the available devices.
+
+    ``data=-1`` fills whatever device count remains after ``fsdp``/``model``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % (fsdp * model) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by fsdp*model={fsdp * model}"
+            )
+        data = n // (fsdp * model)
+    if data * fsdp * model != n:
+        raise ValueError(
+            f"Mesh {data}x{fsdp}x{model} != {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data, fsdp, model)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def set_global_mesh(mesh: Mesh) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def get_global_mesh() -> Mesh:
+    global _GLOBAL_MESH
+    if _GLOBAL_MESH is None:
+        _GLOBAL_MESH = create_mesh()
+    return _GLOBAL_MESH
+
+
+def batch_spec() -> P:
+    """Batch-dim sharding: data and fsdp axes jointly shard the batch."""
+    return P((DATA_AXIS, FSDP_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
+    """Per-host batch size for the input pipeline."""
+    n_proc = jax.process_count()
+    if global_batch_size % n_proc != 0:
+        raise ValueError(
+            f"Global batch {global_batch_size} not divisible by process count {n_proc}"
+        )
+    return global_batch_size // n_proc
+
+
+def _shardable(shape: tuple, spec: P, mesh: Mesh) -> bool:
+    """Check every sharded dim is divisible by its mesh-axes product."""
+    for dim, axes in zip(shape, spec):
+        if axes is None:
+            continue
+        axes = (axes,) if isinstance(axes, str) else axes
+        size = math.prod(mesh.shape[a] for a in axes)
+        if dim % size != 0:
+            return False
+    return True
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch pytree with the batch dim sharded.
+
+    Non-array leaves (strings, python lists of objects) are left on host.
+    Scalar arrays are replicated. Batch-dim arrays that don't divide the
+    data axes are replicated as a safe fallback.
+    """
+    sharding = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    def _put(leaf: Any) -> Any:
+        if isinstance(leaf, (list, str)) or leaf is None:
+            return leaf
+        arr = np.asarray(leaf)
+        if arr.dtype == object:
+            return leaf
+        if arr.ndim == 0:
+            return jax.device_put(arr, repl)
+        if _shardable(arr.shape, batch_spec(), mesh):
+            return jax.device_put(arr, sharding)
+        return jax.device_put(arr, repl)
+
+    return jax.tree.map(_put, batch)

@@ -1,0 +1,135 @@
+"""Tests for the config store / compose / instantiate system."""
+
+import os
+
+import pytest
+
+from mmlearn_tpu.conf import (
+    MISSING,
+    ConfigError,
+    builds,
+    compose,
+    instantiate,
+    merge,
+    resolve_interpolations,
+    store,
+)
+
+
+class _Widget:
+    def __init__(self, size: int, name: str = "w", scale: float = 1.0):
+        self.size = size
+        self.name = name
+        self.scale = scale
+
+
+def test_builds_populates_signature():
+    node = builds(_Widget)
+    assert node["_target_"].endswith("_Widget")
+    assert node["size"] == MISSING
+    assert node["name"] == "w"
+    assert node["scale"] == 1.0
+
+
+def test_builds_partial():
+    node = builds(_Widget, zen_partial=True, size=3)
+    fn = instantiate(node)
+    obj = fn(name="x")
+    assert obj.size == 3 and obj.name == "x"
+
+
+def test_instantiate_nested():
+    node = {
+        "outer": {
+            "_target_": f"{__name__}._Widget",
+            "size": 2,
+            "name": "inner",
+        }
+    }
+    out = instantiate(node)
+    assert isinstance(out["outer"], _Widget)
+    assert out["outer"].size == 2
+
+
+def test_instantiate_missing_raises():
+    node = builds(_Widget)
+    with pytest.raises(ConfigError, match="size"):
+        instantiate(node)
+
+
+def test_merge_semantics():
+    base = {"a": {"b": 1, "c": 2}, "l": [1, 2]}
+    out = merge(base, {"a": {"b": 9}, "l": [3]})
+    assert out == {"a": {"b": 9, "c": 2}, "l": [3]}
+
+
+def test_interpolation():
+    cfg = {
+        "experiment_name": "exp1",
+        "tags": ["${experiment_name}"],
+        "dir": "out/${experiment_name}/x",
+        "env_val": "${env:MMLEARN_TEST_VAR,fallback}",
+    }
+    out = resolve_interpolations(cfg)
+    assert out["tags"] == ["exp1"]
+    assert out["dir"] == "out/exp1/x"
+    assert out["env_val"] == "fallback"
+    os.environ["MMLEARN_TEST_VAR"] = "set"
+    out = resolve_interpolations(cfg)
+    assert out["env_val"] == "set"
+    del os.environ["MMLEARN_TEST_VAR"]
+
+
+def test_store_register_and_group_override():
+    store(group="test_group", name="widget", size=4)(_Widget)
+    assert store.has("test_group", "widget")
+    cfg = compose({"widget": None}, overrides=["test_group@widget=widget"])
+    assert cfg["widget"]["size"] == 4
+    obj = instantiate(cfg["widget"])
+    assert isinstance(obj, _Widget)
+
+
+def test_compose_overrides():
+    base = {"a": {"b": 1}, "name": MISSING}
+    cfg = compose(base, overrides=["a.b=5", "name=hello", "+extra.k=2.5"])
+    assert cfg["a"]["b"] == 5
+    assert cfg["name"] == "hello"
+    assert cfg["extra"]["k"] == 2.5
+
+
+def test_compose_delete():
+    cfg = compose({"a": {"b": 1, "c": 2}}, overrides=["~a.b"])
+    assert "b" not in cfg["a"]
+
+
+def test_compose_experiment_yaml(tmp_path):
+    store(group="test_group2", name="widget2", size=7)(_Widget)
+    exp_dir = tmp_path / "experiment"
+    exp_dir.mkdir()
+    (exp_dir / "myexp.yaml").write_text(
+        "defaults:\n"
+        "  - /test_group2@model: widget2\n"
+        "experiment_name: myexp\n"
+        "model:\n"
+        "  name: override\n"
+    )
+    base = {"experiment_name": MISSING, "model": None}
+    cfg = compose(
+        base,
+        overrides=["+experiment=myexp"],
+        searchpath=[str(tmp_path)],
+    )
+    assert cfg["experiment_name"] == "myexp"
+    assert cfg["model"]["size"] == 7
+    assert cfg["model"]["name"] == "override"
+
+
+def test_base_config_builds():
+    from mmlearn_tpu.conf import base_config
+
+    cfg = base_config()
+    assert cfg["task"] == MISSING
+    assert "trainer" in cfg
+    cfg2 = compose(cfg, overrides=["experiment_name=t"])
+    assert cfg2["tags"] == ["t"]
+    assert cfg2["runtime"]["output_dir"] == "outputs/t"
