@@ -38,6 +38,14 @@ def _config_value(value: Any) -> Any:
         return value
     if isinstance(value, enum.Enum):
         return value.value
+    if isinstance(value, type):
+        # dtypes (jnp.float32, np.bfloat16, ...) serialize as their name
+        try:
+            import numpy as np
+
+            return np.dtype(value).name
+        except TypeError:
+            pass
     if isinstance(value, (list, tuple)):
         return [_config_value(v) for v in value]
     if isinstance(value, dict):

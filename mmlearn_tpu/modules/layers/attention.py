@@ -1,0 +1,98 @@
+"""Multi-head self-attention module.
+
+Capability parity with /root/reference/mmlearn/modules/layers/attention.py
+(vanilla MHSA), but the score computation runs through the Pallas
+flash-attention kernel (:func:`mmlearn_tpu.ops.flash_attention.flash_attention`)
+instead of materializing softmax(QK^T) in HBM. The fused qkv projection is
+named ``qkv`` and the output projection ``proj`` so the tensor-parallel
+partitioning rules match.
+
+Unlike the reference (which returns ``(out, attn_weights)``), attention
+weights are not materialized by default — ``return_weights=True`` switches to
+the XLA path and returns them for introspection/tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmlearn_tpu.ops.flash_attention import flash_attention
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused qkv projection."""
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    causal: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
+        b, n, c = x.shape
+        if c % self.num_heads != 0:
+            raise ValueError(f"dim {c} not divisible by num_heads {self.num_heads}")
+        head_dim = c // self.num_heads
+        scale = self.qk_scale if self.qk_scale is not None else head_dim**-0.5
+
+        qkv = nn.Dense(
+            3 * c,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        )  # each (b, h, n, d)
+
+        use_dropout = self.attn_drop > 0.0 and not deterministic
+        if return_weights or use_dropout:
+            # XLA path: materializes weights (introspection or attn dropout).
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if attention_mask is not None:
+                neg = jnp.finfo(jnp.float32).min * 0.7
+                s = jnp.where(attention_mask[:, None, None, :].astype(bool), s, neg)
+            if self.causal:
+                causal_mask = jnp.tril(jnp.ones((n, n), dtype=bool))
+                s = jnp.where(causal_mask, s, jnp.finfo(jnp.float32).min * 0.7)
+            attn = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            if use_dropout:
+                attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        else:
+            out = flash_attention(
+                q, k, v, mask=attention_mask, scale=scale, causal=self.causal
+            )
+            attn = None
+
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        out = nn.Dense(
+            c,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="proj",
+        )(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        if return_weights:
+            return out, attn
+        return out

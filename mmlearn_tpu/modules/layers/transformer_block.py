@@ -1,0 +1,111 @@
+"""Pre-LN transformer block with stochastic depth.
+
+Parity: /root/reference/mmlearn/modules/layers/transformer_block.py
+(``Block`` + ``DropPath``). DropPath is implemented as a per-sample bernoulli
+keep mask with rescaling — jit-friendly (no python branching on traced
+values).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmlearn_tpu.modules.layers.attention import Attention
+from mmlearn_tpu.modules.layers.mlp import MLP
+
+
+def drop_path(
+    x: jnp.ndarray,
+    rate: float,
+    rng: jax.Array,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Randomly drop the residual branch per sample (stochastic depth)."""
+    if rate == 0.0 or deterministic:
+        return x
+    keep_prob = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(rng, keep_prob, shape=shape)
+    return jnp.where(keep, x / keep_prob, 0.0)
+
+
+class DropPath(nn.Module):
+    """Stochastic-depth module wrapper."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        rng = self.make_rng("dropout")
+        return drop_path(x, self.rate, rng, deterministic)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block: x + DropPath(Attn(LN(x))) + DropPath(MLP(LN(x)))."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    act_layer: str = "gelu"
+    norm_eps: float = 1e-6
+    causal: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_attention: bool = False,
+    ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        attn_out = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            causal=self.causal,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(
+            y,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+            return_weights=return_attention,
+        )
+        if return_attention:
+            attn_out, weights = attn_out
+        x = x + DropPath(self.drop_path_rate, name="drop_path1")(
+            attn_out, deterministic
+        )
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        mlp_out = MLP(
+            hidden_dims=[int(self.dim * self.mlp_ratio)],
+            out_dim=self.dim,
+            activation=self.act_layer,
+            dropout=self.drop,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path_rate, name="drop_path2")(
+            mlp_out, deterministic
+        )
+        if return_attention:
+            return x, weights
+        return x

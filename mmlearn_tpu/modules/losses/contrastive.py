@@ -1,0 +1,182 @@
+"""N-modality CLIP-style contrastive (InfoNCE) loss, TPU-native.
+
+Capability parity with /root/reference/mmlearn/modules/losses/contrastive.py
+(``ContrastiveLoss``), redesigned for SPMD/XLA:
+
+- The reference gathers per-rank embedding dicts with ragged shapes and
+  dtype-max placeholders (contrastive.py:431-578) and matches pairs by
+  example-id (``find_matching_indices``). Here the loss is computed over the
+  **global batch** under ``jax.jit`` + GSPMD: rows of different modalities
+  align by construction (one row == one example), missing modalities carry a
+  boolean *presence mask* from the collator, and pair matching reduces to
+  ``presence_a & presence_b``. XLA inserts the all-gathers when embeddings
+  are sharded over the ``data`` axis — differentiable by construction, so the
+  reference's ``gather_with_grad`` becomes the default behavior.
+- ``local_loss`` (local×global logits, contrastive.py:327-340) is a sharding
+  layout rather than different math: with row-sharded logits XLA computes
+  exactly the B_local×B_global product per device. Both flags are accepted
+  for config parity and influence only the explicit-collectives path
+  (mmlearn_tpu.parallel.collectives), not the GSPMD math.
+- ``modality_alignment`` reproduces the extra BCE term over the full
+  cross-modality similarity matrix (contrastive.py:344-413), mask-aware.
+
+Masked-CE semantics for absent pairs replace the reference's "skip_flag
+collective choreography" (contrastive.py:266-301): rows/columns of invalid
+examples are excluded via masks, every device always executes the same
+program (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mmlearn_tpu.conf import store
+from mmlearn_tpu.modules.layers.normalization import l2_normalize
+
+_NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+@dataclass(frozen=True)
+class LossPairSpec:
+    """A pair of modalities to contrast, with a loss weight.
+
+    Reference: ``LossPairSpec``
+    (/root/reference/mmlearn/tasks/contrastive_pretraining.py).
+    """
+
+    modalities: tuple[str, str] = ("rgb", "text")
+    weight: float = 1.0
+
+
+def masked_infonce(
+    logits: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cross-entropy with diagonal positives over valid rows/columns.
+
+    ``logits``: (B, B) similarity; ``valid``: (B,) bool — example participates
+    in this pair. Invalid columns are masked from the logsumexp; invalid rows
+    contribute 0. Returns mean CE over valid rows (0 if none).
+    """
+    logits = logits.astype(jnp.float32)
+    masked = jnp.where(valid[None, :], logits, _NEG)
+    lse = jax.nn.logsumexp(masked, axis=-1)
+    diag = jnp.diagonal(logits)
+    ce = lse - diag
+    count = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, ce, 0.0).sum() / count
+
+
+@store(group="modules/losses", name="ContrastiveLoss", populate_full_signature=False)
+@dataclass
+class ContrastiveLoss:
+    """CLIP InfoNCE generalized to N modality pairs (see module docstring)."""
+
+    l2_normalize: bool = False
+    local_loss: bool = False  # GSPMD layout detail; accepted for parity
+    gather_with_grad: bool = True  # JAX gathers are differentiable; parity flag
+    modality_alignment: bool = False
+    cache_labels: bool = False  # irrelevant under jit; parity flag
+
+    def __call__(
+        self,
+        embeddings: Mapping[str, jnp.ndarray],
+        example_ids: Optional[Mapping[str, jnp.ndarray]],
+        logit_scale: jnp.ndarray,
+        modality_loss_pairs: Sequence[LossPairSpec],
+        presence: Optional[Mapping[str, jnp.ndarray]] = None,
+    ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+        """Compute the total weighted contrastive loss.
+
+        Args:
+            embeddings: ``{modality_name: (B, D)}`` — all same B (global).
+            example_ids: optional ``{modality_name: (B, 2)}`` with ``[-1, -1]``
+                sentinel rows for absent entries (collator convention).
+            logit_scale: scalar multiplier (already exp'd/clamped by the task).
+            modality_loss_pairs: pairs to contrast.
+            presence: optional ``{modality_name: (B,) bool}`` masks.
+        """
+        feats = dict(embeddings)
+        if self.l2_normalize:
+            feats = {k: l2_normalize(v) for k, v in feats.items()}
+
+        def _valid(mod: str, b: int) -> jnp.ndarray:
+            if presence is not None and mod in presence:
+                return presence[mod].astype(bool)
+            if example_ids is not None and mod in example_ids:
+                return (example_ids[mod] >= 0).all(axis=-1)
+            return jnp.ones((b,), dtype=bool)
+
+        total = jnp.zeros((), jnp.float32)
+        metrics: dict[str, jnp.ndarray] = {}
+        for pair in modality_loss_pairs:
+            mod_a, mod_b = pair.modalities
+            za, zb = feats[str(mod_a)], feats[str(mod_b)]
+            b = za.shape[0]
+            valid = _valid(str(mod_a), b) & _valid(str(mod_b), b)
+            logits = logit_scale * jnp.einsum(
+                "id,jd->ij", za, zb, preferred_element_type=jnp.float32
+            )
+            loss_ab = masked_infonce(logits, valid)
+            loss_ba = masked_infonce(logits.T, valid)
+            pair_loss = 0.5 * (loss_ab + loss_ba)
+            metrics[f"loss_{mod_a}_{mod_b}"] = pair_loss
+            total = total + pair.weight * pair_loss
+
+        if self.modality_alignment:
+            align = self._alignment_loss(feats, example_ids, logit_scale, presence)
+            metrics["loss_alignment"] = align
+            total = total + align
+
+        return total, metrics
+
+    def _alignment_loss(
+        self,
+        feats: Mapping[str, jnp.ndarray],
+        example_ids: Optional[Mapping[str, jnp.ndarray]],
+        logit_scale: jnp.ndarray,
+        presence: Optional[Mapping[str, jnp.ndarray]],
+    ) -> jnp.ndarray:
+        """BCE over the full cross-modality similarity matrix.
+
+        Positives are entries whose example ids match (same underlying
+        example seen through two modalities). Reference:
+        contrastive.py:344-413.
+        """
+        mods = sorted(feats)
+        all_feats = jnp.concatenate([feats[m] for m in mods], axis=0)
+        b = next(iter(feats.values())).shape[0]
+
+        ids = []
+        valids = []
+        for i, m in enumerate(mods):
+            if example_ids is not None and m in example_ids:
+                mid = example_ids[m]
+            else:
+                mid = jnp.stack(
+                    [jnp.zeros(b, jnp.int32), jnp.arange(b, dtype=jnp.int32)], -1
+                )
+            ids.append(mid)
+            if presence is not None and m in presence:
+                valids.append(presence[m].astype(bool))
+            else:
+                valids.append((mid >= 0).all(-1))
+        all_ids = jnp.concatenate(ids, axis=0)  # (M*B, 2)
+        all_valid = jnp.concatenate(valids, axis=0)  # (M*B,)
+
+        sim = logit_scale * jnp.einsum(
+            "id,jd->ij", all_feats, all_feats, preferred_element_type=jnp.float32
+        )
+        pos = (all_ids[:, None, :] == all_ids[None, :, :]).all(-1)
+        pair_valid = all_valid[:, None] & all_valid[None, :]
+        # exclude self-similarity slots (same modality, same row)
+        n = all_feats.shape[0]
+        eye = jnp.eye(n, dtype=bool)
+        pair_valid = pair_valid & ~eye
+        bce = jnp.maximum(sim, 0) - sim * pos + jnp.log1p(jnp.exp(-jnp.abs(sim)))
+        count = jnp.maximum(pair_valid.sum(), 1)
+        return jnp.where(pair_valid, bce, 0.0).sum() / count
