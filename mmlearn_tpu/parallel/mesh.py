@@ -49,10 +49,12 @@ def create_mesh(
                 f"{n} devices not divisible by fsdp*model={fsdp * model}"
             )
         data = n // (fsdp * model)
-    if data * fsdp * model != n:
+    if data * fsdp * model > n:
         raise ValueError(
-            f"Mesh {data}x{fsdp}x{model} != {n} devices"
+            f"Mesh {data}x{fsdp}x{model} needs more than the {n} available devices"
         )
+    # an explicit smaller mesh uses a prefix of the devices
+    devices = devices[: data * fsdp * model]
     dev_array = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(dev_array, MESH_AXES)
 

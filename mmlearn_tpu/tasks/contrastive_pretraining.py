@@ -1,0 +1,464 @@
+"""N-modality contrastive (CLIP-style) pretraining task.
+
+Capability parity with
+/root/reference/mmlearn/tasks/contrastive_pretraining.py:
+``modality_module_mapping`` shares encoders/heads/postprocessors across
+modalities (reference lines 231-325), a learnable clamped ``log_logit_scale``
+(lines 327-337), default all-pairs ``modality_loss_pairs`` (lines 340-344),
+auxiliary sub-tasks built around a shared encoder (lines 362-380), and
+evaluation task specs (lines 382-392). ``encode()`` is
+encoder → postprocessor → head → optional L2-norm (lines 400-431).
+
+JAX design: parameters live in a single tree ``{"encoders": {key: ...},
+"heads": ..., "postprocessors": ..., "log_logit_scale", "aux": ...}`` —
+module sharing is just key sharing. ``loss_fn`` is pure and jitted by the
+Trainer over the global batch (GSPMD inserts the data-axis all-gathers the
+reference does manually, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmlearn_tpu.conf import store
+from mmlearn_tpu.constants import MODALITY_PRESENCE_SUFFIX
+from mmlearn_tpu.datasets.core.modalities import Modalities
+from mmlearn_tpu.modules.layers.normalization import l2_normalize
+from mmlearn_tpu.modules.losses.contrastive import ContrastiveLoss, LossPairSpec
+from mmlearn_tpu.tasks.base import TrainingTask
+
+
+@dataclass(frozen=True)
+class ModuleKeySpec:
+    """Maps a modality to shared module keys (reference: ModuleKeySpec)."""
+
+    encoder_key: Optional[str] = None
+    head_key: Optional[str] = None
+    postprocessor_key: Optional[str] = None
+
+
+@dataclass
+class AuxiliaryTaskSpec:
+    """An auxiliary task attached to one modality's encoder.
+
+    ``task`` is a partial/callable receiving the shared encoder module
+    (reference: contrastive_pretraining.py:362-380).
+    """
+
+    modality: str = "rgb"
+    task: Any = None
+    loss_weight: float = 1.0
+
+
+@dataclass
+class EvaluationSpec:
+    """An evaluation task + when to run it (reference: EvaluationSpec)."""
+
+    task: Any = None
+    run_on_validation: bool = True
+    run_on_test: bool = True
+
+
+def _is_flax_module(obj: Any) -> bool:
+    return isinstance(obj, nn.Module)
+
+
+@store(group="task", name="ContrastivePretraining", populate_full_signature=False)
+class ContrastivePretraining(TrainingTask):
+    """CLIP-style contrastive pretraining over N modalities."""
+
+    def __init__(
+        self,
+        encoders: Mapping[str, nn.Module],
+        heads: Optional[Mapping[str, Any]] = None,
+        postprocessors: Optional[Mapping[str, Any]] = None,
+        modality_module_mapping: Optional[Mapping[str, ModuleKeySpec]] = None,
+        optimizer: Optional[Callable] = None,
+        lr_scheduler: Optional[Callable] = None,
+        init_logit_scale: float = 1 / 0.07,
+        max_logit_scale: float = 100.0,
+        learnable_logit_scale: bool = True,
+        loss: Optional[ContrastiveLoss] = None,
+        modality_loss_pairs: Optional[Sequence[LossPairSpec]] = None,
+        auxiliary_tasks: Optional[Mapping[str, AuxiliaryTaskSpec]] = None,
+        log_auxiliary_tasks_loss: bool = False,
+        compute_validation_loss: bool = True,
+        compute_test_loss: bool = True,
+        evaluation_tasks: Optional[Mapping[str, EvaluationSpec]] = None,
+    ) -> None:
+        super().__init__(
+            optimizer=optimizer,
+            lr_scheduler=lr_scheduler,
+            loss=loss if loss is not None else ContrastiveLoss(),
+            compute_validation_loss=compute_validation_loss,
+            compute_test_loss=compute_test_loss,
+        )
+        self.modalities = [str(m).lower() for m in encoders.keys()]
+        for m in self.modalities:
+            if not Modalities.has_modality(m):
+                raise ValueError(f"Unknown modality '{m}'")
+
+        # resolve module sharing (reference: contrastive_pretraining.py:231-325)
+        mapping = {m: ModuleKeySpec() for m in self.modalities}
+        if modality_module_mapping:
+            for m, spec in modality_module_mapping.items():
+                if isinstance(spec, Mapping):
+                    spec = ModuleKeySpec(**spec)
+                mapping[str(m).lower()] = spec
+        self.encoder_keys = {
+            m: (mapping[m].encoder_key or m) for m in self.modalities
+        }
+        self.head_keys = {m: (mapping[m].head_key or m) for m in self.modalities}
+        self.postprocessor_keys = {
+            m: (mapping[m].postprocessor_key or m) for m in self.modalities
+        }
+
+        self.encoders = {
+            self.encoder_keys[m]: encoders[m] for m in self.modalities
+            if m in encoders
+        }
+        # also allow encoders given directly under shared keys
+        for key, module in encoders.items():
+            self.encoders.setdefault(str(key).lower(), module)
+        self.heads = {str(k).lower(): v for k, v in (heads or {}).items()}
+        self.postprocessors = {
+            str(k).lower(): v for k, v in (postprocessors or {}).items()
+        }
+
+        self.init_logit_scale = float(init_logit_scale)
+        self.max_logit_scale = float(max_logit_scale)
+        self.learnable_logit_scale = learnable_logit_scale
+
+        if modality_loss_pairs is None:
+            modality_loss_pairs = [
+                LossPairSpec(modalities=(a, b))
+                for a, b in itertools.combinations(self.modalities, 2)
+            ]
+        else:
+            modality_loss_pairs = [
+                p
+                if isinstance(p, LossPairSpec)
+                else LossPairSpec(
+                    tuple(str(m).lower() for m in p["modalities"]),
+                    p.get("weight", 1.0),
+                )
+                for p in modality_loss_pairs
+            ]
+        for pair in modality_loss_pairs:
+            for m in pair.modalities:
+                if str(m).lower() not in self.modalities:
+                    raise ValueError(
+                        f"Loss pair {pair.modalities} references unknown "
+                        f"modality '{m}' (have {self.modalities})"
+                    )
+        self.modality_loss_pairs = list(modality_loss_pairs)
+
+        # auxiliary tasks around shared encoders (reference lines 362-380)
+        self.aux_task_specs: dict[str, AuxiliaryTaskSpec] = {}
+        self.auxiliary_tasks: dict[str, Any] = {}
+        for name, spec in (auxiliary_tasks or {}).items():
+            if isinstance(spec, Mapping):
+                spec = AuxiliaryTaskSpec(**spec)
+            modality = str(spec.modality).lower()
+            if modality not in self.modalities:
+                raise ValueError(
+                    f"Auxiliary task '{name}' is attached to unknown modality "
+                    f"'{modality}'"
+                )
+            self.aux_task_specs[name] = spec
+            encoder_module = self.encoders[self.encoder_keys[modality]]
+            self.auxiliary_tasks[name] = spec.task(encoder=encoder_module)
+        self.log_auxiliary_tasks_loss = log_auxiliary_tasks_loss
+
+        self.evaluation_tasks = {}
+        for name, spec in (evaluation_tasks or {}).items():
+            if isinstance(spec, Mapping):
+                spec = EvaluationSpec(**spec)
+            self.evaluation_tasks[name] = spec
+
+    # -- parameter init --------------------------------------------------------
+    def _encoder_inputs(
+        self, batch: Mapping[str, Any], modality: str
+    ) -> tuple[tuple, dict]:
+        mod = Modalities.get_modality(modality)
+        x = batch[mod.name]
+        kwargs: dict[str, Any] = {}
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+            am_key = mod.attention_mask
+            if am_key in batch:
+                kwargs["attention_mask"] = jnp.asarray(batch[am_key])
+        return (jnp.asarray(x),), kwargs
+
+    def init_params(self, rng: jax.Array, sample_batch: Mapping[str, Any]) -> Any:
+        params: dict[str, Any] = {"encoders": {}, "heads": {}, "postprocessors": {}}
+        rngs = jax.random.split(rng, len(self.encoders) + len(self.heads) + 8)
+        ridx = 0
+        for key, module in self.encoders.items():
+            modality = next(
+                m for m in self.modalities if self.encoder_keys[m] == key
+            )
+            args, kwargs = self._encoder_inputs(sample_batch, modality)
+            variables = module.init(rngs[ridx], *args, **kwargs)
+            params["encoders"][key] = variables["params"]
+            ridx += 1
+        # heads/postprocessors may be flax modules (init with encoder output)
+        for m in self.modalities:
+            key = self.head_keys[m]
+            head = self.heads.get(key)
+            if head is not None and _is_flax_module(head) and key not in params["heads"]:
+                pooled = self._pooled_output_shape(sample_batch, m)
+                params["heads"][key] = head.init(rngs[ridx], jnp.zeros(pooled))[
+                    "params"
+                ]
+                ridx += 1
+            pkey = self.postprocessor_keys[m]
+            post = self.postprocessors.get(pkey)
+            if (
+                post is not None
+                and _is_flax_module(post)
+                and pkey not in params["postprocessors"]
+            ):
+                seq = self._sequence_output_shape(sample_batch, m)
+                params["postprocessors"][pkey] = post.init(
+                    rngs[ridx], jnp.zeros(seq)
+                )["params"]
+                ridx += 1
+
+        log_scale = jnp.asarray(math.log(self.init_logit_scale), jnp.float32)
+        params["log_logit_scale"] = log_scale
+
+        if self.auxiliary_tasks:
+            params["aux"] = {}
+            for name, task in self.auxiliary_tasks.items():
+                modality = self.aux_task_specs[name].modality
+                enc_key = self.encoder_keys[modality]
+                params["aux"][name] = task.init_aux_params(
+                    jax.random.fold_in(rng, hash(name) % (2**31)),
+                    sample_batch,
+                    params["encoders"][enc_key],
+                )
+        return params
+
+    def _apply_encoder(
+        self,
+        params: Any,
+        batch: Mapping[str, Any],
+        modality: str,
+        deterministic: bool,
+        rng: Optional[jax.Array] = None,
+    ):
+        key = self.encoder_keys[modality]
+        module = self.encoders[key]
+        args, kwargs = self._encoder_inputs(batch, modality)
+        rngs = {"dropout": rng} if (rng is not None and not deterministic) else None
+        return module.apply(
+            {"params": params["encoders"][key]},
+            *args,
+            deterministic=deterministic,
+            rngs=rngs,
+            **kwargs,
+        )
+
+    def _pooled_output_shape(self, sample_batch, modality):
+        out = self._forward_shapes_cache(sample_batch, modality)
+        return out["pooled"]
+
+    def _sequence_output_shape(self, sample_batch, modality):
+        out = self._forward_shapes_cache(sample_batch, modality)
+        return out["seq"]
+
+    def _forward_shapes_cache(self, sample_batch, modality):
+        if not hasattr(self, "_shape_cache"):
+            self._shape_cache: dict[str, dict] = {}
+        if modality not in self._shape_cache:
+            module = self.encoders[self.encoder_keys[modality]]
+            args, kwargs = self._encoder_inputs(sample_batch, modality)
+            out = jax.eval_shape(
+                lambda a, kw: module.init_with_output(
+                    jax.random.key(0), a, **kw
+                )[0],
+                args[0],
+                kwargs,
+            )
+            seq = out.last_hidden_state.shape
+            pooled = (
+                out.pooler_output.shape
+                if out.pooler_output is not None
+                else (seq[0], seq[-1])
+            )
+            self._shape_cache[modality] = {"seq": seq, "pooled": pooled}
+        return self._shape_cache[modality]
+
+    # -- forward / encode -------------------------------------------------------
+    def encode(
+        self,
+        params: Any,
+        batch: Mapping[str, Any],
+        modality: str,
+        normalize: bool = False,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Encoder → postprocessor → head → optional L2 norm.
+
+        Reference: contrastive_pretraining.py:400-431.
+        """
+        modality = str(modality).lower()
+        out = self._apply_encoder(params, batch, modality, deterministic, rng)
+        x = out.last_hidden_state
+
+        pkey = self.postprocessor_keys[modality]
+        post = self.postprocessors.get(pkey)
+        if post is not None:
+            if _is_flax_module(post):
+                x = post.apply({"params": params["postprocessors"].get(pkey, {})}, x)
+            else:
+                x = post(x)
+        elif out.pooler_output is not None:
+            x = out.pooler_output
+        else:
+            x = x.mean(axis=1)
+
+        hkey = self.head_keys[modality]
+        head = self.heads.get(hkey)
+        if head is not None:
+            if _is_flax_module(head):
+                x = head.apply({"params": params["heads"].get(hkey, {})}, x)
+            else:
+                x = head(x)
+
+        if normalize:
+            x = l2_normalize(x)
+        return x
+
+    def forward(
+        self,
+        params: Any,
+        batch: Mapping[str, Any],
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> dict[str, jnp.ndarray]:
+        """Embed every modality present in the batch.
+
+        Returns ``{modality.embedding: (B, D)}`` (reference lines 433-458).
+        """
+        outputs: dict[str, jnp.ndarray] = {}
+        for m in self.modalities:
+            if Modalities.get_modality(m).name not in batch:
+                continue
+            sub_rng = (
+                jax.random.fold_in(rng, hash(m) % (2**31)) if rng is not None else None
+            )
+            outputs[Modalities.get_modality(m).embedding] = self.encode(
+                params, batch, m, normalize=True, deterministic=deterministic,
+                rng=sub_rng,
+            )
+        return outputs
+
+    # -- loss ---------------------------------------------------------------------
+    def _logit_scale(self, params: Any) -> jnp.ndarray:
+        log_scale = jnp.clip(
+            params["log_logit_scale"], 0.0, math.log(self.max_logit_scale)
+        )
+        if not self.learnable_logit_scale:
+            log_scale = jax.lax.stop_gradient(log_scale)
+        return jnp.exp(log_scale)
+
+    def loss_fn(
+        self,
+        params: Any,
+        batch: Mapping[str, Any],
+        rng: jax.Array,
+        extras: Optional[Mapping[str, Any]] = None,
+        deterministic: bool = False,
+    ) -> tuple[jnp.ndarray, tuple[dict, Any]]:
+        embeddings_by_mod = {}
+        presence = {}
+        example_ids = {}
+        for m in self.modalities:
+            mod = Modalities.get_modality(m)
+            if mod.name not in batch:
+                continue
+            sub_rng = jax.random.fold_in(rng, hash(m) % (2**31))
+            # encode() always L2-normalizes (reference:
+            # contrastive_pretraining.py:429); the loss's own l2_normalize
+            # flag is an additional no-op-safe option.
+            embeddings_by_mod[m] = self.encode(
+                params, batch, m, normalize=True,
+                deterministic=deterministic, rng=sub_rng,
+            )
+            pk = f"{mod.name}{MODALITY_PRESENCE_SUFFIX}"
+            if pk in batch:
+                presence[m] = jnp.asarray(batch[pk])
+            ids = batch.get("example_ids", {})
+            if mod.name in ids:
+                example_ids[m] = jnp.asarray(ids[mod.name])
+
+        scale = self._logit_scale(params)
+        loss, metrics = self.loss_fn_obj(
+            embeddings_by_mod,
+            example_ids or None,
+            scale,
+            self.modality_loss_pairs,
+            presence=presence or None,
+        )
+        metrics = dict(metrics)
+        metrics["logit_scale"] = scale
+
+        new_extras = dict(extras or {})
+        for name, task in self.auxiliary_tasks.items():
+            spec = self.aux_task_specs[name]
+            enc_key = self.encoder_keys[spec.modality]
+            aux_rng = jax.random.fold_in(rng, (hash(name) + 1) % (2**31))
+            aux_loss, aux_metrics, aux_extras = task.aux_loss_fn(
+                params["encoders"][enc_key],
+                params["aux"][name],
+                (extras or {}).get(name),
+                batch,
+                aux_rng,
+                deterministic=deterministic,
+            )
+            loss = loss + spec.loss_weight * aux_loss
+            if self.log_auxiliary_tasks_loss:
+                metrics[f"aux_{name}_loss"] = aux_loss
+            new_extras[name] = aux_extras
+
+        metrics["loss"] = loss
+        return loss, (metrics, new_extras)
+
+    # -- aux state --------------------------------------------------------------
+    def init_extras(self, params: Any) -> Any:
+        extras = {}
+        for name, task in self.auxiliary_tasks.items():
+            enc_key = self.encoder_keys[self.aux_task_specs[name].modality]
+            extras[name] = task.init_aux_extras(
+                params["encoders"][enc_key], params["aux"][name]
+            )
+        return extras
+
+    def post_update(self, params: Any, extras: Any, step: jnp.ndarray) -> Any:
+        new_extras = dict(extras or {})
+        for name, task in self.auxiliary_tasks.items():
+            enc_key = self.encoder_keys[self.aux_task_specs[name].modality]
+            new_extras[name] = task.aux_post_update(
+                params["encoders"][enc_key],
+                params["aux"][name],
+                new_extras.get(name),
+                step,
+            )
+        return new_extras
+
+    def prepare_batch(
+        self, batch: dict[str, Any], step: int, training: bool = True
+    ) -> dict[str, Any]:
+        for task in self.auxiliary_tasks.values():
+            batch = task.prepare_batch(batch, step, training=training)
+        return batch

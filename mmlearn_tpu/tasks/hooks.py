@@ -1,0 +1,63 @@
+"""Evaluation hooks protocol.
+
+Parity: /root/reference/mmlearn/tasks/hooks.py (``EvaluationHooks``): a
+3-hook protocol driven by the trainer's eval loop. Hooks receive an
+:class:`EvalRuntime` instead of a LightningModule: it exposes the task, the
+current params, and a jit-cached ``encode`` so metric code never touches
+module internals.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class EvalRuntime:
+    """What evaluation hooks see: task + params + jitted encode."""
+
+    def __init__(self, task: Any, params: Any, mesh: Any = None) -> None:
+        self.task = task
+        self.params = params
+        self.mesh = mesh
+        self._encode_jit: dict[str, Any] = {}
+        self.all_dataset_info: dict = {}
+
+    def encode(
+        self, batch: Mapping[str, Any], modality: str, normalize: bool = False
+    ) -> jnp.ndarray:
+        """Jit-cached task.encode (one cache entry per modality/normalize)."""
+        key = f"{modality}:{normalize}"
+        if key not in self._encode_jit:
+            task = self.task
+
+            def _enc(params, b):
+                return task.encode(params, b, modality, normalize=normalize)
+
+            self._encode_jit[key] = jax.jit(_enc)
+        device_batch = {
+            k: v
+            for k, v in batch.items()
+            if not isinstance(v, (list, str)) and getattr(v, "dtype", None) is not None
+        }
+        return self._encode_jit[key](self.params, device_batch)
+
+
+class EvaluationHooks:
+    """Base class for evaluation tasks (reference: hooks.py:9-62)."""
+
+    def on_evaluation_epoch_start(self, runtime: EvalRuntime) -> None:
+        """Prepare metric state / precompute class embeddings."""
+
+    def evaluation_step(
+        self, runtime: EvalRuntime, batch: Mapping[str, Any], batch_idx: int
+    ) -> Optional[Mapping[str, Any]]:
+        """Accumulate metric state for one batch."""
+
+    def on_evaluation_epoch_end(
+        self, runtime: EvalRuntime
+    ) -> Optional[dict[str, Any]]:
+        """Compute + return metrics, reset state."""
+        return None

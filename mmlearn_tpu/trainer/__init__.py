@@ -1,0 +1,24 @@
+"""Training runtime: Trainer loop, TrainState, callbacks, loggers."""
+
+from mmlearn_tpu.trainer.callbacks import (
+    Callback,
+    LearningRateMonitor,
+    ModelCheckpoint,
+    Timer,
+)
+from mmlearn_tpu.trainer.loggers import ConsoleLogger, JSONLLogger, Logger, WandbLogger
+from mmlearn_tpu.trainer.state import TrainState
+from mmlearn_tpu.trainer.trainer import Trainer
+
+__all__ = [
+    "Callback",
+    "ConsoleLogger",
+    "JSONLLogger",
+    "LearningRateMonitor",
+    "Logger",
+    "ModelCheckpoint",
+    "Timer",
+    "TrainState",
+    "Trainer",
+    "WandbLogger",
+]

@@ -1,0 +1,145 @@
+"""Trainer callbacks: checkpointing, LR monitor, timing.
+
+Replaces the Lightning callback surface the reference actually uses
+(ModelCheckpoint registered at /root/reference/mmlearn/conf/__init__.py:407-426
+and per-project YAMLs). Checkpoints are Orbax; the whole
+:class:`~mmlearn_tpu.trainer.state.TrainState` (params, opt state, EMA
+extras, step) is one tree, so resume restores everything.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Optional
+
+import jax
+
+from mmlearn_tpu.conf import store
+
+logger = logging.getLogger(__name__)
+
+
+class Callback:
+    """Callback protocol (subset of Lightning's hooks we need)."""
+
+    def on_train_start(self, trainer: Any) -> None: ...
+
+    def on_train_batch_end(
+        self, trainer: Any, metrics: dict, step: int
+    ) -> None: ...
+
+    def on_train_epoch_end(self, trainer: Any, epoch: int) -> None: ...
+
+    def on_validation_end(self, trainer: Any, metrics: dict, step: int) -> None: ...
+
+    def on_train_end(self, trainer: Any) -> None: ...
+
+
+@store(group="trainer/callbacks", name="ModelCheckpoint", populate_full_signature=False)
+class ModelCheckpoint(Callback):
+    """Orbax checkpointing: periodic + save_last (+ resume support)."""
+
+    def __init__(
+        self,
+        dirpath: Optional[str] = None,
+        every_n_train_steps: Optional[int] = None,
+        every_n_epochs: Optional[int] = 1,
+        save_last: bool = True,
+        max_to_keep: int = 3,
+        monitor: Optional[str] = None,  # parity arg; not used yet
+        mode: str = "min",
+    ) -> None:
+        self.dirpath = dirpath
+        self.every_n_train_steps = every_n_train_steps
+        self.every_n_epochs = every_n_epochs
+        self.save_last = save_last
+        self.max_to_keep = max_to_keep
+        self._manager = None
+
+    def _ensure_manager(self, trainer: Any):
+        if self._manager is None:
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(
+                self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
+            )
+            os.makedirs(path, exist_ok=True)
+            self._manager = ocp.CheckpointManager(
+                path,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.max_to_keep, create=True
+                ),
+            )
+        return self._manager
+
+    def _save(self, trainer: Any, step: int) -> None:
+        import orbax.checkpoint as ocp
+
+        manager = self._ensure_manager(trainer)
+        manager.save(
+            step, args=ocp.args.StandardSave(trainer.state), force=True
+        )
+        manager.wait_until_finished()
+        logger.info("Saved checkpoint at step %d", step)
+
+    def on_train_batch_end(self, trainer: Any, metrics: dict, step: int) -> None:
+        if self.every_n_train_steps and step > 0 and step % self.every_n_train_steps == 0:
+            self._save(trainer, step)
+
+    def on_train_epoch_end(self, trainer: Any, epoch: int) -> None:
+        if self.every_n_epochs and (epoch + 1) % self.every_n_epochs == 0:
+            self._save(trainer, int(trainer.state.step))
+
+    def on_train_end(self, trainer: Any) -> None:
+        if self.save_last:
+            self._save(trainer, int(trainer.state.step))
+
+    def restore_latest(self, trainer: Any) -> Optional[Any]:
+        import orbax.checkpoint as ocp
+
+        manager = self._ensure_manager(trainer)
+        step = manager.latest_step()
+        if step is None:
+            return None
+        restored = manager.restore(
+            step, args=ocp.args.StandardRestore(trainer.state)
+        )
+        logger.info("Restored checkpoint from step %d", step)
+        return restored
+
+
+@store(group="trainer/callbacks", name="LearningRateMonitor", populate_full_signature=False)
+class LearningRateMonitor(Callback):
+    """Log the current LR (from the task's schedule) into train metrics."""
+
+    def __init__(self, logging_interval: str = "step") -> None:
+        self.logging_interval = logging_interval
+
+    def on_train_batch_end(self, trainer: Any, metrics: dict, step: int) -> None:
+        sched = getattr(trainer, "_lr_schedule", None)
+        if sched is not None:
+            try:
+                metrics["lr"] = float(sched(step))
+            except Exception:
+                pass
+
+
+@store(group="trainer/callbacks", name="Timer", populate_full_signature=False)
+class Timer(Callback):
+    """Track step timing / throughput."""
+
+    def __init__(self) -> None:
+        self._t0 = None
+        self._count = 0
+
+    def on_train_start(self, trainer: Any) -> None:
+        self._t0 = time.perf_counter()
+        self._count = 0
+
+    def on_train_batch_end(self, trainer: Any, metrics: dict, step: int) -> None:
+        self._count += 1
+        elapsed = time.perf_counter() - self._t0
+        if elapsed > 0:
+            metrics["steps_per_sec"] = self._count / elapsed

@@ -1,0 +1,417 @@
+"""The training loop — TPU-native replacement for Lightning's ``Trainer``.
+
+The reference delegates its runtime to PyTorch Lightning
+(/root/reference/mmlearn/cli/run.py:141-146); this Trainer is the explicit
+JAX equivalent (SURVEY.md §7 "Runtime layer"):
+
+- one jit-compiled ``train_step(state, batch, rng) -> (state, metrics)``,
+  value_and_grad + optax update + task ``post_update`` (EMA), with the
+  TrainState **donated** (no HBM double-buffering of params);
+- SPMD via GSPMD: a ``(data, fsdp, model)`` mesh; the TrainState is
+  device_put with name-rule-inferred shardings
+  (:func:`mmlearn_tpu.parallel.partitioning.infer_param_specs`), batches are
+  sharded over the ``data``×``fsdp`` axes; XLA inserts all collectives;
+- gradient accumulation via ``optax.MultiSteps``, optional global-norm
+  clipping, bf16 input casting;
+- validation/test loops driving the task's ``EvaluationHooks``
+  (reference eval flow: contrastive_pretraining.py:642-701);
+- Orbax checkpointing via the ModelCheckpoint callback; ``fit(...,
+  ckpt_path=...)`` resumes the full state (params, opt, EMA, step).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Iterable, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmlearn_tpu.parallel import (
+    create_mesh,
+    infer_param_specs,
+    param_shardings,
+    set_global_mesh,
+    shard_batch,
+)
+from mmlearn_tpu.tasks.hooks import EvalRuntime
+from mmlearn_tpu.trainer.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+def _device_batch(batch: Mapping[str, Any]) -> dict[str, Any]:
+    """Keep only array-valued entries (device-compatible)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, Mapping):
+            sub = _device_batch(v)
+            if sub:
+                out[k] = sub
+        elif isinstance(v, (np.ndarray, jnp.ndarray, jax.Array)):
+            if getattr(v, "dtype", None) is not None and v.dtype != object:
+                out[k] = v
+    return out
+
+
+class Trainer:
+    """Explicit SPMD training loop (see module docstring)."""
+
+    def __init__(
+        self,
+        max_epochs: Optional[int] = None,
+        max_steps: Optional[int] = None,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        check_val_every_n_epoch: int = 1,
+        val_check_interval: Optional[int] = None,
+        log_every_n_steps: int = 50,
+        precision: Optional[str] = None,
+        accumulate_grad_batches: int = 1,
+        gradient_clip_val: Optional[float] = None,
+        mesh_shape: Optional[Mapping[str, int]] = None,
+        callbacks: Optional[Sequence[Any]] = None,
+        loggers: Optional[Sequence[Any]] = None,
+        default_root_dir: str = "outputs",
+        seed: int = 0,
+        num_sanity_val_steps: int = 0,
+        enable_profiling: bool = False,
+        donate_state: bool = True,
+    ) -> None:
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.val_check_interval = val_check_interval
+        self.log_every_n_steps = log_every_n_steps
+        self.precision = precision
+        self.accumulate_grad_batches = accumulate_grad_batches
+        self.gradient_clip_val = gradient_clip_val
+        self.callbacks = list(callbacks or [])
+        self.loggers = list(loggers or [])
+        self.default_root_dir = default_root_dir
+        self.seed = seed
+        self.num_sanity_val_steps = num_sanity_val_steps
+        self.enable_profiling = enable_profiling
+        self.donate_state = donate_state
+
+        shape = dict(mesh_shape or {})
+        self.mesh = create_mesh(
+            data=shape.get("data", -1),
+            fsdp=shape.get("fsdp", 1),
+            model=shape.get("model", 1),
+        )
+        set_global_mesh(self.mesh)
+
+        self.state: Optional[TrainState] = None
+        self._lr_schedule = None
+        self._train_step = None
+        self._val_loss_step = None
+
+    # -- setup -----------------------------------------------------------------
+    def _resolve_max_steps(self, train_loader: Any) -> int:
+        if self.max_steps is not None:
+            return self.max_steps
+        if self.max_epochs is not None:
+            try:
+                per_epoch = len(train_loader)
+                if self.limit_train_batches:
+                    per_epoch = min(per_epoch, self.limit_train_batches)
+                return self.max_epochs * per_epoch
+            except TypeError:
+                pass
+        return 1000
+
+    def _build_tx(self, task: Any, max_steps: int) -> optax.GradientTransformation:
+        tx = task.configure_optimizers(max_steps=max_steps)
+        self._lr_schedule = getattr(task, "_resolved_schedule", None)
+        chain = []
+        if self.gradient_clip_val:
+            chain.append(optax.clip_by_global_norm(self.gradient_clip_val))
+        chain.append(tx)
+        tx = optax.chain(*chain) if len(chain) > 1 else tx
+        if self.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
+        return tx
+
+    def _cast_inputs(self, batch: dict[str, Any]) -> dict[str, Any]:
+        if self.precision not in ("bf16", "bf16-mixed", "bfloat16"):
+            return batch
+
+        def _cast(x):
+            if hasattr(x, "dtype") and np.issubdtype(np.asarray(x).dtype, np.floating):
+                return np.asarray(x, dtype=jnp.bfloat16)
+            return x
+
+        return jax.tree.map(_cast, batch)
+
+    def _init_state(self, task: Any, tx: Any, sample_batch: dict[str, Any]) -> None:
+        rng = jax.random.key(self.seed)
+
+        def init_fn(rng):
+            params = task.init_params(rng, sample_batch)
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=tx.init(params),
+                extras=task.init_extras(params),
+            )
+
+        abstract = jax.eval_shape(init_fn, rng)
+        self._state_specs = infer_param_specs(abstract, self.mesh)
+        self._state_shardings = param_shardings(self._state_specs, self.mesh)
+        with self.mesh:
+            self.state = jax.jit(init_fn, out_shardings=self._state_shardings)(rng)
+        n_params = sum(
+            int(np.prod(np.shape(p))) for p in jax.tree.leaves(self.state.params)
+        )
+        logger.info(
+            "Initialized %d parameters over mesh %s", n_params, dict(self.mesh.shape)
+        )
+
+    def _make_train_step(self, task: Any, tx: Any):
+        def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+            def loss_wrap(params):
+                loss, (metrics, new_extras) = task.loss_fn(
+                    params, batch, rng, state.extras, deterministic=False
+                )
+                return loss, (metrics, new_extras)
+
+            (_, (metrics, new_extras)), grads = jax.value_and_grad(
+                loss_wrap, has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            extras = task.post_update(params, new_extras, state.step)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                extras=extras,
+            )
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        donate = (0,) if self.donate_state else ()
+        return jax.jit(step_fn, donate_argnums=donate)
+
+    def _make_val_step(self, task: Any):
+        def val_fn(params, batch, extras, rng):
+            loss, (metrics, _) = task.loss_fn(
+                params, batch, rng, extras, deterministic=True
+            )
+            return metrics
+
+        return jax.jit(val_fn)
+
+    # -- public API --------------------------------------------------------------
+    def fit(
+        self,
+        task: Any,
+        train_loader: Any,
+        val_loader: Any = None,
+        ckpt_path: Optional[str] = None,
+    ) -> TrainState:
+        max_steps = self._resolve_max_steps(train_loader)
+        tx = self._build_tx(task, max_steps)
+
+        first_batch = next(iter(train_loader))
+        first_batch = task.prepare_batch(dict(first_batch), step=0)
+        sample = self._cast_inputs(_device_batch(first_batch))
+        self._init_state(task, tx, sample)
+
+        ckpt_cb = next(
+            (c for c in self.callbacks if hasattr(c, "restore_latest")), None
+        )
+        if ckpt_path is not None and ckpt_cb is not None:
+            if ckpt_path != "last":
+                ckpt_cb.dirpath = ckpt_path
+            restored = ckpt_cb.restore_latest(self)
+            if restored is not None:
+                self.state = restored
+
+        self._train_step = self._make_train_step(task, tx)
+        if val_loader is not None and task.compute_validation_loss:
+            self._val_loss_step = self._make_val_step(task)
+
+        for cb in self.callbacks:
+            cb.on_train_start(self)
+
+        rng_root = jax.random.key(self.seed + 1)
+        step = int(self.state.step)
+        epoch = 0
+        done = False
+        t_log = time.perf_counter()
+        examples_since_log = 0
+
+        if self.num_sanity_val_steps and val_loader is not None:
+            self._run_evaluation(
+                task, val_loader, "validation",
+                limit_batches=self.num_sanity_val_steps, log=False,
+            )
+
+        while not done:
+            if self.max_epochs is not None and epoch >= self.max_epochs:
+                break
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            for batch_idx, batch in enumerate(train_loader):
+                if (
+                    self.limit_train_batches
+                    and batch_idx >= self.limit_train_batches
+                ):
+                    break
+                batch = task.prepare_batch(dict(batch), step=step)
+                device_batch = shard_batch(
+                    self._cast_inputs(_device_batch(batch)), self.mesh
+                )
+                rng = jax.random.fold_in(rng_root, step)
+                with self.mesh:
+                    self.state, metrics = self._train_step(
+                        self.state, device_batch, rng
+                    )
+                step += 1
+                examples_since_log += self._batch_size_of(batch)
+
+                if step % self.log_every_n_steps == 0 or step >= max_steps:
+                    host_metrics = {
+                        k: float(v) for k, v in jax.device_get(metrics).items()
+                    }
+                    now = time.perf_counter()
+                    if now > t_log:
+                        host_metrics["examples_per_sec"] = examples_since_log / (
+                            now - t_log
+                        )
+                    t_log = now
+                    examples_since_log = 0
+                    for cb in self.callbacks:
+                        cb.on_train_batch_end(self, host_metrics, step)
+                    for lg in self.loggers:
+                        lg.log_metrics(
+                            {f"train/{k}": v for k, v in host_metrics.items()}, step
+                        )
+                else:
+                    for cb in self.callbacks:
+                        cb.on_train_batch_end(self, {}, step)
+
+                if (
+                    self.val_check_interval
+                    and val_loader is not None
+                    and step % self.val_check_interval == 0
+                ):
+                    self._run_evaluation(task, val_loader, "validation", step=step)
+
+                if step >= max_steps:
+                    done = True
+                    break
+
+            if (
+                not done
+                and val_loader is not None
+                and self.val_check_interval is None
+                and (epoch + 1) % self.check_val_every_n_epoch == 0
+            ):
+                self._run_evaluation(task, val_loader, "validation", step=step)
+            for cb in self.callbacks:
+                cb.on_train_epoch_end(self, epoch)
+            epoch += 1
+            if self.max_epochs is None and self.max_steps is None:
+                done = True
+
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+        for lg in self.loggers:
+            lg.finalize()
+        return self.state
+
+    def validate(self, task: Any, loader: Any, state: Optional[TrainState] = None):
+        return self._run_evaluation(task, loader, "validation", state=state)
+
+    def test(self, task: Any, loader: Any, state: Optional[TrainState] = None):
+        return self._run_evaluation(task, loader, "test", state=state)
+
+    # -- evaluation --------------------------------------------------------------
+    def _batch_size_of(self, batch: Mapping[str, Any]) -> int:
+        for v in batch.values():
+            if hasattr(v, "shape") and len(getattr(v, "shape", ())) > 0:
+                return int(v.shape[0])
+            if isinstance(v, list):
+                return len(v)
+        return 0
+
+    def _run_evaluation(
+        self,
+        task: Any,
+        loader: Any,
+        phase: str,
+        step: Optional[int] = None,
+        state: Optional[TrainState] = None,
+        limit_batches: Optional[int] = None,
+        log: bool = True,
+    ) -> dict[str, float]:
+        state = state if state is not None else self.state
+        if state is None:
+            raise RuntimeError("No TrainState; call fit() or pass state=")
+        params = state.params
+        runtime = EvalRuntime(task, params, mesh=self.mesh)
+        runtime.dataloader = loader
+
+        active_hooks = []
+        for name, spec in getattr(task, "evaluation_tasks", {}).items():
+            run = (
+                spec.run_on_validation if phase == "validation" else spec.run_on_test
+            )
+            if run:
+                active_hooks.append((name, spec.task))
+
+        for _, hook in active_hooks:
+            hook.on_evaluation_epoch_start(runtime)
+
+        compute_loss = (
+            task.compute_validation_loss
+            if phase == "validation"
+            else task.compute_test_loss
+        )
+        if compute_loss and self._val_loss_step is None:
+            self._val_loss_step = self._make_val_step(task)
+
+        losses = []
+        limit = limit_batches or self.limit_val_batches
+        rng = jax.random.key(self.seed + 2)
+        for batch_idx, batch in enumerate(loader):
+            if limit and batch_idx >= limit:
+                break
+            batch = task.prepare_batch(dict(batch), step=batch_idx, training=False)
+            device_batch = shard_batch(
+                self._cast_inputs(_device_batch(batch)), self.mesh
+            )
+            if compute_loss:
+                with self.mesh:
+                    m = self._val_loss_step(
+                        params, device_batch, state.extras, rng
+                    )
+                losses.append(float(jax.device_get(m["loss"])))
+            full_batch = dict(batch)
+            full_batch.update(device_batch)
+            for _, hook in active_hooks:
+                hook.evaluation_step(runtime, full_batch, batch_idx)
+
+        results: dict[str, float] = {}
+        if losses:
+            results[f"{phase}/loss"] = float(np.mean(losses))
+        for name, hook in active_hooks:
+            hook_metrics = hook.on_evaluation_epoch_end(runtime) or {}
+            for k, v in hook_metrics.items():
+                results[str(k)] = float(v)
+
+        if log and results:
+            logger.info("%s results: %s", phase, results)
+            for lg in self.loggers:
+                lg.log_metrics(results, step or int(state.step))
+            for cb in self.callbacks:
+                cb.on_validation_end(self, results, step or int(state.step))
+        return results
