@@ -1,0 +1,194 @@
+"""``mmlearn_run`` — the experiment CLI.
+
+Parity: /root/reference/mmlearn/cli/run.py. Usage mirrors the reference:
+
+    mmlearn_run 'searchpath=[pkg://my_project.configs]' \\
+        +experiment=my_experiment experiment_name=run1 trainer.max_steps=100
+
+Flow (reference lines 37-150): import-time registration of every config
+group, compose(base + experiment + overrides), seed, instantiate
+callbacks/loggers/trainer/datasets/samplers/dataloaders/task, dispatch
+``trainer.fit`` or ``trainer.test`` based on ``job_type``.
+
+TPU runtime notes replacing the reference's torch knobs:
+- multi-host init via ``jax.distributed.initialize()`` when running under a
+  multi-process launcher (``MMLEARN_MULTIHOST=1``);
+- rank/world for samplers come from ``jax.process_index()/process_count()``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Any, Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+def _register_everything() -> None:
+    """Import every subpackage so @store decorators run (reference: run.py:24-31)."""
+    import mmlearn_tpu.datasets  # noqa: F401
+    import mmlearn_tpu.datasets.builtin  # noqa: F401
+    import mmlearn_tpu.datasets.processors.masking  # noqa: F401
+    import mmlearn_tpu.datasets.processors.tokenizers  # noqa: F401
+    import mmlearn_tpu.datasets.processors.transforms  # noqa: F401
+    import mmlearn_tpu.modules.encoders  # noqa: F401
+    import mmlearn_tpu.modules.layers  # noqa: F401
+    import mmlearn_tpu.modules.losses  # noqa: F401
+    import mmlearn_tpu.modules.lr_schedulers  # noqa: F401
+    import mmlearn_tpu.modules.metrics  # noqa: F401
+    import mmlearn_tpu.tasks  # noqa: F401
+    import mmlearn_tpu.trainer  # noqa: F401
+
+    from mmlearn_tpu.conf import register_default_configs
+
+    register_default_configs()
+
+
+def build_experiment(overrides: Sequence[str]) -> dict:
+    """Compose the final experiment config from CLI-style overrides."""
+    _register_everything()
+    from mmlearn_tpu.conf import base_config, compose
+
+    return compose(base_config(), overrides=overrides)
+
+
+def run_experiment(cfg: dict) -> Any:
+    """Instantiate everything from a composed config and run the job."""
+    import jax
+
+    from mmlearn_tpu.cli._instantiators import (
+        instantiate_callbacks,
+        instantiate_dataloader,
+        instantiate_datasets,
+        instantiate_loggers,
+        instantiate_sampler,
+    )
+    from mmlearn_tpu.conf import ConfigError, instantiate
+
+    if os.environ.get("MMLEARN_MULTIHOST") == "1":
+        jax.distributed.initialize()
+
+    if cfg.get("task") in (None, "???"):
+        raise ConfigError("No task configured (set task=... or use an experiment)")
+
+    seed = cfg.get("seed")
+    if seed is None:
+        seed = 0
+    import numpy as np
+
+    np.random.seed(seed)
+
+    output_dir = cfg.get("runtime", {}).get("output_dir", "outputs")
+    os.makedirs(output_dir, exist_ok=True)
+
+    callbacks = instantiate_callbacks(cfg["trainer"].get("callbacks"))
+    loggers = instantiate_loggers(cfg["trainer"].get("loggers"))
+    if loggers:
+        hparams = {k: v for k, v in cfg.items() if k != "runtime"}
+        for lg in loggers:
+            lg.log_hyperparams(hparams)
+
+    trainer_cfg = dict(cfg["trainer"])
+    trainer_cfg.pop("callbacks", None)
+    trainer_cfg.pop("loggers", None)
+    trainer_cfg.pop("default_root_dir", None)
+    trainer = instantiate(
+        trainer_cfg,
+        callbacks=callbacks,
+        loggers=loggers,
+        default_root_dir=output_dir,
+        seed=seed,
+    )
+
+    rank, world = jax.process_index(), jax.process_count()
+    loaders: dict[str, Any] = {}
+    for split in ("train", "val", "test"):
+        dataset = instantiate_datasets(cfg["datasets"].get(split))
+        if dataset is None:
+            loaders[split] = None
+            continue
+        dl_cfg = dict(cfg["dataloader"].get(split) or {})
+        sampler_cfg = dl_cfg.pop("sampler", None)
+        sampler = instantiate_sampler(
+            sampler_cfg, dataset, rank=rank, num_replicas=world
+        )
+        loaders[split] = instantiate_dataloader(dl_cfg, dataset, sampler=sampler)
+        logger.info(
+            "%s dataset: %d examples, %d batches", split, len(dataset),
+            len(loaders[split]),
+        )
+
+    task = instantiate(cfg["task"])
+
+    job_type = str(cfg.get("job_type", "train"))
+    ckpt_path = cfg.get("resume_from_checkpoint")
+    if job_type == "train":
+        if loaders["train"] is None:
+            raise ConfigError("job_type=train requires datasets.train")
+        return trainer.fit(
+            task, loaders["train"], loaders["val"], ckpt_path=ckpt_path
+        )
+    if job_type == "eval":
+        if loaders["test"] is None:
+            raise ConfigError("job_type=eval requires datasets.test")
+        if ckpt_path is not None:
+            raise NotImplementedError(
+                "eval from checkpoint requires trainer state restore; "
+                "run via fit(ckpt_path=...) or pass state explicitly"
+            )
+        # initialize params (e.g. converted pretrained weights baked into the
+        # task config) and run the test loop
+        first = next(iter(loaders["test"]))
+        import jax.numpy as jnp
+
+        from mmlearn_tpu.trainer.state import TrainState
+        from mmlearn_tpu.trainer.trainer import _device_batch
+
+        prepared = task.prepare_batch(dict(first), step=0, training=False)
+        params = task.init_params(jax.random.key(seed), _device_batch(prepared))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
+            extras=task.init_extras(params),
+        )
+        return trainer.test(task, loaders["test"], state=state)
+    raise ConfigError(f"Unknown job_type '{job_type}'")
+
+
+def main(argv: Optional[Sequence[str]] = None) -> Any:
+    logging.basicConfig(
+        level=os.environ.get("MMLEARN_LOG_LEVEL", "INFO"),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    if os.environ.get("MMLEARN_PLATFORM"):
+        # the TPU PJRT plugin in some environments ignores JAX_PLATFORMS;
+        # force the platform through jax.config before any backend init
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MMLEARN_PLATFORM"])
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        from mmlearn_tpu.conf import store
+
+        _register_everything()
+        print("Config groups:")
+        for group in store.groups():
+            print(f"  {group}: {', '.join(store.names(group))}")
+        return None
+    print_cfg = False
+    if "--cfg" in argv:
+        argv.remove("--cfg")
+        print_cfg = True
+    cfg = build_experiment(argv)
+    if print_cfg:
+        import yaml
+
+        print(yaml.safe_dump(cfg, sort_keys=False, default_flow_style=False))
+        return cfg
+    return run_experiment(cfg)
+
+
+if __name__ == "__main__":
+    main()
