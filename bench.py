@@ -1,0 +1,83 @@
+"""Benchmark: CLIP ViT-B/16 contrastive train-step throughput (pairs/sec/chip).
+
+Runs the full jitted training step (forward both towers + InfoNCE + backward +
+AdamW update, bf16 compute / f32 params, state donated) on synthetic
+device-resident data, on whatever accelerator JAX exposes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against the reference stack's throughput for the
+same model/step on one A100 (PyTorch mixed precision CLIP ViT-B/16 ≈ 700
+pairs/sec/GPU — see BASELINE.md; the reference publishes no number of its
+own, so this is the standard community measurement for open_clip-style
+training, used as the working baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_PAIRS_PER_SEC = 700.0
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _flagship_task, _synthetic_batch
+
+    backend = jax.default_backend()
+    batch_size = 256 if backend == "tpu" else 16
+
+    import jax.numpy as jnp
+    import optax
+
+    task = _flagship_task(tiny=False)
+    batch = _synthetic_batch(batch_size, 224, 77, 49408, dtype=jnp.bfloat16)
+
+    params = task.init_params(jax.random.key(0), batch)
+    tx = task.configure_optimizers(max_steps=10_000)
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, batch, rng):
+        def loss_wrap(p):
+            loss, (metrics, _) = task.loss_fn(p, batch, rng, {}, deterministic=False)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_wrap)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    rng = jax.random.key(1)
+    # compile + warmup
+    params, opt_state, loss = step(params, opt_state, batch, rng)
+    jax.block_until_ready(loss)
+    for i in range(3):
+        params, opt_state, loss = step(params, opt_state, batch, rng)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, batch, rng)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    pairs_per_sec = batch_size * n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "clip_vitb16_contrastive_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""HuggingFace checkpoint → native Flax parameter conversion.
+
+Capability parity with the reference's HF *wrappers*
+(/root/reference/mmlearn/modules/encoders/clip.py, text.py and
+mmlearn/hf_utils.py): instead of wrapping torch modules, HF weights are
+converted into the native encoders' parameter trees
+(:class:`~mmlearn_tpu.modules.encoders.vision.VisionTransformer`,
+:class:`~mmlearn_tpu.modules.encoders.text.TextTransformer`), preserving the
+CLIP quirks the reference handles explicitly (pre_layrnorm / post_layernorm,
+clip.py:225,468; eos pooling via argmax of token ids).
+
+Layout notes:
+- HF ``nn.Linear`` weights are ``(out, in)`` → transposed to flax ``(in, out)``;
+- HF separate q/k/v projections are fused into our ``qkv`` kernel by
+  concatenation along the output dim;
+- HF conv patch embedding ``(D, C, P, P)`` → flax HWIO ``(P, P, C, D)``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Mapping, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _np(t: Any) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _linear(sd: Mapping[str, Any], prefix: str) -> dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _fused_qkv(sd: Mapping[str, Any], prefix: str) -> dict:
+    """Fuse HF q/k/v projections into one (in, 3*out) kernel."""
+    kernels = [
+        _np(sd[f"{prefix}.{n}.weight"]).T for n in ("q_proj", "k_proj", "v_proj")
+    ]
+    out = {"kernel": np.concatenate(kernels, axis=1)}
+    if f"{prefix}.q_proj.bias" in sd:
+        biases = [
+            _np(sd[f"{prefix}.{n}.bias"]) for n in ("q_proj", "k_proj", "v_proj")
+        ]
+        out["bias"] = np.concatenate(biases)
+    return out
+
+
+def _clip_block(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "norm1": _layernorm(sd, f"{prefix}.layer_norm1"),
+        "attn": {
+            "qkv": _fused_qkv(sd, f"{prefix}.self_attn"),
+            "proj": _linear(sd, f"{prefix}.self_attn.out_proj"),
+        },
+        "norm2": _layernorm(sd, f"{prefix}.layer_norm2"),
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def convert_clip_vision(
+    state_dict: Mapping[str, Any],
+    depth: int,
+    prefix: str = "vision_model",
+    projection_key: Optional[str] = "visual_projection.weight",
+) -> dict:
+    """HF ``CLIPVisionModel(WithProjection)`` → our VisionTransformer params.
+
+    Target module config: ``use_cls_token=True, learned_pos_embed=True,
+    pre_norm=True, final_norm=True, act_layer='quick_gelu',
+    global_pool='cls'`` (+ ``proj_dim`` if the projection is converted).
+
+    Note: HF applies ``post_layernorm`` only to the pooled CLS token; we
+    apply the same LN to all tokens — identical pooled output (LN is
+    per-token), sequence outputs differ by that LN.
+    """
+    sd = state_dict
+    params: dict[str, Any] = {
+        "patch_embed": {
+            "proj": {
+                "kernel": _np(
+                    sd[f"{prefix}.embeddings.patch_embedding.weight"]
+                ).transpose(2, 3, 1, 0),
+            }
+        },
+        "cls_token": _np(sd[f"{prefix}.embeddings.class_embedding"]).reshape(1, 1, -1),
+        "pos_embed": _np(sd[f"{prefix}.embeddings.position_embedding.weight"])[None],
+        "norm_pre": _layernorm(sd, f"{prefix}.pre_layrnorm"),
+        "norm": _layernorm(sd, f"{prefix}.post_layernorm"),
+    }
+    if f"{prefix}.embeddings.patch_embedding.bias" in sd:
+        params["patch_embed"]["proj"]["bias"] = _np(
+            sd[f"{prefix}.embeddings.patch_embedding.bias"]
+        )
+    for i in range(depth):
+        params[f"blocks_{i}"] = _clip_block(sd, f"{prefix}.encoder.layers.{i}")
+    if projection_key and projection_key in sd:
+        params["proj"] = {"kernel": _np(sd[projection_key]).T}
+    return params
+
+
+def convert_clip_text(
+    state_dict: Mapping[str, Any],
+    depth: int,
+    prefix: str = "text_model",
+    projection_key: Optional[str] = "text_projection.weight",
+) -> dict:
+    """HF ``CLIPTextModel(WithProjection)`` → our TextTransformer params.
+
+    Target module config: ``causal=True, pooling='eos',
+    act_layer='quick_gelu'``.
+    """
+    sd = state_dict
+    params: dict[str, Any] = {
+        "token_embedding": {
+            "embedding": _np(sd[f"{prefix}.embeddings.token_embedding.weight"])
+        },
+        "pos_embed": _np(sd[f"{prefix}.embeddings.position_embedding.weight"])[None],
+        "norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+    }
+    for i in range(depth):
+        params[f"blocks_{i}"] = _clip_block(sd, f"{prefix}.encoder.layers.{i}")
+    if projection_key and projection_key in sd:
+        params["proj"] = {"kernel": _np(sd[projection_key]).T}
+    return params
+
+
+def clip_modules_from_config(hf_config: Any, dtype: Any = None) -> tuple:
+    """Build (vision_module, text_module) matching an HF ``CLIPConfig``."""
+    import jax.numpy as jnp
+
+    from mmlearn_tpu.modules.encoders.text import TextTransformer
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    dtype = dtype or jnp.float32
+    v, t = hf_config.vision_config, hf_config.text_config
+    vision = VisionTransformer(
+        img_size=v.image_size,
+        patch_size=v.patch_size,
+        embed_dim=v.hidden_size,
+        depth=v.num_hidden_layers,
+        num_heads=v.num_attention_heads,
+        mlp_ratio=v.intermediate_size / v.hidden_size,
+        qkv_bias=True,
+        use_cls_token=True,
+        learned_pos_embed=True,
+        pre_norm=True,
+        final_norm=True,
+        act_layer="quick_gelu",
+        norm_eps=v.layer_norm_eps,
+        global_pool="cls",
+        proj_dim=hf_config.projection_dim,
+        patch_embed_bias=False,  # CLIP's patch conv has no bias
+        dtype=dtype,
+    )
+    text = TextTransformer(
+        vocab_size=t.vocab_size,
+        max_length=t.max_position_embeddings,
+        embed_dim=t.hidden_size,
+        depth=t.num_hidden_layers,
+        num_heads=t.num_attention_heads,
+        mlp_ratio=t.intermediate_size / t.hidden_size,
+        qkv_bias=True,
+        causal=True,
+        act_layer="quick_gelu",
+        norm_eps=t.layer_norm_eps,
+        pooling="eos",
+        proj_dim=hf_config.projection_dim,
+        dtype=dtype,
+    )
+    return vision, text
+
+
+def load_clip_from_hf(
+    model_name_or_model: Any, dtype: Any = None
+) -> dict[str, Any]:
+    """Load an HF CLIP checkpoint into native modules + params.
+
+    Accepts a model name (downloads via transformers — requires network) or
+    an already-constructed ``CLIPModel``. Returns
+    ``{"vision": (module, params), "text": (module, params),
+    "logit_scale": float}``.
+    """
+    if isinstance(model_name_or_model, str):
+        from transformers import CLIPModel
+
+        model = CLIPModel.from_pretrained(model_name_or_model)
+    else:
+        model = model_name_or_model
+    sd = model.state_dict()
+    config = model.config
+    vision, text = clip_modules_from_config(config, dtype=dtype)
+    vision_params = convert_clip_vision(sd, config.vision_config.num_hidden_layers)
+    text_params = convert_clip_text(sd, config.text_config.num_hidden_layers)
+    logit_scale = float(_np(sd["logit_scale"]))
+    return {
+        "vision": (vision, vision_params),
+        "text": (text, text_params),
+        "logit_scale": logit_scale,
+    }
+
+
+# -- BERT-family (HFTextEncoder parity) -----------------------------------------
+
+
+def convert_bert(
+    state_dict: Mapping[str, Any], depth: int, prefix: str = ""
+) -> dict:
+    """HF ``BertModel`` → our BertTextEncoder params."""
+    sd = state_dict
+    p = f"{prefix}." if prefix else ""
+    params: dict[str, Any] = {
+        "token_embedding": {
+            "embedding": _np(sd[f"{p}embeddings.word_embeddings.weight"])
+        },
+        "position_embedding": {
+            "embedding": _np(sd[f"{p}embeddings.position_embeddings.weight"])
+        },
+        "token_type_embedding": {
+            "embedding": _np(sd[f"{p}embeddings.token_type_embeddings.weight"])
+        },
+        "embed_norm": _layernorm(sd, f"{p}embeddings.LayerNorm"),
+    }
+    for i in range(depth):
+        lp = f"{p}encoder.layer.{i}"
+        kernels = [
+            _np(sd[f"{lp}.attention.self.{n}.weight"]).T
+            for n in ("query", "key", "value")
+        ]
+        biases = [
+            _np(sd[f"{lp}.attention.self.{n}.bias"])
+            for n in ("query", "key", "value")
+        ]
+        params[f"blocks_{i}_attn"] = {
+            "qkv": {
+                "kernel": np.concatenate(kernels, axis=1),
+                "bias": np.concatenate(biases),
+            },
+            "proj": _linear(sd, f"{lp}.attention.output.dense"),
+        }
+        params[f"blocks_{i}_attn_norm"] = _layernorm(
+            sd, f"{lp}.attention.output.LayerNorm"
+        )
+        params[f"blocks_{i}_mlp"] = {
+            "fc1": _linear(sd, f"{lp}.intermediate.dense"),
+            "fc2": _linear(sd, f"{lp}.output.dense"),
+        }
+        params[f"blocks_{i}_mlp_norm"] = _layernorm(sd, f"{lp}.output.LayerNorm")
+    if f"{p}pooler.dense.weight" in sd:
+        params["pooler"] = _linear(sd, f"{p}pooler.dense")
+    return params

@@ -1,6 +1,7 @@
 """Model zoo: vision / text encoders."""
 
 from mmlearn_tpu.modules.encoders.base import EncoderOutput
+from mmlearn_tpu.modules.encoders.bert import BertTextEncoder
 from mmlearn_tpu.modules.encoders.text import TextTransformer
 from mmlearn_tpu.modules.encoders.vision import (
     VisionTransformer,
@@ -17,6 +18,7 @@ from mmlearn_tpu.modules.encoders.vision import (
 )
 
 __all__ = [
+    "BertTextEncoder",
     "EncoderOutput",
     "TextTransformer",
     "VisionTransformer",

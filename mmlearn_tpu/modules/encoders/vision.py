@@ -88,6 +88,7 @@ class VisionTransformer(nn.Module):
     global_pool: str = "none"  # none | cls | avg
     proj_dim: Optional[int] = None
     patch_drop_rate: float = 0.0
+    patch_embed_bias: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -112,6 +113,7 @@ class VisionTransformer(nn.Module):
                 img_size=self.img_size,
                 patch_size=self.patch_size,
                 embed_dim=self.embed_dim,
+                use_bias=self.patch_embed_bias,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="patch_embed",

@@ -65,6 +65,7 @@ class PatchEmbed(nn.Module):
     img_size: int = 224
     patch_size: int = 16
     embed_dim: int = 768
+    use_bias: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -86,6 +87,7 @@ class PatchEmbed(nn.Module):
             kernel_size=(self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             padding="VALID",
+            use_bias=self.use_bias,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="proj",

@@ -1,0 +1,121 @@
+"""Recall@K retrieval metric.
+
+Parity: /root/reference/mmlearn/modules/metrics/retrieval_recall.py
+(``RetrievalRecallAtK``): accumulates query/target embeddings during eval and
+computes top-k recall at epoch end. Differences by design (SURVEY.md §2.9):
+
+- the reference all_gathers inside ``update`` with per-rank index offsetting
+  (lines 140-161); here accumulation is host-side per process and gathered
+  once at ``compute`` via ``process_allgather`` (single collective);
+- the N×M similarity matmul runs **on device** in jitted chunks with
+  ``jax.lax.top_k`` (the reference chunks it on a CPU thread pool,
+  lines 200-219).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmlearn_tpu.conf import store
+from mmlearn_tpu.modules.layers.normalization import l2_normalize
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _topk_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
+    """Top-k target indices for a chunk of queries (cosine similarity)."""
+    sim = jnp.einsum(
+        "qd,td->qt", queries, targets, preferred_element_type=jnp.float32
+    )
+    return jax.lax.top_k(sim, k)[1]
+
+
+@store(group="modules/metrics", name="RetrievalRecallAtK", populate_full_signature=False)
+class RetrievalRecallAtK:
+    """Recall@K over accumulated (query, target, positive-index) triples."""
+
+    def __init__(
+        self,
+        top_k: int,
+        reduction: str = "mean",  # parity arg ("mean" supported)
+        aggregation: str = "mean",
+        query_chunk_size: int = 1024,
+    ) -> None:
+        if top_k <= 0:
+            raise ValueError("top_k must be positive")
+        self.top_k = top_k
+        self.reduction = reduction
+        self.aggregation = aggregation
+        self.query_chunk_size = query_chunk_size
+        self.reset()
+
+    def reset(self) -> None:
+        self._queries: list[np.ndarray] = []
+        self._targets: list[np.ndarray] = []
+        self._indexes: list[np.ndarray] = []
+        self._num_targets = 0
+
+    def update(
+        self,
+        queries: np.ndarray,
+        targets: np.ndarray,
+        indexes: Optional[np.ndarray] = None,
+        valid: Optional[np.ndarray] = None,
+    ) -> None:
+        """Accumulate one batch.
+
+        ``indexes[i]`` is the positive target row (global, auto-offset if
+        None) for query ``i``. ``valid`` masks padded eval examples.
+        """
+        queries = np.asarray(jax.device_get(queries))
+        targets = np.asarray(jax.device_get(targets))
+        if indexes is None:
+            indexes = np.arange(len(queries)) + self._num_targets
+        indexes = np.asarray(indexes)
+        if valid is not None:
+            valid = np.asarray(valid).astype(bool)
+            queries, indexes = queries[valid], indexes[valid]
+            targets = targets[valid]
+        self._queries.append(queries)
+        self._targets.append(targets)
+        self._indexes.append(indexes)
+        self._num_targets += len(targets)
+
+    def compute(self) -> float:
+        if not self._queries:
+            return 0.0
+        from mmlearn_tpu.parallel.collectives import process_allgather
+
+        queries = np.concatenate(self._queries)
+        targets = np.concatenate(self._targets)
+        indexes = np.concatenate(self._indexes)
+        if jax.process_count() > 1:  # pragma: no cover - multihost only
+            queries = np.asarray(process_allgather(queries)).reshape(
+                -1, queries.shape[-1]
+            )
+            targets = np.asarray(process_allgather(targets)).reshape(
+                -1, targets.shape[-1]
+            )
+            indexes = np.asarray(process_allgather(indexes)).reshape(-1)
+
+        q = np.asarray(l2_normalize(jnp.asarray(queries, jnp.float32)))
+        t = jnp.asarray(
+            l2_normalize(jnp.asarray(targets, jnp.float32))
+        )
+        k = min(self.top_k, t.shape[0])
+        hits = []
+        for start in range(0, len(q), self.query_chunk_size):
+            chunk = jnp.asarray(q[start : start + self.query_chunk_size])
+            top_idx = np.asarray(_topk_chunk(chunk, t, k))
+            pos = indexes[start : start + len(chunk), None]
+            hits.append((top_idx == pos).any(axis=1))
+        return float(np.concatenate(hits).mean())
+
+    # torchmetrics-style aliases used by the eval tasks
+    __call__ = update

@@ -61,7 +61,7 @@ def _attention_xla(
 
 
 def _flash_kernel(
-    mask_ref,  # (1, block_k) bool
+    mask_ref,  # (1, 1, block_k) bool
     q_ref,  # (1, block_q, d)
     k_ref,  # (1, block_k, d)
     v_ref,  # (1, block_k, d)
@@ -95,7 +95,7 @@ def _flash_kernel(
             preferred_element_type=jnp.float32,
         ) * scale  # (bq, bk)
 
-        kv_mask = mask_ref[0]  # (bk,) bool
+        kv_mask = mask_ref[0, 0]  # (bk,) bool
         s = jnp.where(kv_mask[None, :], s, DEFAULT_MASK_VALUE)
         if causal:
             row = i * block_q + jax.lax.broadcasted_iota(
@@ -168,6 +168,8 @@ def _flash_forward_pallas(
     qr = q.reshape(b * h, pq, d)
     kr = k.reshape(b * h, pk, d)
     vr = v.reshape(b * h, pk, d)
+    # (B, 1, pk) so the trailing block dims satisfy TPU tiling constraints
+    mask3 = mask.reshape(b, 1, pk)
 
     grid = (b * h, pq // block_q, pk // block_k)
     kernel = functools.partial(
@@ -181,12 +183,28 @@ def _flash_forward_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda bh, i, j, h=h: (bh // h, j)),
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec(
+                (1, 1, block_k),
+                lambda bh, i, j, h=h: (bh // h, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q, d), lambda bh, i, j: (bh, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda bh, i, j: (bh, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, d), lambda bh, i, j: (bh, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bh, i, j: (bh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, pq, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -201,7 +219,7 @@ def _flash_forward_pallas(
         )
         if (_HAS_PLTPU and not interpret)
         else None,
-    )(mask, qr, kr, vr)
+    )(mask3, qr, kr, vr)
     out = out.reshape(b, h, pq, d)
     return out[:, :, :n_q, :]
 

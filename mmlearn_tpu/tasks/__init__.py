@@ -9,8 +9,20 @@ from mmlearn_tpu.tasks.contrastive_pretraining import (
 )
 from mmlearn_tpu.tasks.hooks import EvalRuntime, EvaluationHooks
 from mmlearn_tpu.tasks.ijepa import IJEPA
+from mmlearn_tpu.tasks.zero_shot_classification import (
+    ClassificationTaskSpec,
+    ZeroShotClassification,
+)
+from mmlearn_tpu.tasks.zero_shot_retrieval import (
+    RetrievalTaskSpec,
+    ZeroShotCrossModalRetrieval,
+)
 
 __all__ = [
+    "ClassificationTaskSpec",
+    "RetrievalTaskSpec",
+    "ZeroShotClassification",
+    "ZeroShotCrossModalRetrieval",
     "AuxiliaryTaskSpec",
     "ContrastivePretraining",
     "EvalRuntime",

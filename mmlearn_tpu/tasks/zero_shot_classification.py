@@ -1,0 +1,146 @@
+"""Zero-shot classification evaluation.
+
+Parity: /root/reference/mmlearn/tasks/zero_shot_classification.py — reads
+``id2label`` + ``zero_shot_prompt_templates`` from each eval sub-dataset
+(reference lines 94-120), encodes class prompts in chunks / averages template
+embeddings / re-normalizes (lines 141-176), routes examples by
+``dataset_index`` (lines 195-219), and computes accuracy metrics per dataset
+(lines 247-286). The 100×cosine multiclass logit convention is preserved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmlearn_tpu.conf import store
+from mmlearn_tpu.constants import MODALITY_PRESENCE_SUFFIX
+from mmlearn_tpu.datasets.core.modalities import Modalities
+from mmlearn_tpu.modules.layers.normalization import l2_normalize
+from mmlearn_tpu.tasks.hooks import EvalRuntime, EvaluationHooks
+
+
+@dataclass
+class ClassificationTaskSpec:
+    """Reference: ``ClassificationTaskSpec``."""
+
+    query_modality: str = "rgb"
+    top_k: Sequence[int] = field(default_factory=lambda: [1])
+
+
+@store(group="eval_task", name="ZeroShotClassification", populate_full_signature=False)
+class ZeroShotClassification(EvaluationHooks):
+    """Zero-shot classification against prompt-template class embeddings."""
+
+    def __init__(
+        self,
+        task_specs: Sequence[ClassificationTaskSpec | Mapping],
+        tokenizer: Optional[Callable] = None,
+        batch_size: int = 64,
+    ) -> None:
+        self.task_specs = [
+            spec
+            if isinstance(spec, ClassificationTaskSpec)
+            else ClassificationTaskSpec(**spec)
+            for spec in task_specs
+        ]
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self._class_embeddings: dict[int, np.ndarray] = {}
+        self._correct: dict[tuple, int] = {}
+        self._total: dict[tuple, int] = {}
+
+    # -- class-prompt embedding ----------------------------------------------
+    def _dataset_info(self, runtime: EvalRuntime) -> dict[int, dict]:
+        """Collect id2label/templates from eval sub-datasets.
+
+        Reference walks ``trainer.val_dataloaders.dataset.datasets``
+        (zero_shot_classification.py:81-120).
+        """
+        info: dict[int, dict] = {}
+        loader = getattr(runtime, "dataloader", None)
+        dataset = getattr(loader, "dataset", None)
+        sub_datasets = getattr(dataset, "datasets", [dataset] if dataset else [])
+        for idx, ds in enumerate(sub_datasets):
+            id2label = getattr(ds, "id2label", None)
+            templates = getattr(ds, "zero_shot_prompt_templates", None)
+            if id2label and templates:
+                info[idx] = {"id2label": id2label, "templates": templates}
+        return info
+
+    def on_evaluation_epoch_start(self, runtime: EvalRuntime) -> None:
+        if self.tokenizer is None:
+            raise ValueError(
+                "ZeroShotClassification requires a tokenizer to embed prompts"
+            )
+        self._class_embeddings.clear()
+        self._correct.clear()
+        self._total.clear()
+        info = self._dataset_info(runtime)
+        self._info = info
+        for ds_idx, meta in info.items():
+            id2label = meta["id2label"]
+            templates = meta["templates"]
+            labels = [id2label[k] for k in sorted(id2label)]
+            per_class = []
+            # encode all (class, template) prompts in chunks, average over
+            # templates, re-normalize (reference lines 141-176)
+            prompts = [t.format(lbl) for lbl in labels for t in templates]
+            embs = []
+            for start in range(0, len(prompts), self.batch_size):
+                chunk = prompts[start : start + self.batch_size]
+                tok = self.tokenizer(chunk)
+                emb = runtime.encode(tok, "text", normalize=True)
+                embs.append(np.asarray(emb))
+            embs = np.concatenate(embs).reshape(len(labels), len(templates), -1)
+            mean = embs.mean(axis=1)
+            per_class = np.asarray(l2_normalize(jnp.asarray(mean)))
+            self._class_embeddings[ds_idx] = per_class
+
+    # -- per batch --------------------------------------------------------------
+    def evaluation_step(
+        self, runtime: EvalRuntime, batch: Mapping[str, Any], batch_idx: int
+    ) -> None:
+        if not self._class_embeddings:
+            return
+        ds_indices = np.asarray(batch.get("dataset_index", np.zeros(1, np.int64)))
+        for spec in self.task_specs:
+            q = str(spec.query_modality).lower()
+            mod = Modalities.get_modality(q)
+            if mod.name not in batch or mod.target not in batch:
+                continue
+            emb = np.asarray(runtime.encode(batch, q, normalize=True))
+            targets = np.asarray(batch[mod.target])
+            valid = np.ones(len(emb), dtype=bool)
+            pk = f"{mod.name}{MODALITY_PRESENCE_SUFFIX}"
+            if pk in batch:
+                valid &= np.asarray(batch[pk]).astype(bool)
+            if "batch_validity" in batch:
+                valid &= np.asarray(batch["batch_validity"]).astype(bool)
+            for ds_idx, class_emb in self._class_embeddings.items():
+                sel = valid & (ds_indices == ds_idx)
+                if not sel.any():
+                    continue
+                logits = 100.0 * emb[sel] @ class_emb.T  # reference convention
+                order = np.argsort(-logits, axis=1)
+                for k in spec.top_k:
+                    key = (q, ds_idx, int(k))
+                    hits = (order[:, :k] == targets[sel][:, None]).any(axis=1)
+                    self._correct[key] = self._correct.get(key, 0) + int(hits.sum())
+                    self._total[key] = self._total.get(key, 0) + int(sel.sum())
+
+    def on_evaluation_epoch_end(self, runtime: EvalRuntime) -> dict[str, float]:
+        results = {}
+        for (q, ds_idx, k), total in self._total.items():
+            if total == 0:
+                continue
+            name = f"classification/ds{ds_idx}_{q}_top{k}_accuracy"
+            results[name] = self._correct[(q, ds_idx, k)] / total
+        self._class_embeddings.clear()
+        self._correct.clear()
+        self._total.clear()
+        return results

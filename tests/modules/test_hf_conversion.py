@@ -1,0 +1,136 @@
+"""HF→Flax weight-conversion fidelity tests.
+
+Small random HF models are constructed locally from configs (no network);
+outputs of our converted encoders must match the torch forward to float32
+tolerance. This is the parity check for the reference's HF-wrapper capability
+(SURVEY.md §7 hard part #4).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from mmlearn_tpu.hf_utils import (  # noqa: E402
+    clip_modules_from_config,
+    convert_bert,
+    convert_clip_text,
+    convert_clip_vision,
+    load_clip_from_hf,
+)
+from mmlearn_tpu.modules.encoders.bert import BertTextEncoder  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiny_clip():
+    from transformers import CLIPConfig, CLIPModel
+
+    config = CLIPConfig.from_text_vision_configs(
+        text_config=transformers.CLIPTextConfig(
+            vocab_size=99, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=16, eos_token_id=98,
+        ),
+        vision_config=transformers.CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+        ),
+        projection_dim=24,
+    )
+    torch.manual_seed(0)
+    model = CLIPModel(config).eval()
+    return model
+
+
+@pytest.mark.integration_test
+def test_clip_vision_conversion_matches_torch(tiny_clip):
+    model = tiny_clip
+    converted = load_clip_from_hf(model)
+    vision, params = converted["vision"]
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        torch_out = model.get_image_features(
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).numpy()
+
+    ours = vision.apply({"params": params}, jnp.asarray(imgs)).pooler_output
+    np.testing.assert_allclose(np.asarray(ours), torch_out, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.integration_test
+def test_clip_text_conversion_matches_torch(tiny_clip):
+    model = tiny_clip
+    converted = load_clip_from_hf(model)
+    text, params = converted["text"]
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 90, (2, 12)).astype(np.int64)
+    ids[:, 0] = 0
+    ids[0, 7:] = 98  # eos + padding
+    ids[1, 11] = 98
+    attn = (ids != 98).astype(np.int64)
+    attn[0, 7] = 1  # first eos attends
+    attn[1, 11] = 1
+
+    with torch.no_grad():
+        torch_out = model.get_text_features(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(attn),
+        ).numpy()
+
+    ours = text.apply(
+        {"params": params},
+        jnp.asarray(ids.astype(np.int32)),
+        attention_mask=jnp.asarray(attn.astype(np.int32)),
+    ).pooler_output
+    np.testing.assert_allclose(np.asarray(ours), torch_out, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.integration_test
+def test_bert_conversion_matches_torch():
+    from transformers import BertConfig, BertModel
+
+    config = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=24,
+    )
+    torch.manual_seed(0)
+    model = BertModel(config).eval()
+
+    encoder = BertTextEncoder(
+        vocab_size=120, max_length=24, embed_dim=32, depth=2, num_heads=4,
+        mlp_ratio=2.0, norm_eps=config.layer_norm_eps, pooling="pooler",
+    )
+    params = convert_bert(model.state_dict(), depth=2)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 119, (2, 10)).astype(np.int64)
+    attn = np.ones((2, 10), np.int64)
+    attn[1, 6:] = 0
+
+    with torch.no_grad():
+        torch_out = model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(attn),
+        )
+    ours = encoder.apply(
+        {"params": params},
+        jnp.asarray(ids.astype(np.int32)),
+        attention_mask=jnp.asarray(attn.astype(np.int32)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.last_hidden_state)[attn.astype(bool)],
+        torch_out.last_hidden_state.numpy()[attn.astype(bool)],
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.pooler_output), torch_out.pooler_output.numpy(),
+        atol=2e-4, rtol=1e-3,
+    )

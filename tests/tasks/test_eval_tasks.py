@@ -1,0 +1,158 @@
+"""Tests for the evaluation stack: recall@k metric + zero-shot tasks."""
+
+import functools
+
+import numpy as np
+import pytest
+
+from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+from mmlearn_tpu.datasets.core import CombinedDataset, DataLoader, Example
+from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+from mmlearn_tpu.modules.metrics import RetrievalRecallAtK
+from mmlearn_tpu.tasks import (
+    ClassificationTaskSpec,
+    ContrastivePretraining,
+    EvaluationSpec,
+    RetrievalTaskSpec,
+    ZeroShotClassification,
+    ZeroShotCrossModalRetrieval,
+)
+from mmlearn_tpu.trainer import Trainer
+
+import optax
+
+
+def test_recall_at_k_exact():
+    rng = np.random.default_rng(0)
+    targets = rng.standard_normal((20, 8)).astype(np.float32)
+    # queries = noisy copies of targets → R@1 high, R@5 ~1
+    queries = targets + 0.01 * rng.standard_normal((20, 8)).astype(np.float32)
+    m1 = RetrievalRecallAtK(top_k=1)
+    m1.update(queries[:10], targets[:10])
+    m1.update(queries[10:], targets[10:])  # auto index offsetting
+    assert m1.compute() == 1.0
+
+    # adversarial: query 0 matches target 1
+    m = RetrievalRecallAtK(top_k=1)
+    q = np.eye(4, dtype=np.float32)
+    t = np.roll(np.eye(4, dtype=np.float32), 1, axis=0)
+    m.update(q, t)
+    assert m.compute() == 0.0
+    m5 = RetrievalRecallAtK(top_k=4)
+    m5.update(q, t)
+    assert m5.compute() == 1.0
+
+
+def test_recall_at_k_validity_mask():
+    q = np.eye(4, dtype=np.float32)
+    m = RetrievalRecallAtK(top_k=1)
+    valid = np.asarray([True, True, False, False])
+    m.update(q, q, valid=valid)
+    assert m.compute() == 1.0
+    assert len(m._queries[0]) == 2  # padded rows dropped
+
+
+class PairedEvalDataset:
+    """Paired data + classification metadata for zero-shot eval."""
+
+    zero_shot_prompt_templates = ["a photo of {}.", "an image of {}."]
+    id2label = {0: "zero", 1: "one", 2: "two", 3: "three"}
+
+    def __init__(self, size=32, img=16, seed=0):
+        rng = np.random.default_rng(seed)
+        self.size, self.img = size, img
+        self.labels = rng.integers(0, 4, size)
+        self.patterns = rng.standard_normal((4, img, img, 3)).astype(np.float32)
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        k = int(self.labels[idx])
+        ids = np.full((8,), k + 2, dtype=np.int32)
+        ids[0], ids[-1] = 1, 30
+        return Example(
+            {
+                "rgb": self.patterns[k],
+                "rgb_target": k,
+                "text": ids,
+                "text_attention_mask": np.ones(8, np.int32),
+                EXAMPLE_INDEX_KEY: idx,
+            }
+        )
+
+
+class FakeTokenizer:
+    """Maps prompt strings to deterministic token ids (class-keyed)."""
+
+    def __init__(self, labels):
+        self.vocab = {lbl: i + 2 for i, lbl in enumerate(labels)}
+
+    def __call__(self, prompts):
+        ids = np.ones((len(prompts), 8), np.int32)
+        for i, p in enumerate(prompts):
+            for lbl, tok in self.vocab.items():
+                if lbl in p:
+                    ids[i, 1:-1] = tok
+        ids[:, -1] = 30
+        return {"text": ids, "text_attention_mask": np.ones((len(prompts), 8), np.int32)}
+
+
+def _task_with_eval():
+    encoders = {
+        "rgb": VisionTransformer(
+            img_size=16, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+            use_cls_token=True, global_pool="cls", proj_dim=16,
+        ),
+        "text": TextTransformer(
+            vocab_size=32, max_length=8, embed_dim=32, depth=2, num_heads=4,
+            causal=True, pooling="eos", proj_dim=16,
+        ),
+    }
+    retrieval = ZeroShotCrossModalRetrieval(
+        task_specs=[
+            RetrievalTaskSpec("rgb", "text", top_k=[1, 5]),
+            RetrievalTaskSpec("text", "rgb", top_k=[5]),
+        ]
+    )
+    classification = ZeroShotClassification(
+        task_specs=[ClassificationTaskSpec("rgb", top_k=[1, 2])],
+        tokenizer=FakeTokenizer(list(PairedEvalDataset.id2label.values())),
+    )
+    return ContrastivePretraining(
+        encoders=encoders,
+        optimizer=functools.partial(optax.adamw, learning_rate=3e-3,
+                                    weight_decay=0.0),
+        evaluation_tasks={
+            "retrieval": EvaluationSpec(task=retrieval),
+            "classification": EvaluationSpec(task=classification),
+        },
+    )
+
+
+@pytest.mark.integration_test
+def test_zero_shot_eval_pipeline():
+    train_ds = CombinedDataset([PairedEvalDataset(size=64)])
+    val_ds = CombinedDataset([PairedEvalDataset(size=32, seed=0)])
+    train_loader = DataLoader(train_ds, batch_size=16, shuffle=True, drop_last=True)
+    val_loader = DataLoader(val_ds, batch_size=16, pad_partial_batches=True)
+
+    task = _task_with_eval()
+    trainer = Trainer(
+        max_steps=40, log_every_n_steps=10, seed=0,
+        default_root_dir="/tmp/mmlearn_test_eval",
+    )
+    trainer.fit(task, train_loader)
+    results = trainer.validate(task, val_loader)
+
+    assert "validation/loss" in results
+    assert "retrieval/rgb_to_text_R@1" in results
+    assert "retrieval/rgb_to_text_R@5" in results
+    assert "retrieval/text_to_rgb_R@5" in results
+    assert "classification/ds0_rgb_top1_accuracy" in results
+    # 4 classes × duplicated patterns: the exact positive competes with ~8
+    # identical-embedding targets, so R@5 is bounded well below 1 even for a
+    # perfect model — just require well above chance (5/32 ≈ 0.16)
+    assert results["retrieval/rgb_to_text_R@5"] > 0.25
+    assert results["classification/ds0_rgb_top2_accuracy"] >= 0.5
+    assert results["classification/ds0_rgb_top1_accuracy"] >= 0.25
