@@ -1,0 +1,64 @@
+"""CheXpert chest X-ray dataset.
+
+Parity: /root/reference/mmlearn/datasets/chexpert.py — JSON-manifest loader
+with labeler variants (reference lines 61-91). Manifest format: a JSON list of
+``{"image_path": ..., "label": [14 floats]}`` records per split/labeler.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from mmlearn_tpu.conf import store
+from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+from mmlearn_tpu.datasets.builtin.image_utils import ImageTransform, load_image
+from mmlearn_tpu.datasets.core.example import Example
+
+
+@store(group="datasets", name="CheXpert", populate_full_signature=False)
+class CheXpert:
+    """CheXpert with 14-label targets."""
+
+    def __init__(
+        self,
+        root_dir: Optional[str] = None,
+        split: str = "train",
+        labeler: str = "chexpert",
+        transform: Optional[Callable] = None,
+        image_size: int = 224,
+    ) -> None:
+        root_dir = root_dir or os.environ.get("CHEXPERT_ROOT_DIR")
+        if root_dir is None:
+            raise ValueError("CheXpert requires root_dir (or $CHEXPERT_ROOT_DIR)")
+        if split not in ("train", "valid"):
+            raise ValueError(f"Invalid split '{split}'")
+        if labeler not in ("chexpert", "chexbert", "vchexbert"):
+            raise ValueError(f"Invalid labeler '{labeler}'")
+        self.root_dir = root_dir
+        manifest = os.path.join(root_dir, f"{labeler}_{split}.json")
+        if not os.path.isfile(manifest):
+            manifest = os.path.join(root_dir, f"{split}_data.json")
+        with open(manifest) as f:
+            self.entries = json.load(f)
+        self.transform = transform or ImageTransform(size=image_size)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, idx: int) -> Example:
+        entry = self.entries[idx]
+        path = entry.get("image_path") or entry.get("Path")
+        if not os.path.isabs(path):
+            path = os.path.join(self.root_dir, path)
+        img = self.transform(load_image(path))
+        return Example(
+            {
+                "rgb": img.astype(np.float32),
+                "rgb_target": np.asarray(entry["label"], np.float32),
+                EXAMPLE_INDEX_KEY: idx,
+            }
+        )

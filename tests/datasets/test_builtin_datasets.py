@@ -1,0 +1,127 @@
+"""Tests for built-in dataset wrappers on tiny generated fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mmlearn_tpu.datasets.builtin import (
+    CheXpert,
+    ImageNet,
+    ImageTransform,
+    LLVIP,
+    NIHCXR,
+    NYUv2,
+)
+from mmlearn_tpu.datasets.core import Example
+
+
+def _write_img(path, size=(40, 48), value=128, mode="RGB"):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.full(size + ((3,) if mode == "RGB" else ()), value, np.uint8)
+    Image.fromarray(arr, mode=mode if mode != "I" else None).save(path)
+
+
+def test_image_transform_shapes():
+    t = ImageTransform(size=16)
+    img = np.random.default_rng(0).integers(0, 255, (33, 47, 3)).astype(np.uint8)
+    out = t(img)
+    assert out.shape == (16, 16, 3)
+    t_train = ImageTransform(size=16, train=True)
+    out = t_train(img, rng=np.random.default_rng(0))
+    assert out.shape == (16, 16, 3)
+    # grayscale input broadcast to 3 channels
+    out = t(img[..., 0])
+    assert out.shape == (16, 16, 3)
+
+
+def test_imagenet_folder(tmp_path):
+    root = tmp_path / "imagenet"
+    for cls in ("n01", "n02"):
+        for i in range(2):
+            _write_img(str(root / "train" / cls / f"{i}.jpg"))
+    (root / "id2label.json").write_text(json.dumps(["tench", "goldfish"]))
+    ds = ImageNet(root_dir=str(root), split="train", image_size=16)
+    assert len(ds) == 4
+    ex = ds[0]
+    assert isinstance(ex, Example)
+    assert ex["rgb"].shape == (16, 16, 3)
+    assert ex["rgb_target"] == 0
+    assert ds.id2label == {0: "tench", 1: "goldfish"}
+    assert len(ds.zero_shot_prompt_templates) == 80
+
+
+def test_imagenet_mask_generator(tmp_path):
+    from mmlearn_tpu.datasets.processors.masking import (
+        BlockwiseImagePatchMaskGenerator,
+    )
+
+    root = tmp_path / "imagenet"
+    _write_img(str(root / "train" / "n01" / "0.jpg"))
+    gen = BlockwiseImagePatchMaskGenerator(input_size=2, num_masking_patches=2)
+    ds = ImageNet(root_dir=str(root), split="train", image_size=16,
+                  mask_generator=gen)
+    ex = ds[0]
+    assert ex["rgb_mask"].shape == (4,)
+    assert ex["rgb_mask"].sum() == 2
+
+
+def test_chexpert_manifest(tmp_path):
+    root = tmp_path / "chexpert"
+    _write_img(str(root / "imgs" / "a.jpg"))
+    manifest = [{"image_path": "imgs/a.jpg", "label": [0.0] * 14}]
+    root.mkdir(exist_ok=True)
+    (root / "chexpert_train.json").write_text(json.dumps(manifest))
+    ds = CheXpert(root_dir=str(root), split="train", image_size=16)
+    ex = ds[0]
+    assert ex["rgb"].shape == (16, 16, 3)
+    assert ex["rgb_target"].shape == (14,)
+
+
+def test_nihcxr_manifest(tmp_path):
+    root = tmp_path / "nih"
+    _write_img(str(root / "imgs" / "a.png"))
+    (root / "train_data.json").write_text(
+        json.dumps([{"image_path": "imgs/a.png", "label": [1.0, 0.0]}])
+    )
+    ds = NIHCXR(root_dir=str(root), split="train", image_size=16)
+    np.testing.assert_array_equal(ds[0]["rgb_target"], [1.0, 0.0])
+
+
+def test_llvip_pairs_and_bboxes(tmp_path):
+    root = tmp_path / "llvip"
+    _write_img(str(root / "visible" / "train" / "1.jpg"))
+    _write_img(str(root / "infrared" / "train" / "1.jpg"), value=30)
+    (root / "Annotations").mkdir()
+    (root / "Annotations" / "1.xml").write_text(
+        "<annotation><object><bndbox><xmin>1</xmin><ymin>2</ymin>"
+        "<xmax>3</xmax><ymax>4</ymax></bndbox></object></annotation>"
+    )
+    ds = LLVIP(root_dir=str(root), train=True, include_bboxes=True,
+               image_size=16)
+    ex = ds[0]
+    assert ex["rgb"].shape == (16, 16, 3)
+    assert ex["thermal"].shape == (16, 16, 3)
+    np.testing.assert_array_equal(ex["bboxes"][0], [1, 2, 3, 4])
+    assert (ex["bboxes"][1:] == -1).all()
+
+
+def test_nyuv2(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "nyu"
+    _write_img(str(root / "train" / "rgb" / "0001.png"))
+    depth_dir = root / "train" / "depth"
+    depth_dir.mkdir(parents=True)
+    depth = np.full((40, 48), 2000, np.int32)  # 2 m in mm
+    Image.fromarray(depth, mode="I").save(str(depth_dir / "0001.png"))
+    (root / "scene_class.json").write_text(json.dumps({"0001": "kitchen"}))
+    ds = NYUv2(root_dir=str(root), split="train", image_size=16)
+    ex = ds[0]
+    assert ex["rgb"].shape == (16, 16, 3)
+    assert ex["depth"].shape == (16, 16, 1)
+    assert ex["depth_target"] == 0
+    assert 0 < ex["depth"].max() <= 1.0  # normalized disparity
