@@ -1,0 +1,164 @@
+"""Parameter-efficient fine-tuning: LoRA + layer freezing, JAX-native.
+
+Capability parity with the reference's PEFT integration
+(/root/reference/mmlearn/hf_utils.py:80-94 ``_wrap_peft_model`` and the
+``peft_config``/``freeze_layers`` args on every encoder wrapper,
+text.py:91-141). Instead of wrapping torch modules, LoRA is a **param-tree
+transformation**:
+
+- :func:`init_lora_params` creates ``{"a": (in, r), "b": (r, out)}`` factors
+  for every 2-D kernel whose path matches ``target_patterns``;
+- :func:`apply_lora` merges ``W = W0 + (a @ b) * alpha / r`` on the fly
+  inside the jitted step (one extra small matmul per target, fused by XLA);
+- the base tree is frozen through an optax mask
+  (:func:`trainable_mask_with_lora`), so optimizer state exists only for the
+  LoRA factors — the JAX equivalent of ``requires_grad=False``.
+
+:func:`freeze_layers_mask` reproduces the reference's bool/int/float/list
+freeze specs (text.py:91-138).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmlearn_tpu.conf import store
+
+DEFAULT_TARGETS = (r".*attn/qkv$", r".*attn/proj$")
+
+
+@store(group="modules/peft", name="LoRAConfig", populate_full_signature=False)
+@dataclass(frozen=True)
+class LoRAConfig:
+    """LoRA hyperparameters (mirrors peft.LoraConfig's core fields)."""
+
+    r: int = 8
+    lora_alpha: float = 16.0
+    target_patterns: tuple[str, ...] = DEFAULT_TARGETS
+    lora_dropout: float = 0.0  # accepted for parity; merge-time LoRA skips it
+
+    @property
+    def scaling(self) -> float:
+        return self.lora_alpha / self.r
+
+
+def _path_str(path: tuple) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def _match_kernel(path: tuple, leaf: Any, patterns: Sequence[str]) -> bool:
+    key = _path_str(path)
+    if not key.endswith("/kernel"):
+        return False
+    parent = key[: -len("/kernel")]
+    return np.ndim(leaf) == 2 and any(re.match(p, parent) for p in patterns)
+
+
+def init_lora_params(
+    params: Any, config: LoRAConfig, rng: jax.Array
+) -> dict[str, dict[str, jnp.ndarray]]:
+    """Create LoRA factors for every matching kernel.
+
+    Returns a flat dict ``{parent_path: {"a": ..., "b": ...}}``; ``a`` is
+    kaiming-initialized, ``b`` zeros (standard LoRA init — merged delta
+    starts at 0).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    lora: dict[str, dict[str, jnp.ndarray]] = {}
+    for i, (path, leaf) in enumerate(flat):
+        if not _match_kernel(path, leaf, config.target_patterns):
+            continue
+        parent = _path_str(path)[: -len("/kernel")]
+        d_in, d_out = np.shape(leaf)
+        sub = jax.random.fold_in(rng, i)
+        lora[parent] = {
+            "a": jax.random.normal(sub, (d_in, config.r), jnp.float32)
+            * (1.0 / np.sqrt(d_in)),
+            "b": jnp.zeros((config.r, d_out), jnp.float32),
+        }
+    return lora
+
+
+def apply_lora(
+    base_params: Any,
+    lora_params: dict[str, dict[str, jnp.ndarray]],
+    config: LoRAConfig,
+) -> Any:
+    """Merged tree: ``kernel + (a @ b) * scaling`` for LoRA'd layers."""
+    if not lora_params:
+        return base_params
+
+    def _merge(path, leaf):
+        key = _path_str(path)
+        if key.endswith("/kernel"):
+            parent = key[: -len("/kernel")]
+            if parent in lora_params:
+                ab = lora_params[parent]["a"] @ lora_params[parent]["b"]
+                return leaf + (ab * config.scaling).astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(_merge, base_params)
+
+
+def freeze_layers_mask(
+    params: Any,
+    freeze_spec: Union[bool, int, float, Sequence[int], None],
+    block_prefix: str = "blocks_",
+    embedding_keys: tuple[str, ...] = (
+        "patch_embed",
+        "token_embedding",
+        "position_embedding",
+        "token_type_embedding",
+        "pos_embed",
+        "cls_token",
+        "embed_norm",
+    ),
+) -> Any:
+    """Trainability mask (True = trainable) from a reference-style spec.
+
+    - ``True``: freeze everything; ``False``/``None``: train everything;
+    - ``int n``: freeze embeddings + the first n blocks (negative n counts
+      from the end, like the reference);
+    - ``float f`` in (0, 1]: freeze embeddings + first ``round(f * depth)``;
+    - list of ints: freeze exactly those block indices (+ embeddings).
+
+    Reference semantics: /root/reference/mmlearn/modules/encoders/text.py:91-138.
+    """
+    if freeze_spec is None or freeze_spec is False:
+        return jax.tree.map(lambda _: True, params)
+    if freeze_spec is True:
+        return jax.tree.map(lambda _: False, params)
+
+    depth = 0
+    for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = _path_str(path)
+        m = re.search(rf"{block_prefix}(\d+)", key)
+        if m:
+            depth = max(depth, int(m.group(1)) + 1)
+
+    if isinstance(freeze_spec, float):
+        n = int(round(freeze_spec * depth))
+        frozen_blocks = set(range(n))
+    elif isinstance(freeze_spec, int):
+        n = freeze_spec if freeze_spec >= 0 else depth + freeze_spec
+        frozen_blocks = set(range(n))
+    else:
+        frozen_blocks = {i if i >= 0 else depth + i for i in freeze_spec}
+
+    def _trainable(path, _):
+        key = _path_str(path)
+        m = re.search(rf"{block_prefix}(\d+)", key)
+        if m:
+            return int(m.group(1)) not in frozen_blocks
+        head = key.split("/")[0]
+        if head in embedding_keys:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(_trainable, params)

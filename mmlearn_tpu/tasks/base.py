@@ -49,6 +49,9 @@ class TrainingTask:
         self.compute_validation_loss = compute_validation_loss
         self.compute_test_loss = compute_test_loss
         self.evaluation_tasks: dict[str, Any] = {}
+        #: optional callable(params) -> bool pytree (True = trainable);
+        #: frozen params get optax.set_to_zero (no optimizer state)
+        self.param_trainable_mask: Optional[Callable[[Any], Any]] = None
 
     # -- required overrides --------------------------------------------------
     def init_params(self, rng: jax.Array, sample_batch: Mapping[str, Any]) -> Any:
@@ -91,7 +94,7 @@ class TrainingTask:
         and it wasn't configured) and pass it as ``learning_rate``.
         """
         if self.optimizer is None:
-            return optax.adamw(1e-4, weight_decay=0.0)
+            return self._wrap_freeze(optax.adamw(1e-4, weight_decay=0.0))
 
         schedule = None
         if self.lr_scheduler is not None:
@@ -128,10 +131,28 @@ class TrainingTask:
         except (TypeError, ValueError):
             pass
         try:
-            return factory(**opt_kwargs)
+            tx = factory(**opt_kwargs)
         except TypeError:
             opt_kwargs.pop("mask", None)
-            return factory(**opt_kwargs)
+            tx = factory(**opt_kwargs)
+        return self._wrap_freeze(tx)
+
+    def _wrap_freeze(
+        self, tx: optax.GradientTransformation
+    ) -> optax.GradientTransformation:
+        """Route frozen params to set_to_zero (the JAX requires_grad=False)."""
+        if self.param_trainable_mask is None:
+            return tx
+        mask_fn = self.param_trainable_mask
+
+        def labels(params: Any) -> Any:
+            return jax.tree.map(
+                lambda t: "trainable" if t else "frozen", mask_fn(params)
+            )
+
+        return optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+        )
 
     # -- checkpoint hooks ------------------------------------------------------
     def on_checkpoint_save(self, state_dict: dict) -> dict:

@@ -93,6 +93,8 @@ class ContrastivePretraining(TrainingTask):
         compute_validation_loss: bool = True,
         compute_test_loss: bool = True,
         evaluation_tasks: Optional[Mapping[str, EvaluationSpec]] = None,
+        peft_configs: Optional[Mapping[str, Any]] = None,
+        freeze_encoders: Optional[Mapping[str, Any]] = None,
     ) -> None:
         super().__init__(
             optimizer=optimizer,
@@ -184,6 +186,38 @@ class ContrastivePretraining(TrainingTask):
                 spec = EvaluationSpec(**spec)
             self.evaluation_tasks[name] = spec
 
+        # PEFT / freezing (reference: peft_config + freeze_layers args on
+        # every encoder wrapper, text.py:91-141; LoRA as param surgery here)
+        from mmlearn_tpu.peft import LoRAConfig
+
+        self.peft_configs: dict[str, LoRAConfig] = {}
+        for m, cfg in (peft_configs or {}).items():
+            if isinstance(cfg, Mapping):
+                cfg = LoRAConfig(**cfg)
+            self.peft_configs[self.encoder_keys[str(m).lower()]] = cfg
+        self.freeze_encoders: dict[str, Any] = {
+            self.encoder_keys[str(m).lower()]: spec
+            for m, spec in (freeze_encoders or {}).items()
+        }
+        if self.peft_configs or self.freeze_encoders:
+            self.param_trainable_mask = self._trainable_mask
+
+    def _trainable_mask(self, params: Any) -> Any:
+        from mmlearn_tpu.peft import freeze_layers_mask
+
+        mask = jax.tree.map(lambda _: True, params)
+        for key in params.get("encoders", {}):
+            if key in self.peft_configs:
+                # LoRA: base encoder fully frozen, factors train
+                mask["encoders"][key] = jax.tree.map(
+                    lambda _: False, params["encoders"][key]
+                )
+            elif key in self.freeze_encoders:
+                mask["encoders"][key] = freeze_layers_mask(
+                    params["encoders"][key], self.freeze_encoders[key]
+                )
+        return mask
+
     # -- parameter init --------------------------------------------------------
     def _encoder_inputs(
         self, batch: Mapping[str, Any], modality: str
@@ -235,6 +269,17 @@ class ContrastivePretraining(TrainingTask):
         log_scale = jnp.asarray(math.log(self.init_logit_scale), jnp.float32)
         params["log_logit_scale"] = log_scale
 
+        if self.peft_configs:
+            from mmlearn_tpu.peft import init_lora_params
+
+            params["lora"] = {
+                key: init_lora_params(
+                    params["encoders"][key], cfg,
+                    jax.random.fold_in(rng, 7 + i),
+                )
+                for i, (key, cfg) in enumerate(self.peft_configs.items())
+            }
+
         if self.auxiliary_tasks:
             params["aux"] = {}
             for name, task in self.auxiliary_tasks.items():
@@ -259,8 +304,15 @@ class ContrastivePretraining(TrainingTask):
         module = self.encoders[key]
         args, kwargs = self._encoder_inputs(batch, modality)
         rngs = {"dropout": rng} if (rng is not None and not deterministic) else None
+        enc_params = params["encoders"][key]
+        if key in self.peft_configs and "lora" in params:
+            from mmlearn_tpu.peft import apply_lora
+
+            enc_params = apply_lora(
+                enc_params, params["lora"][key], self.peft_configs[key]
+            )
         return module.apply(
-            {"params": params["encoders"][key]},
+            {"params": enc_params},
             *args,
             deterministic=deterministic,
             rngs=rngs,

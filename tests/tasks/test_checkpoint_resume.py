@@ -1,0 +1,85 @@
+"""Checkpoint/resume tests (Orbax via ModelCheckpoint callback)."""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from mmlearn_tpu.datasets.core import CombinedDataset, DataLoader
+from mmlearn_tpu.trainer import ModelCheckpoint, Trainer
+
+from tests.tasks.test_end_to_end import LossRecorder, PairedDataset, _tiny_task
+
+
+@pytest.mark.integration_test
+def test_checkpoint_save_and_resume(tmp_path):
+    ds = CombinedDataset([PairedDataset(size=48)])
+
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def make():
+        loader = DataLoader(ds, batch_size=16, drop_last=True)
+        task = _tiny_task()
+        rec = LossRecorder()
+        cb = ModelCheckpoint(dirpath=ckpt_dir, every_n_epochs=None,
+                             save_last=True)
+        trainer = Trainer(max_steps=6, log_every_n_steps=1, seed=0,
+                          callbacks=[rec, cb],
+                          default_root_dir=str(tmp_path))
+        return trainer, task, loader, rec, cb
+
+    trainer, task, loader, rec, _ = make()
+    state = trainer.fit(task, loader)
+    assert int(state.step) == 6
+    final_params = jax.device_get(state.params)
+
+    # resume: a fresh trainer restores step + params and continues
+    trainer2, task2, loader2, rec2, cb2 = make()
+    trainer2.max_steps = 10
+    state2 = trainer2.fit(task2, loader2, ckpt_path="last")
+    assert int(state2.step) == 10
+
+    # restored params at step 6 must equal saved params: verify by loading
+    # the checkpoint directly
+    trainer3, task3, loader3, _, cb3 = make()
+    trainer3.max_steps = 6  # init-only run would retrain; instead restore
+    first = next(iter(loader3))
+    prepared = task3.prepare_batch(dict(first), 0)
+    from mmlearn_tpu.trainer.trainer import _device_batch
+
+    tx = task3.configure_optimizers(max_steps=6)
+    trainer3._init_state(task3, tx, _device_batch(prepared))
+    restored = cb3.restore_latest(trainer3)
+    assert restored is not None
+    # latest checkpoint is from trainer2's end (step 10)
+    assert int(restored.step) == 10
+
+
+@pytest.mark.integration_test
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """6 straight steps == 3 steps + checkpoint + resume + 3 steps."""
+    ds = CombinedDataset([PairedDataset(size=48)])
+
+    def run(max_steps, ckpt_dir=None, resume=False):
+        loader = DataLoader(ds, batch_size=16, drop_last=True)
+        task = _tiny_task()
+        cbs = []
+        if ckpt_dir:
+            cbs.append(ModelCheckpoint(dirpath=ckpt_dir, every_n_epochs=None,
+                                       save_last=True))
+        trainer = Trainer(max_steps=max_steps, log_every_n_steps=1, seed=0,
+                          callbacks=cbs, default_root_dir=str(tmp_path))
+        state = trainer.fit(task, loader,
+                            ckpt_path="last" if resume else None)
+        return jax.device_get(state.params)
+
+    straight = run(6)
+    ckpt_dir = str(tmp_path / "resume_ckpts")
+    run(3, ckpt_dir=ckpt_dir)
+    resumed = run(6, ckpt_dir=ckpt_dir, resume=True)
+
+    flat_a = jax.tree.leaves(straight)
+    flat_b = jax.tree.leaves(resumed)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, atol=1e-5)
