@@ -1,0 +1,94 @@
+"""Multi-task composition test: contrastive + auxiliary I-JEPA on shared encoder.
+
+Covers the reference's multi_task project pattern
+(/root/reference/projects/multi_task/configs/experiment/contrastive_ijepa.yaml):
+one encoder participates in the contrastive loss AND is the student of a
+nested I-JEPA task with its own EMA teacher.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+from mmlearn_tpu.datasets.core import CombinedDataset, DataLoader, Example
+from mmlearn_tpu.modules.encoders import VisionTransformer
+from mmlearn_tpu.tasks import AuxiliaryTaskSpec, ContrastivePretraining, IJEPA
+from mmlearn_tpu.trainer import Trainer
+
+from tests.tasks.test_end_to_end import LossRecorder
+
+
+class RGBDepthDataset:
+    def __init__(self, size=48, img=32, classes=6, seed=0):
+        rng = np.random.default_rng(seed)
+        self.size, self.img = size, img
+        self.labels = rng.integers(0, classes, size)
+        self.rgb_patterns = rng.standard_normal((classes, img, img, 3)).astype(
+            np.float32
+        )
+        self.depth_patterns = rng.standard_normal((classes, img, img, 1)).astype(
+            np.float32
+        )
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        k = self.labels[idx]
+        return Example(
+            {
+                "rgb": self.rgb_patterns[k],
+                "depth": self.depth_patterns[k],
+                EXAMPLE_INDEX_KEY: idx,
+            }
+        )
+
+
+@pytest.mark.integration_test
+def test_contrastive_with_aux_ijepa():
+    ds = CombinedDataset([RGBDepthDataset()])
+    loader = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True)
+
+    encoders = {
+        "rgb": VisionTransformer(
+            img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+            global_pool="avg", proj_dim=16,
+        ),
+        "depth": VisionTransformer(
+            img_size=32, patch_size=8, in_chans=1, embed_dim=32, depth=1,
+            num_heads=4, global_pool="avg", proj_dim=16,
+        ),
+    }
+    task = ContrastivePretraining(
+        encoders=encoders,
+        optimizer=functools.partial(optax.adamw, learning_rate=1e-3,
+                                    weight_decay=0.0),
+        auxiliary_tasks={
+            "ijepa_rgb": AuxiliaryTaskSpec(
+                modality="rgb",
+                loss_weight=0.5,
+                task=functools.partial(
+                    IJEPA, ema_decay=0.9, ema_anneal_end_step=100
+                ),
+            )
+        },
+        log_auxiliary_tasks_loss=True,
+    )
+    rec = LossRecorder()
+    trainer = Trainer(max_steps=8, log_every_n_steps=1, callbacks=[rec],
+                      seed=0, default_root_dir="/tmp/mmlearn_test_mt")
+    state = trainer.fit(task, loader)
+
+    assert int(state.step) == 8
+    assert np.isfinite(rec.losses).all()
+    # aux param tree exists (predictor) and EMA teacher lives in extras
+    assert "predictor" in state.params["aux"]["ijepa_rgb"]
+    ema = state.extras["ijepa_rgb"]["ema_encoder"]
+    student = state.params["encoders"]["rgb"]
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), ema, student)
+    assert max(jax.tree.leaves(diffs)) > 0

@@ -1,0 +1,194 @@
+"""Project-level tests: config composition + BIOSCAN pipeline on tiny HDF5."""
+
+import functools
+import io
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")  # projects package lives at repo root
+
+from mmlearn_tpu.cli.run import build_experiment
+from mmlearn_tpu.conf import instantiate
+
+
+def test_compose_ijepa_project():
+    cfg = build_experiment(
+        [
+            "searchpath=[pkg://projects.ijepa.configs]",
+            "+experiment=in1k_vit_small",
+        ]
+    )
+    assert cfg["task"]["_target_"].endswith("IJEPA")
+    assert cfg["task"]["encoder"]["_target_"].endswith("vit_small")
+    assert cfg["trainer"]["max_epochs"] == 100
+
+
+def test_compose_med_benchmarking_project():
+    cfg = build_experiment(
+        [
+            "searchpath=[pkg://projects.med_benchmarking.configs]",
+            "+experiment=baseline",
+        ]
+    )
+    assert len(cfg["datasets"]["train"]) == 4
+    task = cfg["task"]
+    assert task["_target_"].endswith("ContrastivePretraining")
+    # the task (with its eval specs) must instantiate without touching data
+    obj = instantiate(task)
+    assert "retrieval" in obj.evaluation_tasks
+
+
+def test_compose_multi_task_project():
+    cfg = build_experiment(
+        [
+            "searchpath=[pkg://projects.multi_task.configs]",
+            "+experiment=contrastive_ijepa",
+        ]
+    )
+    assert "ijepa_rgb" in cfg["task"]["auxiliary_tasks"]
+
+
+def test_compose_bioscan_project(monkeypatch):
+    monkeypatch.setenv("BIOSCAN_1M_HDF5", "/tmp/fake.hdf5")
+    cfg = build_experiment(
+        [
+            "searchpath=[pkg://projects.bioscan_clip.configs]",
+            "+experiment=bioscan_1m",
+        ]
+    )
+    assert cfg["task"]["peft_configs"]["rgb"]["r"] == 4
+    assert len(cfg["task"]["modality_loss_pairs"]) == 3
+
+
+def test_dna_tokenizer():
+    from projects.bioscan_clip.dna_tokenizer import DNAProcessor
+
+    proc = DNAProcessor(max_length=20, kmers=5, stride=5)
+    ids = proc("ACGTACGTACGTACGTACGT")
+    assert ids.shape == (proc.seq_length,)
+    assert ids[0] == proc.cls_id
+    assert (ids[1:] != proc.unk_id).all()
+    # unknown bases → UNK; short sequences are N-padded (→ UNK kmers)
+    ids2 = proc("ACGTN")
+    assert ids2[1] == proc.unk_id or ids2[2] == proc.unk_id
+    assert ids2.shape == ids.shape
+
+
+def _make_bioscan_h5(path, splits, n_per_split=8, seed=0):
+    import h5py
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    orders = ["Diptera", "Hymenoptera"]
+    with h5py.File(path, "w") as f:
+        for split in splits:
+            g = f.create_group(split)
+            enc_images = []
+            lengths = []
+            for i in range(n_per_split):
+                arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                enc_images.append(np.frombuffer(buf.getvalue(), np.uint8))
+                lengths.append(len(enc_images[-1]))
+            max_len = max(lengths)
+            padded = np.zeros((n_per_split, max_len), np.uint8)
+            for i, e in enumerate(enc_images):
+                padded[i, : len(e)] = e
+            g.create_dataset("image", data=padded)
+            g.create_dataset("image_mask", data=np.asarray(lengths))
+            barcodes = [
+                "".join(rng.choice(list("ACGT"), 60)) for _ in range(n_per_split)
+            ]
+            g.create_dataset(
+                "barcode", data=np.asarray([b.encode() for b in barcodes])
+            )
+            g.create_dataset(
+                "image_file",
+                data=np.asarray([f"{split}_{i}".encode() for i in range(n_per_split)]),
+            )
+            ids = rng.integers(2, 50, (n_per_split, 12)).astype(np.int32)
+            g.create_dataset("language_tokens_input_ids", data=ids)
+            g.create_dataset(
+                "language_tokens_token_type_ids", data=np.zeros_like(ids)
+            )
+            g.create_dataset(
+                "language_tokens_attention_mask", data=np.ones_like(ids)
+            )
+            for level in ("order", "family", "genus", "species"):
+                vals = [
+                    orders[i % 2].encode() if level == "order"
+                    else f"{level}_{i % 2}".encode()
+                    for i in range(n_per_split)
+                ]
+                g.create_dataset(level, data=np.asarray(vals))
+
+
+@pytest.mark.integration_test
+def test_bioscan_dataset_and_taxonomic_eval(tmp_path):
+    import optax
+
+    from mmlearn_tpu.datasets.core import CombinedDataset, DataLoader
+    from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+    from mmlearn_tpu.tasks import ContrastivePretraining, EvaluationSpec
+    from mmlearn_tpu.trainer import Trainer
+    from projects.bioscan_clip.dataset import BIOSCANInsectDataset
+    from projects.bioscan_clip.dna_tokenizer import DNAProcessor
+    from projects.bioscan_clip.encoders import BarcodeBERT
+    from projects.bioscan_clip.eval_task import TaxonomicClassification
+
+    h5_path = str(tmp_path / "bioscan_tiny.hdf5")
+    _make_bioscan_h5(
+        h5_path, ["train_seen", "all_keys", "val_seen", "val_unseen"]
+    )
+
+    proc = DNAProcessor(max_length=60, kmers=5, stride=5)
+    train_ds = BIOSCANInsectDataset(
+        h5_path, split="train_seen", dna_processor=proc, for_training=True,
+        image_size=32,
+    )
+    ex = train_ds[0]
+    assert ex["rgb"].shape == (32, 32, 3)
+    assert ex["dna"].shape == (proc.seq_length,)
+    assert isinstance(ex["process_id"], str)
+
+    encoders = {
+        "rgb": VisionTransformer(img_size=32, patch_size=8, embed_dim=32,
+                                 depth=1, num_heads=4, global_pool="avg",
+                                 proj_dim=16),
+        "dna": BarcodeBERT(vocab_size=proc.vocab_size, projection_dim=16,
+                           embed_dim=32, depth=1, num_heads=4,
+                           max_length=proc.seq_length),
+        "text": TextTransformer(vocab_size=64, max_length=12, embed_dim=32,
+                                depth=1, num_heads=4, causal=False,
+                                pooling="mean", proj_dim=16),
+    }
+    task = ContrastivePretraining(
+        encoders=encoders,
+        optimizer=functools.partial(optax.adamw, learning_rate=1e-3,
+                                    weight_decay=0.0),
+        evaluation_tasks={
+            "taxonomic": EvaluationSpec(task=TaxonomicClassification(top_k=[1]))
+        },
+    )
+    train_loader = DataLoader(
+        CombinedDataset([train_ds]), batch_size=8, drop_last=True
+    )
+    eval_sets = [
+        BIOSCANInsectDataset(h5_path, split=s, dna_processor=proc,
+                             for_training=False, image_size=32)
+        for s in ("all_keys", "val_seen", "val_unseen")
+    ]
+    val_loader = DataLoader(
+        CombinedDataset(eval_sets), batch_size=8, pad_partial_batches=True
+    )
+    trainer = Trainer(max_steps=2, log_every_n_steps=1, seed=0,
+                      default_root_dir=str(tmp_path))
+    trainer.fit(task, train_loader)
+    results = trainer.validate(task, val_loader)
+    assert "val_seen_rgb_2_dna_top_1_micro_order" in results
+    assert "val_unseen_rgb_2_dna_top_1_macro_species" in results
+    for v in results.values():
+        assert 0.0 <= v <= 1.0 or np.isfinite(v)
