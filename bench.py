@@ -52,18 +52,21 @@ def main() -> None:
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
     rng = jax.random.key(1)
-    # compile + warmup
+    # compile + warmup. NOTE: sync via float(loss) — device→host transfer is
+    # the only reliable fence on tunneled PJRT platforms where
+    # block_until_ready can return early; the step chain (donated state)
+    # guarantees float(last_loss) waits for every step.
     params, opt_state, loss = step(params, opt_state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     for i in range(3):
         params, opt_state, loss = step(params, opt_state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, loss = step(params, opt_state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     elapsed = time.perf_counter() - t0
 
     pairs_per_sec = batch_size * n_steps / elapsed

@@ -29,6 +29,36 @@ def load_image(path: str, mode: str = "RGB") -> np.ndarray:
         return np.asarray(img)
 
 
+def decode_transform_jpeg(
+    data: bytes, transform: "ImageTransform",
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Decode JPEG bytes and apply a transform.
+
+    Eval path rides the native C++ fastloader (fused decode+resize+crop,
+    mmlearn_tpu/native/fastloader.cpp) when available; train path and
+    fallback decode with PIL.
+    """
+    if not transform.train:
+        from mmlearn_tpu import native
+
+        if native.available():
+            try:
+                arr = native.decode_jpeg(data, transform.size)
+                out = arr.astype(np.float32) / 255.0
+                return (out - np.asarray(transform.mean, np.float32)) / np.asarray(
+                    transform.std, np.float32
+                )
+            except (ValueError, RuntimeError):
+                pass
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as img:
+        return transform(np.asarray(img.convert("RGB")), rng=rng)
+
+
 @store(group="datasets/transforms", name="ImageTransform", populate_full_signature=False)
 @dataclass
 class ImageTransform:

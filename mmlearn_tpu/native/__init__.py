@@ -1,0 +1,120 @@
+"""Native (C++) host-side components, loaded via ctypes.
+
+``fastloader``: multithreaded JPEG decode + resize + center-crop
+(fastloader.cpp). Compiled on first use with g++ against the system libjpeg;
+all consumers fall back to the PIL path when the toolchain or library is
+unavailable, so the framework stays pure-Python-capable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_THIS_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_THIS_DIR, "fastloader.cpp")
+_SO = os.path.join(_THIS_DIR, "libfastloader.so")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", _SRC, "-ljpeg", "-lpthread",
+        "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as err:
+        logger.info("fastloader build failed (%s); using PIL fallback", err)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as err:
+            logger.info("fastloader load failed (%s)", err)
+            return None
+        lib.fl_decode_jpeg_batch.restype = ctypes.c_int
+        lib.fl_decode_jpeg_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.fl_decode_jpeg_resize.restype = ctypes.c_int
+        lib.fl_decode_jpeg_resize.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_jpeg_batch(
+    jpegs: Sequence[bytes], out_size: int, n_threads: int = 0
+) -> np.ndarray:
+    """Decode a batch of JPEG byte strings → (N, out_size, out_size, 3) uint8.
+
+    Raises ``RuntimeError`` if the native library is unavailable (callers
+    should check :func:`available` and fall back to PIL).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("fastloader native library unavailable")
+    n = len(jpegs)
+    blob = b"".join(jpegs)
+    offsets = np.zeros(n + 1, dtype=np.uintp)
+    np.cumsum([len(j) for j in jpegs], out=offsets[1:])
+    out = np.empty((n, out_size, out_size, 3), dtype=np.uint8)
+    failures = lib.fl_decode_jpeg_batch(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        n,
+        out_size,
+        out.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    if failures:
+        logger.warning("fastloader: %d/%d JPEGs failed to decode", failures, n)
+    return out
+
+
+def decode_jpeg(jpeg: bytes, out_size: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("fastloader native library unavailable")
+    out = np.empty((out_size, out_size, 3), dtype=np.uint8)
+    rc = lib.fl_decode_jpeg_resize(
+        jpeg, len(jpeg), out_size, out.ctypes.data_as(ctypes.c_void_p)
+    )
+    if rc != 0:
+        raise ValueError("JPEG decode failed")
+    return out

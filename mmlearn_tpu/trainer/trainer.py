@@ -270,9 +270,23 @@ class Trainer:
                     self._cast_inputs(_device_batch(batch)), self.mesh
                 )
                 rng = jax.random.fold_in(rng_root, step)
+                if self.enable_profiling and step == 5:
+                    # capture a 5-step XLA trace (view with tensorboard /
+                    # xprof); SURVEY.md §5.1 — the reference exposes only
+                    # Lightning's profiler flag
+                    jax.profiler.start_trace(
+                        f"{self.default_root_dir}/profile"
+                    )
                 with self.mesh:
                     self.state, metrics = self._train_step(
                         self.state, device_batch, rng
+                    )
+                if self.enable_profiling and step == 10:
+                    jax.tree.leaves(self.state.params)[0].block_until_ready()
+                    jax.profiler.stop_trace()
+                    logger.info(
+                        "Wrote profiler trace to %s/profile",
+                        self.default_root_dir,
                     )
                 step += 1
                 examples_since_log += self._batch_size_of(batch)

@@ -9,7 +9,6 @@ precomputed language tokens + taxonomy label dicts for the taxonomic eval.
 
 from __future__ import annotations
 
-import io
 from typing import Any, Literal, Optional, Union
 
 import numpy as np
@@ -103,17 +102,20 @@ class BIOSCANInsectDataset:
     def __len__(self) -> int:
         return len(self.data["image"])
 
-    def _load_image(self, idx: int) -> np.ndarray:
-        from PIL import Image
-
+    def _image_bytes(self, idx: int) -> bytes:
         enc = self.data["image"][idx].astype(np.uint8)
         length = int(self.data["image_mask"][idx])
-        with Image.open(io.BytesIO(enc[:length].tobytes())) as img:
-            return np.asarray(img.convert("RGB"))
+        return enc[:length].tobytes()
 
     def __getitem__(self, idx: int) -> Example:
         if self.image_input_type == "image":
-            image = self.transform(self._load_image(idx)).astype(np.float32)
+            from mmlearn_tpu.datasets.builtin.image_utils import (
+                decode_transform_jpeg,
+            )
+
+            image = decode_transform_jpeg(
+                self._image_bytes(idx), self.transform
+            ).astype(np.float32)
         else:
             image = self.data["image_features"][idx].astype(np.float32)
 

@@ -1,0 +1,76 @@
+"""Tests for the native C++ JPEG fastloader (vs PIL reference)."""
+
+import io
+import time
+
+import numpy as np
+import pytest
+
+from mmlearn_tpu import native
+
+
+def _make_jpegs(n=8, w=64, h=48, quality=90):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    out = []
+    for i in range(n):
+        arr = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+        out.append(buf.getvalue())
+    return out
+
+
+@pytest.mark.integration_test
+def test_fastloader_builds_and_decodes():
+    if not native.available():
+        pytest.skip("native toolchain/libjpeg unavailable")
+    jpegs = _make_jpegs(n=6)
+    out = native.decode_jpeg_batch(jpegs, out_size=32, n_threads=3)
+    assert out.shape == (6, 32, 32, 3)
+    assert out.dtype == np.uint8
+    assert out.std() > 1.0  # actually decoded something
+
+
+@pytest.mark.integration_test
+def test_fastloader_matches_cv2_bilinear():
+    """Native resize is point-sampled bilinear — cv2.INTER_LINEAR semantics
+    (PIL.BILINEAR is an antialiasing filter and differs on high frequencies)."""
+    if not native.available():
+        pytest.skip("native toolchain/libjpeg unavailable")
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    # smooth gradient image: resize-convention differences stay sub-pixel
+    h, w = 60, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [255 * yy / h, 255 * xx / w, 128 + 60 * np.sin(xx / 9.0)], axis=-1
+    ).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+    size = 32
+
+    ours = native.decode_jpeg_batch([data], out_size=size)[0]
+    with Image.open(io.BytesIO(data)) as img:
+        decoded = np.asarray(img.convert("RGB"))
+    short = min(w, h)
+    nw, nh = round(w * size / short), round(h * size / short)
+    resized = cv2.resize(decoded, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    ref = resized[top : top + size, left : left + size]
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert np.median(diff) <= 1
+    assert diff.mean() < 3
+
+
+@pytest.mark.integration_test
+def test_fastloader_bad_jpeg_zeroed():
+    if not native.available():
+        pytest.skip("native toolchain/libjpeg unavailable")
+    jpegs = _make_jpegs(n=2)
+    out = native.decode_jpeg_batch([jpegs[0], b"not a jpeg"], out_size=16)
+    assert out[0].std() > 0
+    assert (out[1] == 0).all()
