@@ -25,6 +25,23 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+#: Pretrained-weight loaders attached to module instances (flax modules are
+#: frozen dataclasses, so the association lives here). Tasks consult this in
+#: ``init_params`` to overwrite randomly-initialized subtrees.
+_PRETRAINED_LOADERS: dict[int, Any] = {}
+
+
+def register_pretrained_loader(module: Any, loader: Any) -> Any:
+    _PRETRAINED_LOADERS[id(module)] = loader
+    return module
+
+
+def get_pretrained_params(module: Any) -> Optional[dict]:
+    loader = _PRETRAINED_LOADERS.get(id(module))
+    if loader is None:
+        return None
+    return loader() if callable(loader) else loader
+
 
 def _np(t: Any) -> np.ndarray:
     if hasattr(t, "detach"):

@@ -71,6 +71,35 @@ def _is_flax_module(obj: Any) -> bool:
     return isinstance(obj, nn.Module)
 
 
+def _merge_pretrained(init_params: Any, pretrained: Any, key: str) -> Any:
+    """Overlay converted pretrained leaves onto the initialized tree."""
+
+    def _merge(init_node: Any, pre_node: Any, path: str) -> Any:
+        if isinstance(pre_node, dict):
+            if not isinstance(init_node, dict):
+                raise ValueError(
+                    f"Pretrained weights for '{key}' have unexpected subtree "
+                    f"at {path}"
+                )
+            out = dict(init_node)
+            for k, v in pre_node.items():
+                if k not in init_node:
+                    raise ValueError(
+                        f"Pretrained weights for '{key}' contain unknown "
+                        f"param '{path}/{k}'"
+                    )
+                out[k] = _merge(init_node[k], v, f"{path}/{k}")
+            return out
+        if jnp.shape(init_node) != jnp.shape(pre_node):
+            raise ValueError(
+                f"Pretrained weight shape mismatch for '{key}' at {path}: "
+                f"{jnp.shape(pre_node)} vs {jnp.shape(init_node)}"
+            )
+        return jnp.asarray(pre_node, dtype=jnp.asarray(init_node).dtype)
+
+    return _merge(init_params, pretrained, key)
+
+
 @store(group="task", name="ContrastivePretraining", populate_full_signature=False)
 class ContrastivePretraining(TrainingTask):
     """CLIP-style contrastive pretraining over N modalities."""
@@ -241,7 +270,14 @@ class ContrastivePretraining(TrainingTask):
             )
             args, kwargs = self._encoder_inputs(sample_batch, modality)
             variables = module.init(rngs[ridx], *args, **kwargs)
-            params["encoders"][key] = variables["params"]
+            enc_params = variables["params"]
+            # pretrained HF weights (clip.py-style wrappers register loaders)
+            from mmlearn_tpu.hf_utils import get_pretrained_params
+
+            pretrained = get_pretrained_params(module)
+            if pretrained is not None:
+                enc_params = _merge_pretrained(enc_params, pretrained, key)
+            params["encoders"][key] = enc_params
             ridx += 1
         # heads/postprocessors may be flax modules (init with encoder output)
         for m in self.modalities:
