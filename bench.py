@@ -24,6 +24,11 @@ A100_BASELINE_PAIRS_PER_SEC = 700.0
 def main() -> None:
     import jax
 
+    # persistent compilation cache: repeat bench runs skip the (minutes-long
+    # on tunneled TPUs) XLA compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _flagship_task, _synthetic_batch
 
     backend = jax.default_backend()

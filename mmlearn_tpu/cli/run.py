@@ -133,24 +133,10 @@ def run_experiment(cfg: dict) -> Any:
     if job_type == "eval":
         if loaders["test"] is None:
             raise ConfigError("job_type=eval requires datasets.test")
-        if ckpt_path is not None:
-            raise NotImplementedError(
-                "eval from checkpoint requires trainer state restore; "
-                "run via fit(ckpt_path=...) or pass state explicitly"
-            )
-        # initialize params (e.g. converted pretrained weights baked into the
-        # task config) and run the test loop
-        first = next(iter(loaders["test"]))
-        import jax.numpy as jnp
-
-        from mmlearn_tpu.trainer.state import TrainState
-        from mmlearn_tpu.trainer.trainer import _device_batch
-
-        prepared = task.prepare_batch(dict(first), step=0, training=False)
-        params = task.init_params(jax.random.key(seed), _device_batch(prepared))
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
-            extras=task.init_extras(params),
+        # params come from the checkpoint if given, else from init (which
+        # applies any pretrained-weight loaders baked into the task config)
+        state = trainer.prepare_eval_state(
+            task, loaders["test"], ckpt_path=ckpt_path
         )
         return trainer.test(task, loaders["test"], state=state)
     raise ConfigError(f"Unknown job_type '{job_type}'")

@@ -342,6 +342,39 @@ class Trainer:
             lg.finalize()
         return self.state
 
+    def prepare_eval_state(
+        self, task: Any, loader: Any, ckpt_path: Optional[str] = None
+    ) -> TrainState:
+        """Initialize (and optionally restore) a TrainState for eval-only jobs.
+
+        The optimizer state is constructed so checkpoint trees line up with
+        training-time saves (reference: ``trainer.test(..., ckpt_path=...)``,
+        cli/run.py:145-146).
+        """
+        first = next(iter(loader))
+        first = task.prepare_batch(dict(first), step=0, training=False)
+        sample = self._cast_inputs(_device_batch(first))
+        tx = self._build_tx(task, max_steps=1)
+        self._init_state(task, tx, sample)
+        if ckpt_path is not None:
+            ckpt_cb = next(
+                (c for c in self.callbacks if hasattr(c, "restore_latest")), None
+            )
+            if ckpt_cb is None:
+                from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+                ckpt_cb = ModelCheckpoint(dirpath=None)
+            if ckpt_path != "last":
+                ckpt_cb.dirpath = ckpt_path
+                ckpt_cb._manager = None
+            restored = ckpt_cb.restore_latest(self)
+            if restored is None:
+                raise FileNotFoundError(
+                    f"No checkpoint found under '{ckpt_path}'"
+                )
+            self.state = restored
+        return self.state
+
     def validate(self, task: Any, loader: Any, state: Optional[TrainState] = None):
         return self._run_evaluation(task, loader, "validation", state=state)
 
