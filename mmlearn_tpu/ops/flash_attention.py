@@ -286,8 +286,17 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     force_xla: bool = False,
+    min_kv_seq_for_pallas: int = 1024,
 ) -> jax.Array:
     """Multi-head scaled dot-product attention.
+
+    Dispatch (measured on v5e, CLIP ViT-B/16 shapes): at short sequences
+    (mmlearn's 77-257 tokens) XLA's batched-matmul attention beats the
+    blocked kernel — the per-head tiles are too small to fill the MXU from a
+    Pallas grid, and XLA's autodiff keeps the softmax residuals instead of
+    recomputing. The Pallas kernel takes over at ``kv_seq >=
+    min_kv_seq_for_pallas`` where the O(N²) logits no longer fit comfortably
+    in HBM traffic budgets (flash recompute wins).
 
     Args:
         q, k, v: ``(batch, heads, seq, head_dim)`` arrays.
@@ -301,14 +310,21 @@ def flash_attention(
         raise ValueError(f"Expected (B, H, N, D) inputs, got {q.shape}")
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    if mask is None:
-        mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
-    else:
+    if mask is not None:
         mask = mask.astype(bool)
         if mask.ndim != 2:
             raise ValueError(f"mask must be (batch, kv_seq), got {mask.shape}")
+    if (
+        force_xla
+        or not _use_pallas()
+        or k.shape[2] < min_kv_seq_for_pallas
+    ):
+        # plain XLA path with native autodiff (saves the recompute)
+        return _attention_xla(q, k, v, mask, float(scale), causal)
+    if mask is None:
+        mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
     return _flash_attention(
-        q, k, v, mask, float(scale), causal, block_q, block_k, force_xla
+        q, k, v, mask, float(scale), causal, block_q, block_k, False
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import zlib
 from dataclasses import dataclass, field
 from typing import Any, Callable, Mapping, Optional, Sequence, Union
 
@@ -65,6 +66,12 @@ class EvaluationSpec:
     task: Any = None
     run_on_validation: bool = True
     run_on_test: bool = True
+
+
+def _stable_hash(s: str) -> int:
+    """Process-independent string hash (python's hash() is salted, which
+    would break cross-process rng reproducibility and compilation caching)."""
+    return zlib.crc32(s.encode()) % (2**31)
 
 
 def _is_flax_module(obj: Any) -> bool:
@@ -322,7 +329,7 @@ class ContrastivePretraining(TrainingTask):
                 modality = self.aux_task_specs[name].modality
                 enc_key = self.encoder_keys[modality]
                 params["aux"][name] = task.init_aux_params(
-                    jax.random.fold_in(rng, hash(name) % (2**31)),
+                    jax.random.fold_in(rng, _stable_hash(name)),
                     sample_batch,
                     params["encoders"][enc_key],
                 )
@@ -443,7 +450,7 @@ class ContrastivePretraining(TrainingTask):
             if Modalities.get_modality(m).name not in batch:
                 continue
             sub_rng = (
-                jax.random.fold_in(rng, hash(m) % (2**31)) if rng is not None else None
+                jax.random.fold_in(rng, _stable_hash(m)) if rng is not None else None
             )
             outputs[Modalities.get_modality(m).embedding] = self.encode(
                 params, batch, m, normalize=True, deterministic=deterministic,
@@ -475,7 +482,7 @@ class ContrastivePretraining(TrainingTask):
             mod = Modalities.get_modality(m)
             if mod.name not in batch:
                 continue
-            sub_rng = jax.random.fold_in(rng, hash(m) % (2**31))
+            sub_rng = jax.random.fold_in(rng, _stable_hash(m))
             # encode() always L2-normalizes (reference:
             # contrastive_pretraining.py:429); the loss's own l2_normalize
             # flag is an additional no-op-safe option.
@@ -505,7 +512,7 @@ class ContrastivePretraining(TrainingTask):
         for name, task in self.auxiliary_tasks.items():
             spec = self.aux_task_specs[name]
             enc_key = self.encoder_keys[spec.modality]
-            aux_rng = jax.random.fold_in(rng, (hash(name) + 1) % (2**31))
+            aux_rng = jax.random.fold_in(rng, _stable_hash(name) + 1)
             aux_loss, aux_metrics, aux_extras = task.aux_loss_fn(
                 params["encoders"][enc_key],
                 params["aux"][name],
