@@ -89,6 +89,7 @@ class VisionTransformer(nn.Module):
     proj_dim: Optional[int] = None
     patch_drop_rate: float = 0.0
     patch_embed_bias: bool = True
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -163,8 +164,12 @@ class VisionTransformer(nn.Module):
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         hidden_states = []
+        # static_argnums: (self, x, attention_mask, deterministic) → 3
+        block_cls = (
+            nn.remat(Block, static_argnums=(3,)) if self.remat else Block
+        )
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -177,7 +182,7 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+            )(x, None, deterministic)
             if return_hidden_states:
                 hidden_states.append(x)
 
