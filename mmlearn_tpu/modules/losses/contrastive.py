@@ -52,6 +52,56 @@ class LossPairSpec:
     weight: float = 1.0
 
 
+def masked_infonce_chunked(
+    za: jnp.ndarray,
+    zb: jnp.ndarray,
+    scale: jnp.ndarray,
+    valid: jnp.ndarray,
+    chunk_size: int = 4096,
+) -> jnp.ndarray:
+    """InfoNCE(a→b) with a streaming logsumexp — never materializes B×B.
+
+    For global batches beyond ~32k the B×B logit matrix dominates HBM (the
+    "near-infinite batch" contrastive scaling problem); this computes the
+    per-row logsumexp by scanning column chunks with a running (max, sum)
+    pair, and the positive logit directly as ``scale·Σ za·zb`` (diagonal).
+    Numerically identical to :func:`masked_infonce` (tested); O(B·chunk)
+    memory.
+    """
+    b, d = za.shape
+    za32 = za.astype(jnp.float32)
+    zb32 = zb.astype(jnp.float32)
+    n_chunks = -(-b // chunk_size)
+    padded = n_chunks * chunk_size
+    zb_pad = jnp.pad(zb32, ((0, padded - b), (0, 0)))
+    valid_pad = jnp.pad(valid, (0, padded - b))
+    zb_chunks = zb_pad.reshape(n_chunks, chunk_size, d)
+    valid_chunks = valid_pad.reshape(n_chunks, chunk_size)
+
+    def body(carry, chunk):
+        m_prev, l_prev = carry
+        cols, col_valid = chunk
+        s = scale * jnp.einsum(
+            "id,jd->ij", za32, cols, preferred_element_type=jnp.float32
+        )
+        s = jnp.where(col_valid[None, :], s, _NEG)
+        m_cur = jnp.maximum(m_prev, s.max(axis=-1))
+        l_cur = l_prev * jnp.exp(m_prev - m_cur) + jnp.exp(
+            s - m_cur[:, None]
+        ).sum(axis=-1)
+        return (m_cur, l_cur), None
+
+    init = (jnp.full((b,), -jnp.inf, jnp.float32), jnp.zeros((b,), jnp.float32))
+    (m, l), _ = jax.lax.scan(body, init, (zb_chunks, valid_chunks))
+    lse = m + jnp.log(l)
+    diag = scale * jnp.einsum(
+        "id,id->i", za32, zb32, preferred_element_type=jnp.float32
+    )
+    ce = lse - diag
+    count = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, ce, 0.0).sum() / count
+
+
 def masked_infonce(
     logits: jnp.ndarray,
     valid: jnp.ndarray,
@@ -81,6 +131,8 @@ class ContrastiveLoss:
     gather_with_grad: bool = True  # JAX gathers are differentiable; parity flag
     modality_alignment: bool = False
     cache_labels: bool = False  # irrelevant under jit; parity flag
+    chunked: bool = False  # streaming logsumexp; O(B·chunk) memory
+    chunk_size: int = 4096
 
     def __call__(
         self,
@@ -118,11 +170,19 @@ class ContrastiveLoss:
             za, zb = feats[str(mod_a)], feats[str(mod_b)]
             b = za.shape[0]
             valid = _valid(str(mod_a), b) & _valid(str(mod_b), b)
-            logits = logit_scale * jnp.einsum(
-                "id,jd->ij", za, zb, preferred_element_type=jnp.float32
-            )
-            loss_ab = masked_infonce(logits, valid)
-            loss_ba = masked_infonce(logits.T, valid)
+            if self.chunked:
+                loss_ab = masked_infonce_chunked(
+                    za, zb, logit_scale, valid, self.chunk_size
+                )
+                loss_ba = masked_infonce_chunked(
+                    zb, za, logit_scale, valid, self.chunk_size
+                )
+            else:
+                logits = logit_scale * jnp.einsum(
+                    "id,jd->ij", za, zb, preferred_element_type=jnp.float32
+                )
+                loss_ab = masked_infonce(logits, valid)
+                loss_ba = masked_infonce(logits.T, valid)
             pair_loss = 0.5 * (loss_ab + loss_ba)
             metrics[f"loss_{mod_a}_{mod_b}"] = pair_loss
             total = total + pair.weight * pair_loss

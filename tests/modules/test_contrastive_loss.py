@@ -157,3 +157,41 @@ def test_sharded_loss_gradients_match(rng):
     np.testing.assert_allclose(
         np.asarray(g_sharded), np.asarray(g_single), atol=1e-6
     )
+
+
+def test_chunked_matches_dense(rng):
+    from mmlearn_tpu.modules.losses.contrastive import masked_infonce_chunked
+
+    za, zb = _embeddings(rng, b=20)
+    valid = np.ones(20, dtype=bool)
+    valid[17:] = False
+    import jax.numpy as jnp
+
+    dense_logits = 9.0 * np.asarray(za) @ np.asarray(zb).T
+    dense = masked_infonce(jnp.asarray(dense_logits), jnp.asarray(valid))
+    chunked = masked_infonce_chunked(
+        za, zb, jnp.asarray(9.0), jnp.asarray(valid), chunk_size=7
+    )
+    np.testing.assert_allclose(chunked, dense, rtol=1e-5)
+
+
+def test_chunked_loss_flag_and_grads(rng):
+    import jax
+    import jax.numpy as jnp
+
+    za, zb = _embeddings(rng, b=16)
+    pairs = [LossPairSpec(("rgb", "text"))]
+
+    def loss_with(flag):
+        fn = ContrastiveLoss(chunked=flag, chunk_size=5)
+        def f(a, b):
+            return fn({"rgb": a, "text": b}, None, jnp.asarray(4.0), pairs)[0]
+        return f
+
+    dense_val = loss_with(False)(za, zb)
+    chunk_val = jax.jit(loss_with(True))(za, zb)
+    np.testing.assert_allclose(chunk_val, dense_val, rtol=1e-5)
+    g_dense = jax.grad(loss_with(False))(za, zb)
+    g_chunk = jax.jit(jax.grad(loss_with(True)))(za, zb)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_dense),
+                               atol=1e-5)
