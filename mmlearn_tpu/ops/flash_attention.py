@@ -66,6 +66,7 @@ def _flash_kernel(
     k_ref,  # (1, block_k, d)
     v_ref,  # (1, block_k, d)
     o_ref,  # (1, block_q, d)
+    lse_ref,  # (1, 1, block_q) f32
     m_scratch,  # (block_q, LANES) f32
     l_scratch,  # (block_q, LANES) f32
     acc_scratch,  # (block_q, d) f32
@@ -135,9 +136,13 @@ def _flash_kernel(
 
     @pl.when(j == n_k - 1)
     def _finalize():
+        m = m_scratch[...][:, :1]
         l = l_scratch[...][:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
+        # logsumexp per row, saved for the backward kernels
+        lse = m + jnp.log(safe_l)
+        lse_ref[0, 0] = lse[:, 0]
 
 
 def _flash_forward_pallas(
@@ -201,11 +206,20 @@ def _flash_forward_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh, i, j: (bh, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, pq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda bh, i, j: (bh, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, pq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, pq), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -220,8 +234,9 @@ def _flash_forward_pallas(
         if (_HAS_PLTPU and not interpret)
         else None,
     )(mask3, qr, kr, vr)
+    out, lse = out
     out = out.reshape(b, h, pq, d)
-    return out[:, :, :n_q, :]
+    return out[:, :, :n_q, :], lse
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -233,6 +248,279 @@ def _use_pallas() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _bwd_dkv_kernel(
+    mask_ref,  # (1, 1, block_k)
+    q_ref,  # (1, block_q, d)
+    k_ref,  # (1, block_k, d)
+    v_ref,  # (1, block_k, d)
+    do_ref,  # (1, block_q, d)
+    lse_ref,  # (1, 1, block_q) f32
+    delta_ref,  # (1, 1, block_q) f32
+    dk_ref,  # (1, block_k, d)
+    dv_ref,  # (1, block_k, d)
+    dk_scratch,  # (block_k, d) f32
+    dv_scratch,  # (block_k, d) f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+):
+    j = pl.program_id(1)  # kv block
+    i = pl.program_id(2)  # q block (innermost)
+    n_q = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]  # (bq, 1)
+        delta = delta_ref[0, 0].astype(jnp.float32)[:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+        kv_mask = mask_ref[0, 0]
+        s = jnp.where(kv_mask[None, :], s, DEFAULT_MASK_VALUE)
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            col = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(row >= col, s, DEFAULT_MASK_VALUE)
+
+        p = jnp.exp(s - lse)  # (bq, bk)
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        # q block contributes only if its last row can see this kv block
+        @pl.when(i * block_q + block_q - 1 >= j * block_k)
+        def _():
+            _compute()
+    else:
+        _compute()
+
+    @pl.when(i == n_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    mask_ref,  # (1, 1, block_k)
+    q_ref,  # (1, block_q, d)
+    k_ref,  # (1, block_k, d)
+    v_ref,  # (1, block_k, d)
+    do_ref,  # (1, block_q, d)
+    lse_ref,  # (1, 1, block_q)
+    delta_ref,  # (1, 1, block_q)
+    dq_ref,  # (1, block_q, d)
+    dq_scratch,  # (block_q, d) f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+):
+    i = pl.program_id(1)  # q block
+    j = pl.program_id(2)  # kv block (innermost)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
+        delta = delta_ref[0, 0].astype(jnp.float32)[:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kv_mask = mask_ref[0, 0]
+        s = jnp.where(kv_mask[None, :], s, DEFAULT_MASK_VALUE)
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            col = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(row >= col, s, DEFAULT_MASK_VALUE)
+
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq_scratch[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        @pl.when(j * block_k <= i * block_q + block_q - 1)
+        def _():
+            _compute()
+    else:
+        _compute()
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _flash_backward_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    out: jax.Array,
+    lse: jax.Array,  # (B*H, 1, pq) f32
+    g: jax.Array,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    b, h, n_q, d = q.shape
+    n_k = k.shape[2]
+    block_q = min(block_q, max(_pad_to(n_q, 8), 8))
+    block_k = min(block_k, max(_pad_to(n_k, 8), 8))
+    pq = _pad_to(n_q, block_q)
+    pk = _pad_to(n_k, block_k)
+
+    # delta = rowsum(dout * out) — tiny elementwise pass in XLA
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (b, h, n_q)
+    if pq != n_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq - n_q), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pq - n_q), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pq - n_q)))
+    if pk != n_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk - n_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk - n_k), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pk - n_k)))
+
+    qr = q.reshape(b * h, pq, d)
+    kr = k.reshape(b * h, pk, d)
+    vr = v.reshape(b * h, pk, d)
+    gr = g.reshape(b * h, pq, d)
+    delta3 = delta.reshape(b * h, 1, pq)
+    mask3 = mask.reshape(b, 1, pk)
+
+    common_params = dict(
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k
+    )
+    compiler = (
+        pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        )
+        if (_HAS_PLTPU and not interpret)
+        else None
+    )
+
+    # dk/dv: grid (BH, n_kv_blocks, n_q_blocks), q innermost
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common_params),
+        grid=(b * h, pk // block_k, pq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda bh, j, i, h=h: (bh // h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, j, i: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, j, i: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, pk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, pk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ]
+        if _HAS_PLTPU
+        else [],
+        interpret=interpret,
+        compiler_params=compiler,
+    )(mask3, qr, kr, vr, gr, lse, delta3)
+
+    # dq: grid (BH, n_q_blocks, n_kv_blocks), kv innermost
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common_params),
+        grid=(b * h, pq // block_q, pk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda bh, i, j, h=h: (bh // h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, j: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, pq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)]
+        if _HAS_PLTPU
+        else [],
+        interpret=interpret,
+        compiler_params=compiler,
+    )(mask3, qr, kr, vr, gr, lse, delta3)
+
+    dq = dq.reshape(b, h, pq, d)[:, :, :n_q, :]
+    dk = dk.reshape(b, h, pk, d)[:, :, :n_k, :]
+    dv = dv.reshape(b, h, pk, d)[:, :, :n_k, :]
+    return dq, dk, dv
 
 
 @functools.partial(
@@ -251,24 +539,35 @@ def _flash_attention(
 ) -> jax.Array:
     if force_xla or not _use_pallas():
         return _attention_xla(q, k, v, mask, scale, causal)
-    return _flash_forward_pallas(
+    out, _ = _flash_forward_pallas(
         q, k, v, mask, scale, causal, block_q, block_k, interpret=False
     )
+    return out
 
 
 def _flash_fwd(q, k, v, mask, scale, causal, block_q, block_k, force_xla):
-    out = _flash_attention(q, k, v, mask, scale, causal, block_q, block_k, force_xla)
-    return out, (q, k, v, mask)
+    if force_xla or not _use_pallas():
+        out = _attention_xla(q, k, v, mask, scale, causal)
+        return out, (q, k, v, mask, None, None)
+    out, lse = _flash_forward_pallas(
+        q, k, v, mask, scale, causal, block_q, block_k, interpret=False
+    )
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_bwd(scale, causal, block_q, block_k, force_xla, residuals, g):
-    q, k, v, mask = residuals
+    q, k, v, mask, out, lse = residuals
+    if lse is None:  # XLA fwd path → XLA recompute bwd
+        def _recompute(q, k, v):
+            return _attention_xla(q, k, v, mask, scale, causal)
 
-    def _recompute(q, k, v):
-        return _attention_xla(q, k, v, mask, scale, causal)
-
-    _, vjp = jax.vjp(_recompute, q, k, v)
-    dq, dk, dv = vjp(g)
+        _, vjp = jax.vjp(_recompute, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    dq, dk, dv = _flash_backward_pallas(
+        q, k, v, mask, out, lse, g, scale, causal, block_q, block_k,
+        interpret=False,
+    )
     return dq, dk, dv, None
 
 
@@ -334,6 +633,7 @@ def flash_attention_interpret(q, k, v, mask=None, *, scale=None, causal=False):
         scale = float(q.shape[-1]) ** -0.5
     if mask is None:
         mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
-    return _flash_forward_pallas(
+    out, _ = _flash_forward_pallas(
         q, k, v, mask.astype(bool), float(scale), causal, 128, 128, interpret=True
     )
+    return out

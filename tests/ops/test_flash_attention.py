@@ -86,3 +86,50 @@ def test_bfloat16_io(rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(expected, np.float32), atol=2e-2
     )
+
+
+def test_forward_pallas_emits_lse(rng):
+    from mmlearn_tpu.ops.flash_attention import _flash_forward_pallas
+
+    q, k, v = _rand_qkv(rng, b=1, h=2, n=32, d=16)
+    mask = jnp.ones((1, 32), bool)
+    out, lse = _flash_forward_pallas(
+        q, k, v, mask, 16**-0.5, False, 128, 128, interpret=True
+    )
+    # lse must equal the dense logsumexp of the scaled scores
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * 16**-0.5
+    expected = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
+    np.testing.assert_allclose(
+        np.asarray(lse).reshape(2, 32), expected.reshape(2, 32), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_backward_kernels_match_xla(rng, causal):
+    from mmlearn_tpu.ops.flash_attention import (
+        _flash_backward_pallas,
+        _flash_forward_pallas,
+    )
+
+    b, h, n, d = 1, 2, 40, 16  # unaligned seq exercises padding
+    q, k, v = _rand_qkv(rng, b=b, h=h, n=n, d=d)
+    mask = jnp.asarray(rng.random((b, n)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    scale = d**-0.5
+
+    out, lse = _flash_forward_pallas(
+        q, k, v, mask, scale, causal, 16, 16, interpret=True
+    )
+    g = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+    dq, dk, dv = _flash_backward_pallas(
+        q, k, v, mask, out, lse, g, scale, causal, 16, 16, interpret=True
+    )
+
+    def ref(q, k, v):
+        return _attention_xla(q, k, v, mask, scale, causal)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), atol=3e-4)
