@@ -2,6 +2,12 @@
 
 from mmlearn_tpu.modules.encoders.base import EncoderOutput
 from mmlearn_tpu.modules.encoders.bert import BertTextEncoder
+from mmlearn_tpu.modules.encoders.clip import (
+    HFCLIPTextEncoder,
+    HFCLIPTextEncoderWithProjection,
+    HFCLIPVisionEncoder,
+    HFCLIPVisionEncoderWithProjection,
+)
 from mmlearn_tpu.modules.encoders.text import TextTransformer
 from mmlearn_tpu.modules.encoders.vision import (
     VisionTransformer,
@@ -20,6 +26,10 @@ from mmlearn_tpu.modules.encoders.vision import (
 __all__ = [
     "BertTextEncoder",
     "EncoderOutput",
+    "HFCLIPTextEncoder",
+    "HFCLIPTextEncoderWithProjection",
+    "HFCLIPVisionEncoder",
+    "HFCLIPVisionEncoderWithProjection",
     "TextTransformer",
     "VisionTransformer",
     "VisionTransformerPredictor",
