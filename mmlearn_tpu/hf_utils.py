@@ -231,6 +231,21 @@ def load_clip_from_hf(
     }
 
 
+def stack_block_params(params: dict, depth: int) -> dict:
+    """Convert per-layer ``blocks_{i}`` subtrees into the nn.scan layout.
+
+    Scan-format modules (``scan_blocks=True``) expect stacked params under
+    ``block_stack/blocks/block`` with a leading depth axis; this restacks a
+    loop-format (or HF-converted) tree in place.
+    """
+    import jax
+
+    blocks = [params.pop(f"blocks_{i}") for i in range(depth)]
+    stacked = jax.tree.map(lambda *xs: np.stack([_np(x) for x in xs]), *blocks)
+    params["block_stack"] = {"blocks": {"block": stacked}}
+    return params
+
+
 # -- BERT-family (HFTextEncoder parity) -----------------------------------------
 
 

@@ -45,6 +45,8 @@ class TextTransformer(nn.Module):
     norm_eps: float = 1e-5
     pooling: str = "eos"  # eos | cls | mean | none
     proj_dim: Optional[int] = None
+    remat: bool = False
+    scan_blocks: bool = False  # lax.scan over blocks: ~depth× faster compile
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -84,8 +86,11 @@ class TextTransformer(nn.Module):
             x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
 
         hidden_states = []
-        for i in range(self.depth):
-            x = Block(
+        if self.scan_blocks and not return_hidden_states:
+            from mmlearn_tpu.modules.layers.transformer_block import BlockStack
+
+            x = BlockStack(
+                depth=self.depth,
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -95,12 +100,29 @@ class TextTransformer(nn.Module):
                 act_layer=self.act_layer,
                 norm_eps=self.norm_eps,
                 causal=self.causal,
+                remat=self.remat,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-                name=f"blocks_{i}",
-            )(x, attention_mask=attention_mask, deterministic=deterministic)
-            if return_hidden_states:
-                hidden_states.append(x)
+                name="block_stack",
+            )(x, attention_mask, deterministic)
+        else:
+            for i in range(self.depth):
+                x = Block(
+                    dim=self.embed_dim,
+                    num_heads=self.num_heads,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop=self.drop_rate,
+                    attn_drop=self.attn_drop_rate,
+                    act_layer=self.act_layer,
+                    norm_eps=self.norm_eps,
+                    causal=self.causal,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"blocks_{i}",
+                )(x, attention_mask=attention_mask, deterministic=deterministic)
+                if return_hidden_states:
+                    hidden_states.append(x)
 
         x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
 

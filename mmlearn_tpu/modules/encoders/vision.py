@@ -90,6 +90,7 @@ class VisionTransformer(nn.Module):
     patch_drop_rate: float = 0.0
     patch_embed_bias: bool = True
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    scan_blocks: bool = False  # lax.scan over blocks: ~depth× faster compile
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -164,6 +165,31 @@ class VisionTransformer(nn.Module):
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         hidden_states = []
+        if self.scan_blocks and not return_hidden_states:
+            if self.drop_path_rate > 0:
+                raise ValueError(
+                    "scan_blocks requires drop_path_rate == 0 (per-layer "
+                    "stochastic-depth schedules need the unrolled loop)"
+                )
+            from mmlearn_tpu.modules.layers.transformer_block import BlockStack
+
+            x = BlockStack(
+                depth=self.depth,
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                act_layer=self.act_layer,
+                norm_eps=self.norm_eps,
+                remat=self.remat,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="block_stack",
+            )(x, None, deterministic)
+            return self._head(x, num_prefix, None)
+
         # static_argnums: (self, x, attention_mask, deterministic) → 3
         block_cls = (
             nn.remat(Block, static_argnums=(3,)) if self.remat else Block
@@ -186,6 +212,13 @@ class VisionTransformer(nn.Module):
             if return_hidden_states:
                 hidden_states.append(x)
 
+        return self._head(
+            x, num_prefix, tuple(hidden_states) if return_hidden_states else None
+        )
+
+    def _head(
+        self, x: jnp.ndarray, num_prefix: int, hidden_states: Optional[tuple]
+    ) -> EncoderOutput:
         if self.final_norm:
             x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
 
@@ -206,7 +239,7 @@ class VisionTransformer(nn.Module):
         return EncoderOutput(
             last_hidden_state=x,
             pooler_output=pooled,
-            hidden_states=tuple(hidden_states) if return_hidden_states else None,
+            hidden_states=hidden_states,
         )
 
 

@@ -46,6 +46,71 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, rng, deterministic)
 
 
+class BlockStack(nn.Module):
+    """``depth`` × :class:`Block` via ``nn.scan`` (stacked params).
+
+    Parameters get a leading ``depth`` axis (path ``blocks/block/...``);
+    the XLA graph contains ONE block body instead of ``depth`` copies —
+    compile time drops ~depth×, which matters on AOT-compile TPU runtimes.
+    Restrictions: uniform ``drop_path_rate`` (stochastic-depth schedules need
+    the unrolled loop) and no per-layer hidden-state taps.
+    """
+
+    depth: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    act_layer: str = "gelu"
+    norm_eps: float = 1e-6
+    causal: bool = False
+    remat: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        stack = self
+
+        class _Body(nn.Module):
+            @nn.compact
+            def __call__(self, carry, _):
+                y = Block(
+                    dim=stack.dim,
+                    num_heads=stack.num_heads,
+                    mlp_ratio=stack.mlp_ratio,
+                    qkv_bias=stack.qkv_bias,
+                    drop=stack.drop,
+                    attn_drop=stack.attn_drop,
+                    act_layer=stack.act_layer,
+                    norm_eps=stack.norm_eps,
+                    causal=stack.causal,
+                    dtype=stack.dtype,
+                    param_dtype=stack.param_dtype,
+                    name="block",
+                )(carry, attention_mask, deterministic)
+                return y, None
+
+        target = _Body
+        if self.remat:
+            target = nn.remat(target)
+        scanned = nn.scan(
+            target,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.depth,
+        )
+        y, _ = scanned(name="blocks")(x, None)
+        return y
+
+
 class Block(nn.Module):
     """Pre-LN transformer block: x + DropPath(Attn(LN(x))) + DropPath(MLP(LN(x)))."""
 

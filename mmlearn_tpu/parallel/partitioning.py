@@ -21,14 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mmlearn_tpu.parallel.mesh import FSDP_AXIS, MODEL_AXIS
 
 # (path regex, ndim, spec) — first match wins. Paths are '/'-joined,
-# lowercase tree keys, e.g. 'encoder/blocks_0/attn/qkv/kernel'.
+# lowercase tree keys, e.g. 'encoder/blocks_0/attn/qkv/kernel'. The ndim-3
+# variants cover nn.scan-stacked block params (leading depth axis).
 DEFAULT_RULES: tuple[tuple[str, int, P], ...] = (
     # attention projections
     (r".*/(attn|attention)/(query|key|value|qkv)/kernel$", 2, P(FSDP_AXIS, MODEL_AXIS)),
     (r".*/(attn|attention)/(out|proj|out_proj)/kernel$", 2, P(MODEL_AXIS, FSDP_AXIS)),
+    (r".*/(attn|attention)/(query|key|value|qkv)/kernel$", 3,
+     P(None, FSDP_AXIS, MODEL_AXIS)),
+    (r".*/(attn|attention)/(out|proj|out_proj)/kernel$", 3,
+     P(None, MODEL_AXIS, FSDP_AXIS)),
     # MLP
     (r".*/mlp/(fc1|up|gate|linear_0)/kernel$", 2, P(FSDP_AXIS, MODEL_AXIS)),
     (r".*/mlp/(fc2|down|linear_1)/kernel$", 2, P(MODEL_AXIS, FSDP_AXIS)),
+    (r".*/mlp/(fc1|up|gate|linear_0)/kernel$", 3, P(None, FSDP_AXIS, MODEL_AXIS)),
+    (r".*/mlp/(fc2|down|linear_1)/kernel$", 3, P(None, MODEL_AXIS, FSDP_AXIS)),
     # token / patch embeddings: shard the model dim on fsdp only
     (r".*embed.*/kernel$", 2, P(None, FSDP_AXIS)),
     (r".*embedding$", 2, P(None, FSDP_AXIS)),

@@ -43,6 +43,47 @@ from mmlearn_tpu.trainer.state import TrainState
 logger = logging.getLogger(__name__)
 
 
+def validate_batch_shapes(batch: Mapping[str, Any], context: str = "train") -> int:
+    """Assert a collated batch is jit-safe: consistent leading dim, no object
+    dtypes, no zero-size arrays.
+
+    This is the SPMD replacement for the reference's collective-hazard
+    choreography (SURVEY.md §5.2): under GSPMD every device runs the same
+    program, so the remaining failure mode is a malformed host batch — catch
+    it eagerly with a readable error instead of an XLA shape error.
+    """
+    from mmlearn_tpu.datasets.core.modalities import Modalities
+
+    batch_dim: Optional[int] = None
+    offender = None
+    for key, value in batch.items():
+        if isinstance(value, Mapping):
+            validate_batch_shapes(value, context=f"{context}.{key}")
+            continue
+        if not hasattr(value, "shape") or np.ndim(value) == 0:
+            continue
+        if getattr(value, "dtype", None) == object:
+            raise ValueError(
+                f"[{context}] batch key '{key}' has object dtype — collate "
+                "must produce numeric arrays (strings stay python lists)"
+            )
+        if int(np.prod(np.shape(value))) == 0:
+            raise ValueError(f"[{context}] batch key '{key}' is empty")
+        # leading-dim consistency is enforced only across modality keys
+        # (aux arrays like I-JEPA masks legitimately lead with num_masks)
+        if not Modalities.has_modality(str(key)):
+            continue
+        lead = int(np.shape(value)[0])
+        if batch_dim is None:
+            batch_dim, offender = lead, key
+        elif lead != batch_dim:
+            raise ValueError(
+                f"[{context}] inconsistent batch dims: '{offender}' has "
+                f"{batch_dim} but '{key}' has {lead}"
+            )
+    return batch_dim or 0
+
+
 def _device_batch(batch: Mapping[str, Any]) -> dict[str, Any]:
     """Keep only array-valued entries (device-compatible)."""
     out = {}
@@ -222,6 +263,7 @@ class Trainer:
         first_batch = next(iter(train_loader))
         first_batch = task.prepare_batch(dict(first_batch), step=0)
         sample = self._cast_inputs(_device_batch(first_batch))
+        validate_batch_shapes(sample)
         self._init_state(task, tx, sample)
 
         ckpt_cb = next(
