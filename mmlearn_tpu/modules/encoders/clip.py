@@ -42,8 +42,13 @@ def _dtype(dtype: Any):
     return jnp.dtype(dtype) if dtype is not None else jnp.float32
 
 
-def _vision_module(model, with_projection, patch_drop_rate, use_all_token_embeddings, dtype):
+def _vision_module(
+    model, with_projection, patch_drop_rate, use_all_token_embeddings, dtype,
+    scan_blocks=False, remat=False,
+):
     import dataclasses
+
+    from mmlearn_tpu.hf_utils import stack_block_params
 
     vision, _ = clip_modules_from_config(model.config, dtype=_dtype(dtype))
     vision = dataclasses.replace(
@@ -51,30 +56,45 @@ def _vision_module(model, with_projection, patch_drop_rate, use_all_token_embedd
         proj_dim=model.config.projection_dim if with_projection else None,
         patch_drop_rate=patch_drop_rate,
         global_pool="avg" if use_all_token_embeddings else "cls",
+        scan_blocks=scan_blocks,
+        remat=remat,
     )
     sd = model.state_dict()
     depth = model.config.vision_config.num_hidden_layers
     proj_key = "visual_projection.weight" if with_projection else None
-    return register_pretrained_loader(
-        vision, lambda: convert_clip_vision(sd, depth, projection_key=proj_key)
-    )
+
+    def _load():
+        params = convert_clip_vision(sd, depth, projection_key=proj_key)
+        return stack_block_params(params, depth) if scan_blocks else params
+
+    return register_pretrained_loader(vision, _load)
 
 
-def _text_module(model, with_projection, use_all_token_embeddings, dtype):
+def _text_module(
+    model, with_projection, use_all_token_embeddings, dtype,
+    scan_blocks=False, remat=False,
+):
     import dataclasses
+
+    from mmlearn_tpu.hf_utils import stack_block_params
 
     _, text = clip_modules_from_config(model.config, dtype=_dtype(dtype))
     text = dataclasses.replace(
         text,
         proj_dim=model.config.projection_dim if with_projection else None,
         pooling="mean" if use_all_token_embeddings else "eos",
+        scan_blocks=scan_blocks,
+        remat=remat,
     )
     sd = model.state_dict()
     depth = model.config.text_config.num_hidden_layers
     proj_key = "text_projection.weight" if with_projection else None
-    return register_pretrained_loader(
-        text, lambda: convert_clip_text(sd, depth, projection_key=proj_key)
-    )
+
+    def _load():
+        params = convert_clip_text(sd, depth, projection_key=proj_key)
+        return stack_block_params(params, depth) if scan_blocks else params
+
+    return register_pretrained_loader(text, _load)
 
 
 @store(group="modules/encoders", name="HFCLIPVisionEncoder",
@@ -84,11 +104,14 @@ def HFCLIPVisionEncoder(
     patch_dropout_rate: float = 0.0,
     use_all_token_embeddings: bool = False,
     dtype: Any = None,
+    scan_blocks: bool = False,
+    remat: bool = False,
 ):
     """CLIP vision tower without the projection head."""
     model = _load_hf_clip(pretrained_model_name_or_path)
     return _vision_module(
-        model, False, patch_dropout_rate, use_all_token_embeddings, dtype
+        model, False, patch_dropout_rate, use_all_token_embeddings, dtype,
+        scan_blocks=scan_blocks, remat=remat,
     )
 
 
@@ -99,11 +122,14 @@ def HFCLIPVisionEncoderWithProjection(
     patch_dropout_rate: float = 0.0,
     use_all_token_embeddings: bool = False,
     dtype: Any = None,
+    scan_blocks: bool = False,
+    remat: bool = False,
 ):
     """CLIP vision tower with the contrastive projection head."""
     model = _load_hf_clip(pretrained_model_name_or_path)
     return _vision_module(
-        model, True, patch_dropout_rate, use_all_token_embeddings, dtype
+        model, True, patch_dropout_rate, use_all_token_embeddings, dtype,
+        scan_blocks=scan_blocks, remat=remat,
     )
 
 
@@ -113,10 +139,13 @@ def HFCLIPTextEncoder(
     pretrained_model_name_or_path: Any = "openai/clip-vit-base-patch16",
     use_all_token_embeddings: bool = False,
     dtype: Any = None,
+    scan_blocks: bool = False,
+    remat: bool = False,
 ):
     """CLIP text tower without the projection head."""
     model = _load_hf_clip(pretrained_model_name_or_path)
-    return _text_module(model, False, use_all_token_embeddings, dtype)
+    return _text_module(model, False, use_all_token_embeddings, dtype,
+                        scan_blocks=scan_blocks, remat=remat)
 
 
 @store(group="modules/encoders", name="HFCLIPTextEncoderWithProjection",
@@ -125,7 +154,10 @@ def HFCLIPTextEncoderWithProjection(
     pretrained_model_name_or_path: Any = "openai/clip-vit-base-patch16",
     use_all_token_embeddings: bool = False,
     dtype: Any = None,
+    scan_blocks: bool = False,
+    remat: bool = False,
 ):
     """CLIP text tower with the contrastive projection head."""
     model = _load_hf_clip(pretrained_model_name_or_path)
-    return _text_module(model, True, use_all_token_embeddings, dtype)
+    return _text_module(model, True, use_all_token_embeddings, dtype,
+                        scan_blocks=scan_blocks, remat=remat)

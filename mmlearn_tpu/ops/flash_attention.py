@@ -585,7 +585,7 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     force_xla: bool = False,
-    min_kv_seq_for_pallas: int = 1024,
+    min_kv_seq_for_pallas: Optional[int] = None,
 ) -> jax.Array:
     """Multi-head scaled dot-product attention.
 
@@ -609,6 +609,12 @@ def flash_attention(
         raise ValueError(f"Expected (B, H, N, D) inputs, got {q.shape}")
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
+    if min_kv_seq_for_pallas is None:
+        import os
+
+        min_kv_seq_for_pallas = int(
+            os.environ.get("MMLEARN_FLASH_MIN_SEQ", "1024")
+        )
     if mask is not None:
         mask = mask.astype(bool)
         if mask.ndim != 2:

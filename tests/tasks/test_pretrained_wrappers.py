@@ -78,3 +78,40 @@ def test_clip_wrapper_task_matches_torch_logits(tiny_clip_model):
     np.testing.assert_allclose(
         np.asarray(emb["text_embedding"]), t_txt, atol=5e-4, rtol=1e-3
     )
+
+
+@pytest.mark.integration_test
+def test_clip_wrapper_scan_blocks_matches(tiny_clip_model):
+    """scan_blocks wrappers produce the same embeddings as loop wrappers."""
+    model = tiny_clip_model
+
+    def build(scan):
+        return ContrastivePretraining(
+            encoders={
+                "rgb": HFCLIPVisionEncoderWithProjection(model, scan_blocks=scan),
+                "text": HFCLIPTextEncoderWithProjection(model, scan_blocks=scan),
+            },
+            optimizer=functools.partial(optax.adamw, learning_rate=1e-4),
+        )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb": jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32),
+        "text": jnp.asarray(
+            np.concatenate([rng.integers(1, 90, (2, 11)),
+                            np.full((2, 1), 98)], axis=1), jnp.int32),
+        "text_attention_mask": jnp.ones((2, 12), jnp.int32),
+    }
+    t_loop, t_scan = build(False), build(True)
+    p_loop = t_loop.init_params(jax.random.key(0), batch)
+    p_scan = t_scan.init_params(jax.random.key(0), batch)
+    e_loop = t_loop.forward(p_loop, batch)
+    e_scan = t_scan.forward(p_scan, batch)
+    np.testing.assert_allclose(
+        np.asarray(e_scan["rgb_embedding"]),
+        np.asarray(e_loop["rgb_embedding"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_scan["text_embedding"]),
+        np.asarray(e_loop["text_embedding"]), atol=1e-5,
+    )
