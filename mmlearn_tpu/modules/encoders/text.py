@@ -46,6 +46,7 @@ class TextTransformer(nn.Module):
     pooling: str = "eos"  # eos | cls | mean | none
     proj_dim: Optional[int] = None
     remat: bool = False
+    remat_policy: str = "dots_no_batch"
     scan_blocks: bool = False  # lax.scan over blocks: ~depth× faster compile
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -101,6 +102,7 @@ class TextTransformer(nn.Module):
                 norm_eps=self.norm_eps,
                 causal=self.causal,
                 remat=self.remat,
+                remat_policy=self.remat_policy if self.remat else None,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="block_stack",

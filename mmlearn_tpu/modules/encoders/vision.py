@@ -90,6 +90,7 @@ class VisionTransformer(nn.Module):
     patch_drop_rate: float = 0.0
     patch_embed_bias: bool = True
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    remat_policy: str = "dots_no_batch"
     scan_blocks: bool = False  # lax.scan over blocks: ~depth× faster compile
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -184,6 +185,7 @@ class VisionTransformer(nn.Module):
                 act_layer=self.act_layer,
                 norm_eps=self.norm_eps,
                 remat=self.remat,
+                remat_policy=self.remat_policy if self.remat else None,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="block_stack",

@@ -67,6 +67,7 @@ class BlockStack(nn.Module):
     norm_eps: float = 1e-6
     causal: bool = False
     remat: bool = False
+    remat_policy: Optional[str] = None  # None=save nothing | "dots_no_batch"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -100,7 +101,12 @@ class BlockStack(nn.Module):
 
         target = _Body
         if self.remat:
-            target = nn.remat(target)
+            policy = None
+            if self.remat_policy == "dots_no_batch":
+                # keep (cheap, bf16) projection/MLP outputs; recompute the
+                # batched attention einsums whose f32 logits dominate HBM
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            target = nn.remat(target, policy=policy)
         scanned = nn.scan(
             target,
             variable_axes={"params": 0},
