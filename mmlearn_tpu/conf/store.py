@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-import functools
 import inspect
 from typing import Any, Callable, TypeVar
 
@@ -205,8 +204,3 @@ def register_external_module(
         except ConfigError:
             continue
         store.store_node(group, attr_name, node)
-
-
-@functools.lru_cache(maxsize=None)
-def _noop_cache_marker() -> None:  # pragma: no cover
-    return None
