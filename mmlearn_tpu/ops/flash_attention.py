@@ -44,16 +44,29 @@ def _attention_xla(
     scale: float,
     causal: bool,
 ) -> jax.Array:
-    """Reference XLA attention (numerics-matching fallback path)."""
-    s = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    """Reference XLA attention (numerics-matching fallback path).
+
+    ``MMLEARN_ATTN_LOGITS=bf16`` keeps the score matrix in bfloat16 (halves
+    the largest intermediate's HBM traffic; softmax max/denominator still
+    accumulate in f32 inside jax.nn.softmax's reductions). Default f32.
+    """
+    import os
+
+    bf16_scores = (
+        os.environ.get("MMLEARN_ATTN_LOGITS", "f32") == "bf16"
+        and q.dtype == jnp.bfloat16
+    )
+    pref = jnp.bfloat16 if bf16_scores else jnp.float32
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=pref) * jnp.asarray(
+        scale, pref
+    )
+    neg = jnp.asarray(DEFAULT_MASK_VALUE if pref == jnp.float32 else -3e38, pref)
     if mask is not None:
-        s = jnp.where(mask[:, None, None, :], s, DEFAULT_MASK_VALUE)
+        s = jnp.where(mask[:, None, None, :], s, neg)
     if causal:
         n_q, n_k = s.shape[-2], s.shape[-1]
         causal_mask = jnp.tril(jnp.ones((n_q, n_k), dtype=bool), n_k - n_q)
-        s = jnp.where(causal_mask, s, DEFAULT_MASK_VALUE)
+        s = jnp.where(causal_mask, s, neg)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
