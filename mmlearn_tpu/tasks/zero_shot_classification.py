@@ -51,8 +51,9 @@ class ZeroShotClassification(EvaluationHooks):
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self._class_embeddings: dict[int, np.ndarray] = {}
-        self._correct: dict[tuple, int] = {}
-        self._total: dict[tuple, int] = {}
+        # per (query_modality, dataset_index): accumulated scores + targets
+        self._scores: dict[tuple, list[np.ndarray]] = {}
+        self._targets: dict[tuple, list[np.ndarray]] = {}
 
     # -- class-prompt embedding ----------------------------------------------
     def _dataset_info(self, runtime: EvalRuntime) -> dict[int, dict]:
@@ -78,8 +79,8 @@ class ZeroShotClassification(EvaluationHooks):
                 "ZeroShotClassification requires a tokenizer to embed prompts"
             )
         self._class_embeddings.clear()
-        self._correct.clear()
-        self._total.clear()
+        self._scores.clear()
+        self._targets.clear()
         info = self._dataset_info(runtime)
         self._info = info
         for ds_idx, meta in info.items():
@@ -126,21 +127,50 @@ class ZeroShotClassification(EvaluationHooks):
                 if not sel.any():
                     continue
                 logits = 100.0 * emb[sel] @ class_emb.T  # reference convention
-                order = np.argsort(-logits, axis=1)
-                for k in spec.top_k:
-                    key = (q, ds_idx, int(k))
-                    hits = (order[:, :k] == targets[sel][:, None]).any(axis=1)
-                    self._correct[key] = self._correct.get(key, 0) + int(hits.sum())
-                    self._total[key] = self._total.get(key, 0) + int(sel.sum())
+                key = (q, ds_idx)
+                self._scores.setdefault(key, []).append(logits)
+                self._targets.setdefault(key, []).append(
+                    targets[sel].astype(np.int64)
+                )
 
     def on_evaluation_epoch_end(self, runtime: EvalRuntime) -> dict[str, float]:
-        results = {}
-        for (q, ds_idx, k), total in self._total.items():
-            if total == 0:
-                continue
-            name = f"classification/ds{ds_idx}_{q}_top{k}_accuracy"
-            results[name] = self._correct[(q, ds_idx, k)] / total
+        """Compute the metric collection per dataset.
+
+        Reference metric set: Accuracy/Precision/Recall/F1/AUROC
+        (zero_shot_classification.py:247-286); macro-averaged here.
+        """
+        from mmlearn_tpu.modules.metrics.classification import (
+            macro_auroc,
+            macro_f1,
+            macro_precision,
+            macro_recall,
+            top_k_accuracy,
+        )
+
+        top_k_by_q = {
+            str(s.query_modality).lower(): [int(k) for k in s.top_k]
+            for s in self.task_specs
+        }
+        results: dict[str, float] = {}
+        for (q, ds_idx), score_chunks in self._scores.items():
+            scores = np.concatenate(score_chunks)
+            targets = np.concatenate(self._targets[(q, ds_idx)])
+            num_classes = scores.shape[1]
+            prefix = f"classification/ds{ds_idx}_{q}"
+            for k in top_k_by_q.get(q, [1]):
+                results[f"{prefix}_top{k}_accuracy"] = top_k_accuracy(
+                    scores, targets, k
+                )
+            preds = scores.argmax(axis=1)
+            results[f"{prefix}_precision"] = macro_precision(
+                preds, targets, num_classes
+            )
+            results[f"{prefix}_recall"] = macro_recall(preds, targets, num_classes)
+            results[f"{prefix}_f1"] = macro_f1(preds, targets, num_classes)
+            auroc = macro_auroc(scores, targets, num_classes)
+            if auroc is not None:
+                results[f"{prefix}_auroc"] = auroc
         self._class_embeddings.clear()
-        self._correct.clear()
-        self._total.clear()
+        self._scores.clear()
+        self._targets.clear()
         return results
