@@ -85,7 +85,8 @@ def run_experiment(cfg: dict) -> Any:
 
     callbacks = instantiate_callbacks(cfg["trainer"].get("callbacks"))
     loggers = instantiate_loggers(cfg["trainer"].get("loggers"))
-    if loggers:
+    # config upload on process 0 only (reference: cli/run.py:63-69 rank gate)
+    if loggers and jax.process_index() == 0:
         hparams = {k: v for k, v in cfg.items() if k != "runtime"}
         for lg in loggers:
             lg.log_hyperparams(hparams)

@@ -22,6 +22,7 @@ live in the aux params/extras.
 
 from __future__ import annotations
 
+import zlib
 from typing import Any, Callable, Mapping, Optional
 
 import jax
@@ -45,6 +46,30 @@ ENCODER_MASK_KEY = "ijepa_encoder_masks"
 PREDICTOR_MASK_KEY = "ijepa_predictor_masks"
 
 
+def reinit_trunc_normal(params: Any, rng: jax.Array, std: float = 0.02) -> Any:
+    """Re-initialize 2-D+ kernels with truncated normal(std), biases with 0.
+
+    Reference I-JEPA init (vision.py:572-641): trunc-normal weights, zero
+    biases, identity-like layernorms (layernorm params are left untouched
+    here — flax initializes them to scale=1/bias=0 already).
+    """
+
+    def _reinit(path, leaf):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        idx = zlib.crc32(key.encode())
+        if key.endswith("kernel") or key.endswith("embedding"):
+            sub = jax.random.fold_in(rng, idx)
+            return (
+                jax.random.truncated_normal(sub, -2.0, 2.0, jnp.shape(leaf))
+                * std
+            ).astype(leaf.dtype)
+        if key.endswith("bias"):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(_reinit, params)
+
+
 @store(group="task", name="IJEPA", populate_full_signature=False)
 class IJEPA(TrainingTask):
     """I-JEPA: predict masked-region representations of an EMA teacher."""
@@ -61,6 +86,7 @@ class IJEPA(TrainingTask):
         loss_beta: float = 1.0,
         modality: str = "rgb",
         mask_generator: Optional[IJEPAMaskGenerator] = None,
+        init_style: str = "trunc_normal",  # trunc_normal (reference) | flax
         compute_validation_loss: bool = True,
         compute_test_loss: bool = True,
     ) -> None:
@@ -95,6 +121,7 @@ class IJEPA(TrainingTask):
         self.mask_generator = mask_generator or IJEPAMaskGenerator(
             input_size=encoder.img_size, patch_size=encoder.patch_size
         )
+        self.init_style = init_style
 
     # -- host-side batch hook ---------------------------------------------------
     def prepare_batch(
@@ -169,6 +196,8 @@ class IJEPA(TrainingTask):
         images = jnp.asarray(sample_batch[mod.name])
         r1, r2 = jax.random.split(rng)
         enc_params = self.encoder.init(r1, images)["params"]
+        if self.init_style == "trunc_normal":
+            enc_params = reinit_trunc_normal(enc_params, jax.random.fold_in(r1, 1))
         enc_masks = jnp.asarray(sample_batch[ENCODER_MASK_KEY])
         pred_masks = jnp.asarray(sample_batch[PREDICTOR_MASK_KEY])
         k_ctx = enc_masks.shape[-1]
@@ -176,6 +205,10 @@ class IJEPA(TrainingTask):
             (enc_masks.shape[0] * images.shape[0], k_ctx, self.encoder.embed_dim)
         )
         pred_params = self.predictor.init(r2, z, enc_masks, pred_masks)["params"]
+        if self.init_style == "trunc_normal":
+            pred_params = reinit_trunc_normal(
+                pred_params, jax.random.fold_in(r2, 1)
+            )
         return {"encoder": enc_params, "predictor": pred_params}
 
     def init_extras(self, params: Any) -> Any:
