@@ -8,6 +8,10 @@ from mmlearn_tpu.modules.encoders.clip import (
     HFCLIPVisionEncoder,
     HFCLIPVisionEncoderWithProjection,
 )
+from mmlearn_tpu.modules.encoders.hf_wrappers import (
+    HFTextEncoder,
+    HFViTEncoder,
+)
 from mmlearn_tpu.modules.encoders.text import TextTransformer
 from mmlearn_tpu.modules.encoders.vision import (
     VisionTransformer,
@@ -30,6 +34,8 @@ __all__ = [
     "HFCLIPTextEncoderWithProjection",
     "HFCLIPVisionEncoder",
     "HFCLIPVisionEncoderWithProjection",
+    "HFTextEncoder",
+    "HFViTEncoder",
     "TextTransformer",
     "VisionTransformer",
     "VisionTransformerPredictor",

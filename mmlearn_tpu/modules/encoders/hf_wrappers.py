@@ -1,0 +1,190 @@
+"""HF encoder factories: BERT-family text + ViT vision.
+
+Parity targets:
+- ``HFTextEncoder`` (/root/reference/mmlearn/modules/encoders/text.py):
+  wraps ``AutoModelForTextEncoding`` (BERT-family), rejects decoder models,
+  optional pooling; here: build a native :class:`BertTextEncoder` matching the
+  checkpoint config + register a ``convert_bert`` weight loader.
+- ``TimmViT`` (/root/reference/mmlearn/modules/encoders/vision.py:33-176):
+  any timm ViT with projection; here: HF ``ViTModel`` checkpoints convert into
+  the native :class:`VisionTransformer` (timm is not a dependency; the HF hub
+  hosts the same ViT weights).
+
+``freeze_layers``/``peft_config`` are framework-level (mmlearn_tpu.peft).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from mmlearn_tpu.conf import store
+from mmlearn_tpu.hf_utils import (
+    _layernorm,
+    _linear,
+    _np,
+    convert_bert,
+    register_pretrained_loader,
+    stack_block_params,
+)
+
+
+def _jnp_dtype(dtype: Any):
+    import jax.numpy as jnp
+
+    return jnp.dtype(dtype) if dtype is not None else jnp.float32
+
+
+@store(group="modules/encoders", name="HFTextEncoder",
+       populate_full_signature=False)
+def HFTextEncoder(
+    model_name_or_path: Any = "bert-base-uncased",
+    pooling: str = "pooler",
+    proj_dim: Optional[int] = None,
+    dtype: Any = None,
+    scan_blocks: bool = False,
+):
+    """BERT-family text encoder with converted HF weights.
+
+    Rejects decoder-only models (reference text.py:81-82).
+    """
+    if isinstance(model_name_or_path, str):
+        from transformers import AutoModel
+
+        model = AutoModel.from_pretrained(model_name_or_path)
+    else:
+        model = model_name_or_path
+    config = model.config
+    if getattr(config, "is_decoder", False):
+        raise ValueError(
+            "HFTextEncoder requires an encoder model; got a decoder "
+            "(reference rejects decoders too, text.py:81-82)"
+        )
+
+    from mmlearn_tpu.modules.encoders.bert import BertTextEncoder
+
+    if scan_blocks:
+        raise NotImplementedError(
+            "BertTextEncoder does not support scan_blocks yet"
+        )
+    encoder = BertTextEncoder(
+        vocab_size=config.vocab_size,
+        max_length=config.max_position_embeddings,
+        embed_dim=config.hidden_size,
+        depth=config.num_hidden_layers,
+        num_heads=config.num_attention_heads,
+        mlp_ratio=config.intermediate_size / config.hidden_size,
+        norm_eps=config.layer_norm_eps,
+        pooling=pooling,
+        proj_dim=proj_dim,
+        dtype=_jnp_dtype(dtype),
+    )
+    sd = model.state_dict()
+    depth = config.num_hidden_layers
+    return register_pretrained_loader(
+        encoder, lambda: convert_bert(sd, depth)
+    )
+
+
+def convert_hf_vit(state_dict: Any, depth: int, prefix: str = "vit") -> dict:
+    """HF ``ViTModel`` → our VisionTransformer params.
+
+    Target module config: ``use_cls_token=True, learned_pos_embed=True,
+    final_norm=True, act_layer='gelu', qkv_bias=True``.
+    """
+    sd = state_dict
+    p = f"{prefix}." if prefix else ""
+    params: dict[str, Any] = {
+        "patch_embed": {
+            "proj": {
+                "kernel": _np(
+                    sd[f"{p}embeddings.patch_embeddings.projection.weight"]
+                ).transpose(2, 3, 1, 0),
+                "bias": _np(
+                    sd[f"{p}embeddings.patch_embeddings.projection.bias"]
+                ),
+            }
+        },
+        "cls_token": _np(sd[f"{p}embeddings.cls_token"]).reshape(1, 1, -1),
+        "pos_embed": _np(sd[f"{p}embeddings.position_embeddings"]),
+        "norm": _layernorm(sd, f"{p}layernorm"),
+    }
+    for i in range(depth):
+        lp = f"{p}encoder.layer.{i}"
+        kernels = [
+            _np(sd[f"{lp}.attention.attention.{n}.weight"]).T
+            for n in ("query", "key", "value")
+        ]
+        biases = [
+            _np(sd[f"{lp}.attention.attention.{n}.bias"])
+            for n in ("query", "key", "value")
+        ]
+        params[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd, f"{lp}.layernorm_before"),
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate(kernels, axis=1),
+                    "bias": np.concatenate(biases),
+                },
+                "proj": _linear(sd, f"{lp}.attention.output.dense"),
+            },
+            "norm2": _layernorm(sd, f"{lp}.layernorm_after"),
+            "mlp": {
+                "fc1": _linear(sd, f"{lp}.intermediate.dense"),
+                "fc2": _linear(sd, f"{lp}.output.dense"),
+            },
+        }
+    return params
+
+
+@store(group="modules/encoders", name="HFViTEncoder",
+       populate_full_signature=False)
+def HFViTEncoder(
+    model_name_or_path: Any = "google/vit-base-patch16-224-in21k",
+    global_pool: str = "cls",
+    proj_dim: Optional[int] = None,
+    dtype: Any = None,
+    scan_blocks: bool = False,
+    remat: bool = False,
+):
+    """ViT vision encoder with converted HF weights (TimmViT equivalent)."""
+    if isinstance(model_name_or_path, str):
+        from transformers import ViTModel
+
+        model = ViTModel.from_pretrained(model_name_or_path)
+    else:
+        model = model_name_or_path
+    config = model.config
+
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    encoder = VisionTransformer(
+        img_size=config.image_size,
+        patch_size=config.patch_size,
+        embed_dim=config.hidden_size,
+        depth=config.num_hidden_layers,
+        num_heads=config.num_attention_heads,
+        mlp_ratio=config.intermediate_size / config.hidden_size,
+        qkv_bias=config.qkv_bias,
+        use_cls_token=True,
+        learned_pos_embed=True,
+        final_norm=True,
+        act_layer="gelu",
+        norm_eps=config.layer_norm_eps,
+        global_pool=global_pool,
+        proj_dim=proj_dim,
+        scan_blocks=scan_blocks,
+        remat=remat,
+        dtype=_jnp_dtype(dtype),
+    )
+    sd = model.state_dict()
+    # ViTModel checkpoints may or may not carry the "vit." prefix
+    prefix = "vit" if any(k.startswith("vit.") for k in sd) else ""
+    depth = config.num_hidden_layers
+
+    def _load():
+        params = convert_hf_vit(sd, depth, prefix=prefix)
+        return stack_block_params(params, depth) if scan_blocks else params
+
+    return register_pretrained_loader(encoder, _load)

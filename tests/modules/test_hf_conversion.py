@@ -134,3 +134,57 @@ def test_bert_conversion_matches_torch():
         np.asarray(ours.pooler_output), torch_out.pooler_output.numpy(),
         atol=2e-4, rtol=1e-3,
     )
+
+
+@pytest.mark.integration_test
+def test_hf_vit_conversion_matches_torch():
+    from transformers import ViTConfig, ViTModel
+
+    config = ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, image_size=32, patch_size=8,
+    )
+    torch.manual_seed(0)
+    model = ViTModel(config, add_pooling_layer=False).eval()
+
+    from mmlearn_tpu.hf_utils import get_pretrained_params
+    from mmlearn_tpu.modules.encoders.hf_wrappers import HFViTEncoder
+
+    encoder = HFViTEncoder(model)
+    params = get_pretrained_params(encoder)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = model(
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+    ours = encoder.apply({"params": params}, jnp.asarray(imgs)).last_hidden_state
+    np.testing.assert_allclose(np.asarray(ours), torch_out, atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.integration_test
+def test_hf_text_encoder_factory_matches_torch():
+    from transformers import BertConfig, BertModel
+
+    config = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=24,
+    )
+    torch.manual_seed(1)
+    model = BertModel(config).eval()
+
+    from mmlearn_tpu.hf_utils import get_pretrained_params
+    from mmlearn_tpu.modules.encoders.hf_wrappers import HFTextEncoder
+
+    encoder = HFTextEncoder(model, pooling="pooler")
+    params = get_pretrained_params(encoder)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 119, (2, 10)).astype(np.int64)
+    with torch.no_grad():
+        torch_out = model(input_ids=torch.from_numpy(ids)).pooler_output.numpy()
+    ours = encoder.apply(
+        {"params": params}, jnp.asarray(ids.astype(np.int32))
+    ).pooler_output
+    np.testing.assert_allclose(np.asarray(ours), torch_out, atol=3e-4, rtol=1e-3)
