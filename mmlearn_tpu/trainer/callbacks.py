@@ -50,12 +50,14 @@ class ModelCheckpoint(Callback):
         max_to_keep: int = 3,
         monitor: Optional[str] = None,  # parity arg; not used yet
         mode: str = "min",
+        async_save: bool = True,
     ) -> None:
         self.dirpath = dirpath
         self.every_n_train_steps = every_n_train_steps
         self.every_n_epochs = every_n_epochs
         self.save_last = save_last
         self.max_to_keep = max_to_keep
+        self.async_save = async_save
         self._manager = None
 
     def _ensure_manager(self, trainer: Any):
@@ -74,14 +76,17 @@ class ModelCheckpoint(Callback):
             )
         return self._manager
 
-    def _save(self, trainer: Any, step: int) -> None:
+    def _save(self, trainer: Any, step: int, wait: bool = False) -> None:
         import orbax.checkpoint as ocp
 
         manager = self._ensure_manager(trainer)
         manager.save(
             step, args=ocp.args.StandardSave(trainer.state), force=True
         )
-        manager.wait_until_finished()
+        # async by default: training continues while Orbax serializes in the
+        # background; waits only at train end (and before restores)
+        if wait or not self.async_save:
+            manager.wait_until_finished()
         logger.info("Saved checkpoint at step %d", step)
 
     def on_train_batch_end(self, trainer: Any, metrics: dict, step: int) -> None:
@@ -94,12 +99,15 @@ class ModelCheckpoint(Callback):
 
     def on_train_end(self, trainer: Any) -> None:
         if self.save_last:
-            self._save(trainer, int(trainer.state.step))
+            self._save(trainer, int(trainer.state.step), wait=True)
+        elif self._manager is not None:
+            self._manager.wait_until_finished()
 
     def restore_latest(self, trainer: Any) -> Optional[Any]:
         import orbax.checkpoint as ocp
 
         manager = self._ensure_manager(trainer)
+        manager.wait_until_finished()
         step = manager.latest_step()
         if step is None:
             return None
