@@ -203,40 +203,54 @@ class ContrastiveLoss:
     ) -> jnp.ndarray:
         """BCE over the full cross-modality similarity matrix.
 
-        Positives are entries whose example ids match (same underlying
-        example seen through two modalities). Reference:
-        contrastive.py:344-413.
+        Exact reference semantics (contrastive.py:344-413, verified against
+        recorded outputs in tests/fixtures/reference_contrastive_loss.npz):
+        same-modality pairs are positives — the target matrix is the identity
+        plus the strict upper triangle of each modality's diagonal block —
+        everything else is negative. Per row: mean-positive BCE +
+        mean-negative BCE, averaged over rows. Extended here with presence
+        masks: rows/columns of absent examples are excluded.
         """
-        mods = sorted(feats)
+        mods = list(feats)  # insertion order, like the reference's dict
         all_feats = jnp.concatenate([feats[m] for m in mods], axis=0)
         b = next(iter(feats.values())).shape[0]
+        n = all_feats.shape[0]
 
-        ids = []
         valids = []
+        block_ids = []
         for i, m in enumerate(mods):
-            if example_ids is not None and m in example_ids:
-                mid = example_ids[m]
-            else:
-                mid = jnp.stack(
-                    [jnp.zeros(b, jnp.int32), jnp.arange(b, dtype=jnp.int32)], -1
-                )
-            ids.append(mid)
             if presence is not None and m in presence:
                 valids.append(presence[m].astype(bool))
+            elif example_ids is not None and m in example_ids:
+                valids.append((example_ids[m] >= 0).all(-1))
             else:
-                valids.append((mid >= 0).all(-1))
-        all_ids = jnp.concatenate(ids, axis=0)  # (M*B, 2)
-        all_valid = jnp.concatenate(valids, axis=0)  # (M*B,)
+                valids.append(jnp.ones((b,), bool))
+            block_ids.append(jnp.full((feats[m].shape[0],), i, jnp.int32))
+        all_valid = jnp.concatenate(valids)
+        block = jnp.concatenate(block_ids)
 
         sim = logit_scale * jnp.einsum(
             "id,jd->ij", all_feats, all_feats, preferred_element_type=jnp.float32
         )
-        pos = (all_ids[:, None, :] == all_ids[None, :, :]).all(-1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        same_block = block[:, None] == block[None, :]
+        target = (row == col) | (same_block & (row < col))
+
         pair_valid = all_valid[:, None] & all_valid[None, :]
-        # exclude self-similarity slots (same modality, same row)
-        n = all_feats.shape[0]
-        eye = jnp.eye(n, dtype=bool)
-        pair_valid = pair_valid & ~eye
-        bce = jnp.maximum(sim, 0) - sim * pos + jnp.log1p(jnp.exp(-jnp.abs(sim)))
-        count = jnp.maximum(pair_valid.sum(), 1)
-        return jnp.where(pair_valid, bce, 0.0).sum() / count
+        bce = (
+            jnp.maximum(sim, 0)
+            - sim * target.astype(sim.dtype)
+            + jnp.log1p(jnp.exp(-jnp.abs(sim)))
+        )
+        bce = jnp.where(pair_valid, bce, 0.0)
+
+        pos = target & pair_valid
+        neg = (~target) & pair_valid
+        num_pos = jnp.maximum(pos.sum(axis=1), 1)
+        num_neg = jnp.maximum(neg.sum(axis=1), 1)
+        loss_pos = jnp.where(pos, bce, 0.0).sum(axis=1) / num_pos
+        loss_neg = jnp.where(neg, bce, 0.0).sum(axis=1) / num_neg
+        row_valid = all_valid
+        count = jnp.maximum(row_valid.sum(), 1)
+        return jnp.where(row_valid, loss_pos + loss_neg, 0.0).sum() / count

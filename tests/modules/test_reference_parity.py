@@ -1,0 +1,48 @@
+"""Differential tests against recorded reference (torch mmlearn) outputs.
+
+Fixtures in tests/fixtures/ were produced by running the upstream
+``ContrastiveLoss`` (PyTorch) on fixed inputs; our JAX loss must reproduce the
+numbers. This is the SURVEY.md §7 hard-part-#2 guard: mask-based pair
+semantics must not drift from the reference numerics.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmlearn_tpu.modules.losses import ContrastiveLoss, LossPairSpec
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "..", "fixtures", "reference_contrastive_loss.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return np.load(FIXTURE)
+
+
+def _inputs(ref):
+    emb = {"rgb": jnp.asarray(ref["za"]), "text": jnp.asarray(ref["zb"])}
+    ids = {"rgb": jnp.asarray(ref["ids"]), "text": jnp.asarray(ref["ids"])}
+    return emb, ids, jnp.asarray(float(ref["scale"]))
+
+
+@pytest.mark.parametrize(
+    "case,kwargs",
+    [
+        ("plain", {}),
+        ("l2norm", {"l2_normalize": True}),
+        ("alignment", {"modality_alignment": True}),
+    ],
+)
+def test_contrastive_loss_matches_reference(ref, case, kwargs):
+    emb, ids, scale = _inputs(ref)
+    loss, _ = ContrastiveLoss(**kwargs)(
+        emb, ids, scale, [LossPairSpec(("rgb", "text"))]
+    )
+    np.testing.assert_allclose(
+        float(loss), float(ref[f"loss_{case}"]), rtol=1e-5
+    )
