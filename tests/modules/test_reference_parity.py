@@ -46,3 +46,25 @@ def test_contrastive_loss_matches_reference(ref, case, kwargs):
     np.testing.assert_allclose(
         float(loss), float(ref[f"loss_{case}"]), rtol=1e-5
     )
+
+
+def test_lr_schedule_matches_reference():
+    """Our optax warmup+cosine must trace the reference torch SequentialLR."""
+    from mmlearn_tpu.modules.lr_schedulers import linear_warmup_cosine_annealing_lr
+
+    ref = np.load(
+        os.path.join(os.path.dirname(FIXTURE), "reference_lr_schedule.npz")
+    )
+    sched = linear_warmup_cosine_annealing_lr(
+        base_lr=float(ref["base_lr"]),
+        warmup_steps=int(ref["warmup_steps"]),
+        max_steps=int(ref["max_steps"]),
+        start_factor=float(ref["start_factor"]),
+        eta_min=float(ref["eta_min"]),
+    )
+    ours = np.asarray([float(sched(s)) for s in range(len(ref["lrs"]))])
+    np.testing.assert_allclose(ours, ref["lrs"], atol=2e-2)
+    # exact at the anchor points
+    np.testing.assert_allclose(ours[0], ref["lrs"][0], rtol=1e-6)
+    np.testing.assert_allclose(ours[10], ref["lrs"][10], rtol=1e-6)
+    np.testing.assert_allclose(ours[110], ref["lrs"][110], rtol=1e-3)
