@@ -28,16 +28,18 @@ class Data2VecLoss:
 
     beta: float = 0.0
     loss_scale: Optional[float] = None
-    reduction: str = "mean"  # mean | sum | none
+    reduction: str = "none"  # none (default, per-example sums) | mean | sum
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        if x.shape != y.shape:
+            raise ValueError(f"Shape mismatch: x: {x.shape}, y: {y.shape}")
         x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
         y = y.reshape(-1, y.shape[-1]).astype(jnp.float32)
+        # elementwise mse / smooth-l1 (torch reduction="none" semantics)
         if self.beta == 0.0:
-            loss = 0.5 * (x - y) ** 2
+            loss = (x - y) ** 2
         else:
             loss = smooth_l1(x, y, self.beta)
-        loss = loss.sum(axis=-1)
         scale = (
             self.loss_scale
             if self.loss_scale is not None
@@ -48,4 +50,6 @@ class Data2VecLoss:
             return loss.mean()
         if self.reduction == "sum":
             return loss.sum()
-        return loss
+        # 'none': per-token sums over the feature dim — the reference sums
+        # the already-flattened (N·P, D) rows (data2vec.py:68,87)
+        return loss.sum(axis=-1)

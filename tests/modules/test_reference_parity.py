@@ -68,3 +68,42 @@ def test_lr_schedule_matches_reference():
     np.testing.assert_allclose(ours[0], ref["lrs"][0], rtol=1e-6)
     np.testing.assert_allclose(ours[10], ref["lrs"][10], rtol=1e-6)
     np.testing.assert_allclose(ours[110], ref["lrs"][110], rtol=1e-3)
+
+
+def test_data2vec_loss_matches_reference():
+    from mmlearn_tpu.modules.losses import Data2VecLoss
+
+    ref = np.load(
+        os.path.join(os.path.dirname(FIXTURE), "reference_d2v_ema.npz")
+    )
+    x, y = jnp.asarray(ref["x"]), jnp.asarray(ref["y"])
+    cases = {
+        "mse": dict(beta=0.0, reduction="mean"),
+        "smooth": dict(beta=1.0, reduction="mean"),
+        "scaled": dict(beta=0.0, loss_scale=0.5, reduction="mean"),
+        "sum": dict(beta=0.5, reduction="sum"),
+    }
+    for name, kwargs in cases.items():
+        ours = Data2VecLoss(**kwargs)(x, y)
+        np.testing.assert_allclose(
+            float(ours), float(ref[f"d2v_{name}"]), rtol=1e-5
+        )
+    none_ours = Data2VecLoss(beta=0.0)(x, y)
+    np.testing.assert_allclose(
+        np.asarray(none_ours), ref["d2v_none"], rtol=1e-5
+    )
+
+
+def test_ema_annealed_rate_matches_reference():
+    from mmlearn_tpu.modules import ExponentialMovingAverage
+
+    ref = np.load(
+        os.path.join(os.path.dirname(FIXTURE), "reference_d2v_ema.npz")
+    )
+    ema = ExponentialMovingAverage(
+        ema_decay=0.9, ema_end_decay=0.999, ema_anneal_end_step=100
+    )
+    for n, expected in zip([0, 10, 50, 100], ref["ema_rates"]):
+        np.testing.assert_allclose(
+            float(ema.get_annealed_rate(n)), expected, rtol=1e-6
+        )
