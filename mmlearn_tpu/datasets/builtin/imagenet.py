@@ -126,7 +126,16 @@ class ImageNet:
 
     def __getitem__(self, idx: int) -> Example:
         path, target = self.samples[idx]
-        img = self.transform(load_image(path))
+        if path.lower().endswith((".jpg", ".jpeg")):
+            # fused native decode+resize on the eval path (PIL fallback inside)
+            from mmlearn_tpu.datasets.builtin.image_utils import (
+                decode_transform_jpeg,
+            )
+
+            with open(path, "rb") as f:
+                img = decode_transform_jpeg(f.read(), self.transform)
+        else:
+            img = self.transform(load_image(path))
         example = Example(
             {
                 "rgb": img.astype(np.float32),

@@ -1,0 +1,94 @@
+"""Trainer behavior tests: val intervals, LR monitor, precision casting,
+batch validation."""
+
+import numpy as np
+import pytest
+
+from mmlearn_tpu.datasets.core import CombinedDataset, DataLoader
+from mmlearn_tpu.trainer import LearningRateMonitor, Timer, Trainer
+from mmlearn_tpu.trainer.trainer import validate_batch_shapes
+
+from tests.tasks.test_end_to_end import LossRecorder, PairedDataset, _tiny_task
+
+
+class ValCounter:
+    def __init__(self):
+        self.steps = []
+
+    def on_train_start(self, trainer): ...
+    def on_train_batch_end(self, trainer, metrics, step): ...
+    def on_train_epoch_end(self, trainer, epoch): ...
+    def on_validation_end(self, trainer, metrics, step):
+        self.steps.append(step)
+    def on_train_end(self, trainer): ...
+
+
+@pytest.mark.integration_test
+def test_val_check_interval():
+    ds = CombinedDataset([PairedDataset(size=64)])
+    train = DataLoader(ds, batch_size=16, drop_last=True)
+    val = DataLoader(ds, batch_size=16, drop_last=True)
+    task = _tiny_task()
+    counter = ValCounter()
+    trainer = Trainer(
+        max_steps=9, val_check_interval=3, log_every_n_steps=1, seed=0,
+        callbacks=[counter], limit_val_batches=1,
+        default_root_dir="/tmp/mmlearn_test_vci",
+    )
+    trainer.fit(task, train, val)
+    assert counter.steps == [3, 6, 9]
+
+
+@pytest.mark.integration_test
+def test_lr_monitor_and_timer():
+    ds = CombinedDataset([PairedDataset(size=32)])
+    loader = DataLoader(ds, batch_size=16, drop_last=True)
+    task = _tiny_task()
+    rec = LossRecorder()
+    metrics_seen = {}
+
+    class Capture(LossRecorder):
+        def on_train_batch_end(self, trainer, metrics, step):
+            super().on_train_batch_end(trainer, metrics, step)
+            metrics_seen.update(metrics)
+
+    trainer = Trainer(
+        max_steps=4, log_every_n_steps=1, seed=0,
+        callbacks=[LearningRateMonitor(), Timer(), Capture()],
+        default_root_dir="/tmp/mmlearn_test_lrmon",
+    )
+    trainer.fit(task, loader)
+    assert "lr" in metrics_seen and metrics_seen["lr"] > 0
+    assert "steps_per_sec" in metrics_seen
+
+
+@pytest.mark.integration_test
+def test_bf16_precision_input_cast():
+    import jax.numpy as jnp
+
+    ds = CombinedDataset([PairedDataset(size=32)])
+    loader = DataLoader(ds, batch_size=16, drop_last=True)
+    task = _tiny_task()
+    rec = LossRecorder()
+    trainer = Trainer(
+        max_steps=2, log_every_n_steps=1, precision="bf16", seed=0,
+        callbacks=[rec], default_root_dir="/tmp/mmlearn_test_bf16",
+    )
+    state = trainer.fit(task, loader)
+    assert np.isfinite(rec.losses).all()
+    # params stay f32 (precision only casts float inputs)
+    import jax
+
+    assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+
+def test_validate_batch_shapes_errors():
+    good = {"rgb": np.zeros((4, 2, 2)), "text": np.zeros((4, 3))}
+    assert validate_batch_shapes(good) == 4
+    with pytest.raises(ValueError, match="inconsistent batch dims"):
+        validate_batch_shapes({"rgb": np.zeros((4, 2)), "text": np.zeros((3, 2))})
+    with pytest.raises(ValueError, match="object dtype"):
+        validate_batch_shapes({"rgb": np.asarray([object()], dtype=object)})
+    # aux arrays with non-batch leading dims are fine
+    ok = {"rgb": np.zeros((4, 2)), "ijepa_encoder_masks": np.zeros((1, 4, 5))}
+    assert validate_batch_shapes(ok) == 4
