@@ -28,7 +28,16 @@ class EvalRuntime:
     def encode(
         self, batch: Mapping[str, Any], modality: str, normalize: bool = False
     ) -> jnp.ndarray:
-        """Jit-cached task.encode (one cache entry per modality/normalize)."""
+        """Jit-cached task.encode (one cache entry per modality/normalize).
+
+        The cache lives on the *task* so repeated validation epochs reuse the
+        compiled function (a fresh EvalRuntime is built per eval epoch).
+        """
+        cache = getattr(self.task, "_encode_jit_cache", None)
+        if cache is None:
+            cache = {}
+            self.task._encode_jit_cache = cache
+        self._encode_jit = cache
         key = f"{modality}:{normalize}"
         if key not in self._encode_jit:
             task = self.task
