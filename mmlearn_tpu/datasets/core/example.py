@@ -16,7 +16,6 @@ from typing import Any
 import numpy as np
 
 from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
-from mmlearn_tpu.datasets.core.modalities import Modalities
 
 
 class Example(OrderedDict):
@@ -38,11 +37,13 @@ class Example(OrderedDict):
         self[key] = value
 
     def create_ids(self) -> None:
-        """Stamp per-modality ``(dataset_index, example_index)`` id pairs.
+        """Stamp per-key ``(dataset_index, example_index)`` id pairs.
 
-        Requires ``example_index`` and ``dataset_index`` keys (set by the
-        dataset and :class:`~mmlearn_tpu.datasets.core.combined_dataset.CombinedDataset`
-        respectively). Ids enable cross-modal pairing after collation/gather.
+        Ids are created for every key except the reserved ones (reference
+        semantics, example.py:41-79 — bioscan's eval matches on
+        ``example_ids["split"]``). Requires ``example_index`` and
+        ``dataset_index`` keys (set by the dataset and
+        :class:`~mmlearn_tpu.datasets.core.combined_dataset.CombinedDataset`).
         """
         if EXAMPLE_INDEX_KEY not in self or "dataset_index" not in self:
             raise ValueError(
@@ -56,7 +57,7 @@ class Example(OrderedDict):
         self["example_ids"] = {
             key: idx
             for key in self.keys()
-            if key not in ("example_ids",) and Modalities.has_modality(key)
+            if key not in ("example_ids", EXAMPLE_INDEX_KEY, "dataset_index")
         }
 
 
