@@ -129,7 +129,8 @@ def run_experiment(cfg: dict) -> Any:
         if loaders["train"] is None:
             raise ConfigError("job_type=train requires datasets.train")
         return trainer.fit(
-            task, loaders["train"], loaders["val"], ckpt_path=ckpt_path
+            task, loaders["train"], loaders["val"], ckpt_path=ckpt_path,
+            strict_loading=bool(cfg.get("strict_loading", True)),
         )
     if job_type == "eval":
         if loaders["test"] is None:
@@ -137,7 +138,8 @@ def run_experiment(cfg: dict) -> Any:
         # params come from the checkpoint if given, else from init (which
         # applies any pretrained-weight loaders baked into the task config)
         state = trainer.prepare_eval_state(
-            task, loaders["test"], ckpt_path=ckpt_path
+            task, loaders["test"], ckpt_path=ckpt_path,
+            strict_loading=bool(cfg.get("strict_loading", True)),
         )
         return trainer.test(task, loaders["test"], state=state)
     raise ConfigError(f"Unknown job_type '{job_type}'")
@@ -168,6 +170,13 @@ def main(argv: Optional[Sequence[str]] = None) -> Any:
     if "--cfg" in argv:
         argv.remove("--cfg")
         print_cfg = True
+    multirun = False
+    for flag in ("-m", "--multirun"):
+        if flag in argv:
+            argv.remove(flag)
+            multirun = True
+    if multirun:
+        return run_sweep(argv, print_cfg=print_cfg)
     cfg = build_experiment(argv)
     if print_cfg:
         import yaml
@@ -175,6 +184,51 @@ def main(argv: Optional[Sequence[str]] = None) -> Any:
         print(yaml.safe_dump(cfg, sort_keys=False, default_flow_style=False))
         return cfg
     return run_experiment(cfg)
+
+
+def run_sweep(argv: Sequence[str], print_cfg: bool = False) -> list:
+    """Local sequential sweep over comma-separated override values.
+
+    ``mmlearn_run -m trainer.max_steps=5,10 task.encoders.rgb.depth=2,4``
+    runs the cartesian product (reference: hydra --multirun via submitit;
+    here jobs run sequentially in-process, each with a suffixed output dir).
+    """
+    import itertools
+
+    sweep_axes: list[list[str]] = []
+    base_args: list[str] = []
+    for arg in argv:
+        key, _, raw = arg.partition("=")
+        if (
+            "=" in arg
+            and "," in raw
+            and not raw.strip().startswith("[")
+            and not key.startswith(("searchpath", "hydra."))
+        ):
+            sweep_axes.append([f"{key}={v}" for v in raw.split(",")])
+        else:
+            base_args.append(arg)
+    results = []
+    for i, combo in enumerate(itertools.product(*sweep_axes)):
+        job_args = base_args + list(combo)
+        # recompose with the suffixed output dir so ${runtime.output_dir}
+        # interpolations (loggers, checkpoints) resolve to the job dir
+        out = build_experiment(job_args).get("runtime", {}).get(
+            "output_dir", "outputs"
+        )
+        cfg = build_experiment(
+            job_args + [f"runtime.output_dir={out}/job{i}"]
+        )
+        logger.info("multirun job %d: %s", i, list(combo))
+        if print_cfg:
+            import yaml
+
+            print(f"# --- job {i}: {list(combo)}")
+            print(yaml.safe_dump(cfg, sort_keys=False))
+            results.append(cfg)
+        else:
+            results.append(run_experiment(cfg))
+    return results
 
 
 if __name__ == "__main__":

@@ -103,7 +103,14 @@ class ModelCheckpoint(Callback):
         elif self._manager is not None:
             self._manager.wait_until_finished()
 
-    def restore_latest(self, trainer: Any) -> Optional[Any]:
+    def restore_latest(self, trainer: Any, strict: bool = True) -> Optional[Any]:
+        """Restore the newest checkpoint.
+
+        ``strict=False`` (reference ``strict_loading`` flag,
+        conf/__init__.py:137) overlays whatever saved leaves match the current
+        state's structure+shape and keeps fresh values elsewhere — for
+        loading checkpoints across model-config changes.
+        """
         import orbax.checkpoint as ocp
 
         manager = self._ensure_manager(trainer)
@@ -111,11 +118,54 @@ class ModelCheckpoint(Callback):
         step = manager.latest_step()
         if step is None:
             return None
-        restored = manager.restore(
-            step, args=ocp.args.StandardRestore(trainer.state)
+        if strict:
+            restored = manager.restore(
+                step, args=ocp.args.StandardRestore(trainer.state)
+            )
+            logger.info("Restored checkpoint from step %d", step)
+            return restored
+        raw = manager.restore(step)
+        skipped: list[str] = []
+
+        def _overlay(fresh, saved, path=""):
+            if isinstance(fresh, dict):
+                if not isinstance(saved, dict):
+                    skipped.append(path)
+                    return fresh
+                return {
+                    k: _overlay(v, saved[k], f"{path}/{k}")
+                    if k in saved
+                    else (skipped.append(f"{path}/{k}") or v)
+                    for k, v in fresh.items()
+                }
+            import numpy as np
+
+            if saved is None or np.shape(saved) != np.shape(fresh):
+                skipped.append(path)
+                return fresh
+            import jax.numpy as jnp
+
+            return jnp.asarray(saved, dtype=jnp.asarray(fresh).dtype)
+
+        import flax.serialization
+
+        fresh_dict = flax.serialization.to_state_dict(trainer.state)
+        raw_dict = (
+            flax.serialization.to_state_dict(raw)
+            if not isinstance(raw, dict)
+            else raw
         )
-        logger.info("Restored checkpoint from step %d", step)
-        return restored
+        merged = _overlay(fresh_dict, raw_dict)
+        state = flax.serialization.from_state_dict(trainer.state, merged)
+        if skipped:
+            logger.warning(
+                "Non-strict restore from step %d skipped %d leaves "
+                "(missing or shape-mismatched): %s",
+                step, len(skipped), skipped[:10],
+            )
+        else:
+            logger.info("Restored checkpoint from step %d (non-strict)", step)
+        return state
 
 
 @store(group="trainer/callbacks", name="LearningRateMonitor", populate_full_signature=False)

@@ -256,6 +256,7 @@ class Trainer:
         train_loader: Any,
         val_loader: Any = None,
         ckpt_path: Optional[str] = None,
+        strict_loading: bool = True,
     ) -> TrainState:
         max_steps = self._resolve_max_steps(train_loader)
         tx = self._build_tx(task, max_steps)
@@ -272,7 +273,7 @@ class Trainer:
         if ckpt_path is not None and ckpt_cb is not None:
             if ckpt_path != "last":
                 ckpt_cb.dirpath = ckpt_path
-            restored = ckpt_cb.restore_latest(self)
+            restored = ckpt_cb.restore_latest(self, strict=strict_loading)
             if restored is not None:
                 self.state = restored
 
@@ -385,7 +386,8 @@ class Trainer:
         return self.state
 
     def prepare_eval_state(
-        self, task: Any, loader: Any, ckpt_path: Optional[str] = None
+        self, task: Any, loader: Any, ckpt_path: Optional[str] = None,
+        strict_loading: bool = True,
     ) -> TrainState:
         """Initialize (and optionally restore) a TrainState for eval-only jobs.
 
@@ -409,7 +411,7 @@ class Trainer:
             if ckpt_path != "last":
                 ckpt_cb.dirpath = ckpt_path
                 ckpt_cb._manager = None
-            restored = ckpt_cb.restore_latest(self)
+            restored = ckpt_cb.restore_latest(self, strict=strict_loading)
             if restored is None:
                 raise FileNotFoundError(
                     f"No checkpoint found under '{ckpt_path}'"

@@ -83,3 +83,65 @@ def test_resume_matches_uninterrupted_run(tmp_path):
     flat_b = jax.tree.leaves(resumed)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.integration_test
+def test_non_strict_restore_across_config_change(tmp_path):
+    """strict_loading=False restores matching leaves, keeps fresh elsewhere."""
+    import functools
+
+    import optax
+
+    from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+    from mmlearn_tpu.tasks import ContrastivePretraining
+
+    ds = CombinedDataset([PairedDataset(size=32)])
+    ckpt_dir = str(tmp_path / "ns_ckpts")
+
+    def build_task(depth):
+        return ContrastivePretraining(
+            encoders={
+                "rgb": VisionTransformer(
+                    img_size=16, patch_size=8, embed_dim=32, depth=depth,
+                    num_heads=4, use_cls_token=True, global_pool="cls",
+                    proj_dim=16,
+                ),
+                "text": TextTransformer(
+                    vocab_size=32, max_length=8, embed_dim=32, depth=2,
+                    num_heads=4, causal=True, pooling="eos", proj_dim=16,
+                ),
+            },
+            optimizer=functools.partial(optax.adamw, learning_rate=1e-3),
+        )
+
+    loader = DataLoader(ds, batch_size=16, drop_last=True)
+    trainer = Trainer(
+        max_steps=2, log_every_n_steps=1, seed=0,
+        callbacks=[ModelCheckpoint(dirpath=ckpt_dir, every_n_epochs=None,
+                                   save_last=True)],
+        default_root_dir=str(tmp_path),
+    )
+    state = trainer.fit(build_task(2), loader)
+    saved_block0 = np.asarray(
+        jax.device_get(state.params["encoders"]["rgb"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    )
+
+    # new task with MORE blocks: strict restore would fail; non-strict overlays
+    task2 = build_task(3)
+    trainer2 = Trainer(
+        max_steps=2, seed=1,
+        callbacks=[ModelCheckpoint(dirpath=ckpt_dir)],
+        default_root_dir=str(tmp_path),
+    )
+    state2 = trainer2.prepare_eval_state(
+        task2, DataLoader(ds, batch_size=16), ckpt_path=ckpt_dir,
+        strict_loading=False,
+    )
+    restored_block0 = np.asarray(
+        jax.device_get(
+            state2.params["encoders"]["rgb"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        )
+    )
+    np.testing.assert_allclose(restored_block0, saved_block0, atol=1e-6)
+    # the extra block exists (fresh init)
+    assert "blocks_2" in state2.params["encoders"]["rgb"]
