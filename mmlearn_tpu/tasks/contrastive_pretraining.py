@@ -163,9 +163,12 @@ class ContrastivePretraining(TrainingTask):
             self.encoder_keys[m]: encoders[m] for m in self.modalities
             if m in encoders
         }
-        # also allow encoders given directly under shared keys
+        # also allow encoders given directly under shared (non-modality) keys
+        shared_keys = set(self.encoder_keys.values())
         for key, module in encoders.items():
-            self.encoders.setdefault(str(key).lower(), module)
+            k = str(key).lower()
+            if k not in self.modalities and k in shared_keys:
+                self.encoders.setdefault(k, module)
         self.heads = {str(k).lower(): v for k, v in (heads or {}).items()}
         self.postprocessors = {
             str(k).lower(): v for k, v in (postprocessors or {}).items()

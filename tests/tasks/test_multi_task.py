@@ -92,3 +92,41 @@ def test_contrastive_with_aux_ijepa():
     student = state.params["encoders"]["rgb"]
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), ema, student)
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+@pytest.mark.integration_test
+def test_modality_module_mapping_shares_encoder():
+    """Two modalities sharing one encoder via ModuleKeySpec train together."""
+    from mmlearn_tpu.tasks import ModuleKeySpec
+
+    ds = CombinedDataset([RGBDepthDataset(size=32)])
+    loader = DataLoader(ds, batch_size=8, drop_last=True)
+
+    # depth is 1-channel; tile to 3 channels so one encoder serves both
+    class TiledDepth(RGBDepthDataset):
+        def __getitem__(self, idx):
+            ex = super().__getitem__(idx)
+            ex["depth"] = np.tile(ex["depth"], (1, 1, 3))
+            return ex
+
+    ds = CombinedDataset([TiledDepth(size=32)])
+    loader = DataLoader(ds, batch_size=8, drop_last=True)
+    shared = VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=1, num_heads=4,
+        global_pool="avg", proj_dim=16,
+    )
+    task = ContrastivePretraining(
+        encoders={"rgb": shared, "depth": shared},
+        modality_module_mapping={
+            "rgb": ModuleKeySpec(encoder_key="shared"),
+            "depth": ModuleKeySpec(encoder_key="shared"),
+        },
+        optimizer=functools.partial(optax.adamw, learning_rate=1e-3),
+    )
+    trainer = Trainer(max_steps=3, log_every_n_steps=1, seed=0,
+                      default_root_dir="/tmp/mmlearn_test_shared")
+    state = trainer.fit(task, loader)
+    # exactly ONE encoder param subtree
+    assert list(state.params["encoders"].keys()) == ["shared"]
+    emb = task.forward(state.params, next(iter(loader)))
+    assert "rgb_embedding" in emb and "depth_embedding" in emb
