@@ -46,3 +46,24 @@ def test_grain_loader_epoch_shuffle():
     loader.set_epoch(1)
     e1 = np.concatenate([b["example_index"] for b in loader])
     assert not np.array_equal(e0, e1)
+
+
+@pytest.mark.integration_test
+def test_grain_loader_through_trainer():
+    """The Grain loader drives a full Trainer fit like the default loader."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tests.tasks.test_end_to_end import LossRecorder, PairedDataset, _tiny_task
+
+    from mmlearn_tpu.trainer import Trainer
+
+    ds = CombinedDataset([PairedDataset(size=32)])
+    loader = GrainDataLoader(ds, batch_size=16, shuffle=True, num_workers=0,
+                             drop_last=True)
+    rec = LossRecorder()
+    trainer = Trainer(max_steps=4, log_every_n_steps=1, callbacks=[rec],
+                      seed=0, default_root_dir="/tmp/mmlearn_test_grain")
+    state = trainer.fit(_tiny_task(), loader)
+    assert int(state.step) == 4
+    assert np.isfinite(rec.losses).all()
