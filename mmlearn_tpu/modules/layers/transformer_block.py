@@ -106,6 +106,14 @@ class BlockStack(nn.Module):
                 # keep (cheap, bf16) projection/MLP outputs; recompute the
                 # batched attention einsums whose f32 logits dominate HBM
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif self.remat_policy == "save_attn_out":
+                # additionally keep the (bf16) attention outputs named in
+                # Block — the block recompute then skips the attention
+                # forward entirely (its bwd still rematerializes scores)
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("attn_out"),
+                )
             target = nn.remat(target, policy=policy)
         scanned = nn.scan(
             target,
@@ -161,6 +169,9 @@ class Block(nn.Module):
         )
         if return_attention:
             attn_out, weights = attn_out
+        # named for remat policies (BlockStack remat_policy="save_attn_out")
+        from jax.ad_checkpoint import checkpoint_name
+        attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(
             attn_out, deterministic
         )
