@@ -7,8 +7,6 @@ real wrappers.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 from mmlearn_tpu.conf import store

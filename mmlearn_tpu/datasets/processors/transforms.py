@@ -9,7 +9,7 @@ Plus host-side numpy image transforms used by dataset wrappers.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ matching the checkpoint's config and registers a weight-conversion loader that
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 from mmlearn_tpu.conf import store
 from mmlearn_tpu.hf_utils import (

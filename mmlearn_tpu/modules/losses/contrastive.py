@@ -28,8 +28,8 @@ program (SURVEY.md §5.2).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Mapping, Optional, Sequence
+from dataclasses import dataclass
+from typing import Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

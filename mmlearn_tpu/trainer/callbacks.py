@@ -14,8 +14,6 @@ import os
 import time
 from typing import Any, Optional
 
-import jax
-
 from mmlearn_tpu.conf import store
 
 logger = logging.getLogger(__name__)

@@ -9,7 +9,7 @@ precomputed language tokens + taxonomy label dicts for the taxonomic eval.
 
 from __future__ import annotations
 
-from typing import Any, Literal, Optional, Union
+from typing import Literal, Optional, Union
 
 import numpy as np
 

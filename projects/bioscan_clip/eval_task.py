@@ -14,7 +14,7 @@ instead of per-step ``all_gather_object`` (reference lines 222-229).
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ from typing import Callable, Optional
 import numpy as np
 
 from mmlearn_tpu.conf import external_store
-from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
 from mmlearn_tpu.datasets.core.example import Example
 
 from projects.med_benchmarking.datasets.base import (
