@@ -130,3 +130,47 @@ def test_modality_module_mapping_shares_encoder():
     assert list(state.params["encoders"].keys()) == ["shared"]
     emb = task.forward(state.params, next(iter(loader)))
     assert "rgb_embedding" in emb and "depth_embedding" in emb
+
+
+@pytest.mark.integration_test
+def test_heads_and_postprocessors_compose():
+    """encode() = encoder → postprocessor → head → L2 norm (reference
+    contrastive_pretraining.py:400-431) with flax-module heads and a
+    callable postprocessor."""
+    from mmlearn_tpu.modules.layers import MLP
+
+    class CLSPooler:
+        def __call__(self, x):
+            return x[:, 0]
+
+    ds = CombinedDataset([RGBDepthDataset(size=16)])
+    loader = DataLoader(ds, batch_size=8, drop_last=True)
+    encoders = {
+        "rgb": VisionTransformer(
+            img_size=32, patch_size=8, embed_dim=32, depth=1, num_heads=4,
+            use_cls_token=True, global_pool="none",
+        ),
+        "depth": VisionTransformer(
+            img_size=32, patch_size=8, in_chans=1, embed_dim=32, depth=1,
+            num_heads=4, use_cls_token=True, global_pool="none",
+        ),
+    }
+    task = ContrastivePretraining(
+        encoders=encoders,
+        postprocessors={"rgb": CLSPooler(), "depth": CLSPooler()},
+        heads={
+            "rgb": MLP(hidden_dims=[24], out_dim=16),
+            "depth": MLP(hidden_dims=[24], out_dim=16),
+        },
+        optimizer=functools.partial(optax.adamw, learning_rate=1e-3),
+    )
+    trainer = Trainer(max_steps=3, log_every_n_steps=1, seed=0,
+                      default_root_dir="/tmp/mmlearn_test_heads")
+    state = trainer.fit(task, loader)
+    assert "rgb" in state.params["heads"]
+    emb = task.forward(state.params, next(iter(loader)))
+    assert emb["rgb_embedding"].shape == (8, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb["rgb_embedding"]), axis=-1), 1.0,
+        rtol=1e-5,
+    )
