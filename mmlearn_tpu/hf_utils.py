@@ -231,18 +231,25 @@ def load_clip_from_hf(
     }
 
 
-def stack_block_params(params: dict, depth: int) -> dict:
+def stack_block_params(
+    params: dict, depth: int,
+    out_path: tuple[str, ...] = ("block_stack", "blocks", "block"),
+) -> dict:
     """Convert per-layer ``blocks_{i}`` subtrees into the nn.scan layout.
 
-    Scan-format modules (``scan_blocks=True``) expect stacked params under
-    ``block_stack/blocks/block`` with a leading depth axis; this restacks a
-    loop-format (or HF-converted) tree in place.
+    Scan-format modules (``scan_blocks=True``) expect stacked params with a
+    leading depth axis under ``block_stack/blocks/block``
+    (VisionTransformer/TextTransformer) or ``blocks/block``
+    (BertTextEncoder — pass ``out_path=("blocks", "block")``).
     """
     import jax
 
     blocks = [params.pop(f"blocks_{i}") for i in range(depth)]
     stacked = jax.tree.map(lambda *xs: np.stack([_np(x) for x in xs]), *blocks)
-    params["block_stack"] = {"blocks": {"block": stacked}}
+    node: dict = stacked
+    for key in reversed(out_path):
+        node = {key: node}
+    params.update(node)
     return params
 
 
@@ -277,21 +284,21 @@ def convert_bert(
             _np(sd[f"{lp}.attention.self.{n}.bias"])
             for n in ("query", "key", "value")
         ]
-        params[f"blocks_{i}_attn"] = {
-            "qkv": {
-                "kernel": np.concatenate(kernels, axis=1),
-                "bias": np.concatenate(biases),
+        params[f"blocks_{i}"] = {
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate(kernels, axis=1),
+                    "bias": np.concatenate(biases),
+                },
+                "proj": _linear(sd, f"{lp}.attention.output.dense"),
             },
-            "proj": _linear(sd, f"{lp}.attention.output.dense"),
+            "attn_norm": _layernorm(sd, f"{lp}.attention.output.LayerNorm"),
+            "mlp": {
+                "fc1": _linear(sd, f"{lp}.intermediate.dense"),
+                "fc2": _linear(sd, f"{lp}.output.dense"),
+            },
+            "mlp_norm": _layernorm(sd, f"{lp}.output.LayerNorm"),
         }
-        params[f"blocks_{i}_attn_norm"] = _layernorm(
-            sd, f"{lp}.attention.output.LayerNorm"
-        )
-        params[f"blocks_{i}_mlp"] = {
-            "fc1": _linear(sd, f"{lp}.intermediate.dense"),
-            "fc2": _linear(sd, f"{lp}.output.dense"),
-        }
-        params[f"blocks_{i}_mlp_norm"] = _layernorm(sd, f"{lp}.output.LayerNorm")
     if f"{p}pooler.dense.weight" in sd:
         params["pooler"] = _linear(sd, f"{p}pooler.dense")
     return params

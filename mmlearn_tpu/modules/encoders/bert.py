@@ -22,6 +22,47 @@ from mmlearn_tpu.modules.layers.attention import Attention
 from mmlearn_tpu.modules.layers.mlp import MLP
 
 
+class BertBlock(nn.Module):
+    """One post-LN BERT layer: x = LN(x + Attn(x)); x = LN(x + MLP(x))."""
+
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    act_layer: str = "gelu"
+    norm_eps: float = 1e-12
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask=None, deterministic=True):
+        attn_out = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=True,
+            attn_drop=self.attn_drop_rate,
+            proj_drop=self.drop_rate,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(x, attention_mask=attention_mask, deterministic=deterministic)
+        x = nn.LayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype, name="attn_norm"
+        )(x + attn_out)
+        mlp_out = MLP(
+            hidden_dims=[int(self.embed_dim * self.mlp_ratio)],
+            out_dim=self.embed_dim,
+            activation=self.act_layer,
+            dropout=self.drop_rate,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mlp",
+        )(x, deterministic=deterministic)
+        return nn.LayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype, name="mlp_norm"
+        )(x + mlp_out)
+
+
 @store(group="modules/encoders", name="BertTextEncoder")
 class BertTextEncoder(nn.Module):
     """Post-LN BERT trunk over token ids."""
@@ -39,6 +80,8 @@ class BertTextEncoder(nn.Module):
     pooling: str = "pooler"  # pooler | cls | mean | none
     use_pooler: bool = True
     proj_dim: Optional[int] = None
+    scan_blocks: bool = False  # lax.scan over layers (~depth× faster compile)
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -71,34 +114,41 @@ class BertTextEncoder(nn.Module):
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
 
-        for i in range(self.depth):
-            # post-LN: x = LN(x + Attn(x)); x = LN(x + MLP(x))
-            attn_out = Attention(
-                num_heads=self.num_heads,
-                qkv_bias=True,
-                attn_drop=self.attn_drop_rate,
-                proj_drop=self.drop_rate,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"blocks_{i}_attn",
-            )(x, attention_mask=attention_mask, deterministic=deterministic)
-            x = nn.LayerNorm(
-                epsilon=self.norm_eps, dtype=self.dtype,
-                name=f"blocks_{i}_attn_norm",
-            )(x + attn_out)
-            mlp_out = MLP(
-                hidden_dims=[int(self.embed_dim * self.mlp_ratio)],
-                out_dim=self.embed_dim,
-                activation=self.act_layer,
-                dropout=self.drop_rate,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"blocks_{i}_mlp",
-            )(x, deterministic=deterministic)
-            x = nn.LayerNorm(
-                epsilon=self.norm_eps, dtype=self.dtype,
-                name=f"blocks_{i}_mlp_norm",
-            )(x + mlp_out)
+        block_kwargs = dict(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            act_layer=self.act_layer,
+            norm_eps=self.norm_eps,
+            drop_rate=self.drop_rate,
+            attn_drop_rate=self.attn_drop_rate,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.scan_blocks:
+            encoder = self
+
+            class _Body(nn.Module):
+                @nn.compact
+                def __call__(self, carry, _):
+                    y = BertBlock(**block_kwargs, name="block")(
+                        carry, attention_mask, deterministic
+                    )
+                    return y, None
+
+            target = nn.remat(_Body) if self.remat else _Body
+            scanned = nn.scan(
+                target,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+            )
+            x, _ = scanned(name="blocks")(x, None)
+        else:
+            for i in range(self.depth):
+                x = BertBlock(**block_kwargs, name=f"blocks_{i}")(
+                    x, attention_mask, deterministic
+                )
 
         pooled = None
         if self.pooling == "pooler" and self.use_pooler:

@@ -30,6 +30,8 @@ class BarcodeBERT(nn.Module):
     num_heads: int = 12
     max_length: int = 256
     norm_eps: float = 1e-12
+    scan_blocks: bool = False  # lax.scan over layers (faster compile)
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -49,6 +51,8 @@ class BarcodeBERT(nn.Module):
             norm_eps=self.norm_eps,
             pooling="none",
             use_pooler=False,
+            scan_blocks=self.scan_blocks,
+            remat=self.remat,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",

@@ -86,3 +86,25 @@ def test_scan_grads_and_partitioning():
     specs = infer_param_specs(params, mesh)
     qkv_spec = specs["block_stack"]["blocks"]["block"]["attn"]["qkv"]["kernel"]
     assert tuple(qkv_spec) == (None, "fsdp", "model")
+
+
+def test_bert_scan_matches_loop():
+    from mmlearn_tpu.modules.encoders import BertTextEncoder
+
+    kwargs = dict(vocab_size=60, max_length=16, embed_dim=32, depth=3,
+                  num_heads=4, mlp_ratio=2.0, pooling="cls")
+    loop = BertTextEncoder(scan_blocks=False, **kwargs)
+    scan = BertTextEncoder(scan_blocks=True, **kwargs)
+    ids = jnp.asarray(np.random.default_rng(2).integers(1, 59, (2, 10)),
+                      jnp.int32)
+    mask = jnp.ones((2, 10), jnp.int32)
+    params = loop.init(jax.random.key(0), ids, mask)["params"]
+    out_loop = loop.apply({"params": params}, ids, mask)
+
+    scan_params = stack_block_params(dict(params), depth=3,
+                                     out_path=("blocks", "block"))
+    out_scan = scan.apply({"params": scan_params}, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_scan.pooler_output), np.asarray(out_loop.pooler_output),
+        atol=1e-5,
+    )
