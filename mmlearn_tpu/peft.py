@@ -57,7 +57,8 @@ def _match_kernel(path: tuple, leaf: Any, patterns: Sequence[str]) -> bool:
     if not key.endswith("/kernel"):
         return False
     parent = key[: -len("/kernel")]
-    return np.ndim(leaf) == 2 and any(re.match(p, parent) for p in patterns)
+    # ndim 2 = plain Dense kernel; ndim 3 = nn.scan-stacked (depth, in, out)
+    return np.ndim(leaf) in (2, 3) and any(re.match(p, parent) for p in patterns)
 
 
 def init_lora_params(
@@ -67,7 +68,8 @@ def init_lora_params(
 
     Returns a flat dict ``{parent_path: {"a": ..., "b": ...}}``; ``a`` is
     kaiming-initialized, ``b`` zeros (standard LoRA init — merged delta
-    starts at 0).
+    starts at 0). Scan-stacked kernels ``(depth, in, out)`` get per-layer
+    factors ``(depth, in, r)``/``(depth, r, out)``.
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     lora: dict[str, dict[str, jnp.ndarray]] = {}
@@ -75,13 +77,16 @@ def init_lora_params(
         if not _match_kernel(path, leaf, config.target_patterns):
             continue
         parent = _path_str(path)[: -len("/kernel")]
-        d_in, d_out = np.shape(leaf)
         sub = jax.random.fold_in(rng, i)
-        lora[parent] = {
-            "a": jax.random.normal(sub, (d_in, config.r), jnp.float32)
-            * (1.0 / np.sqrt(d_in)),
-            "b": jnp.zeros((config.r, d_out), jnp.float32),
-        }
+        if np.ndim(leaf) == 2:
+            d_in, d_out = np.shape(leaf)
+            a = jax.random.normal(sub, (d_in, config.r), jnp.float32)
+            b = jnp.zeros((config.r, d_out), jnp.float32)
+        else:
+            depth, d_in, d_out = np.shape(leaf)
+            a = jax.random.normal(sub, (depth, d_in, config.r), jnp.float32)
+            b = jnp.zeros((depth, config.r, d_out), jnp.float32)
+        lora[parent] = {"a": a * (1.0 / np.sqrt(d_in)), "b": b}
     return lora
 
 
@@ -99,7 +104,12 @@ def apply_lora(
         if key.endswith("/kernel"):
             parent = key[: -len("/kernel")]
             if parent in lora_params:
-                ab = lora_params[parent]["a"] @ lora_params[parent]["b"]
+                a = lora_params[parent]["a"]
+                b = lora_params[parent]["b"]
+                if a.ndim == 3:  # per-layer factors for stacked kernels
+                    ab = jnp.einsum("lir,lro->lio", a, b)
+                else:
+                    ab = a @ b
                 return leaf + (ab * config.scaling).astype(leaf.dtype)
         return leaf
 

@@ -126,3 +126,28 @@ def test_contrastive_lora_training():
     # base encoder unchanged after training
     fresh = task.init_params(jax.random.key(0), None) if False else None
     assert np.mean(rec.losses[-4:]) < np.mean(rec.losses[:4])
+
+
+def test_lora_on_scan_stacked_kernels():
+    """LoRA factors cover nn.scan-stacked (depth, in, out) kernels."""
+    model = VisionTransformer(
+        img_size=16, patch_size=8, embed_dim=32, depth=3, num_heads=4,
+        scan_blocks=True,
+    )
+    x = jnp.ones((1, 16, 16, 3))
+    params = model.init(jax.random.key(0), x)["params"]
+    cfg = LoRAConfig(r=2)
+    lora = init_lora_params(params, cfg, jax.random.key(1))
+    qkv_key = next(k for k in lora if "block_stack" in k and k.endswith("qkv"))
+    assert lora[qkv_key]["a"].shape == (3, 32, 2)
+    assert lora[qkv_key]["b"].shape == (3, 2, 96)
+
+    # zero b → identity merge
+    merged = apply_lora(params, lora, cfg)
+    out0 = model.apply({"params": params}, x)[0]
+    out1 = model.apply({"params": merged}, x)[0]
+    np.testing.assert_allclose(out0, out1, atol=1e-6)
+    # nonzero factors change the output
+    lora2 = jax.tree.map(lambda v: v + 0.1, lora)
+    out2 = model.apply({"params": apply_lora(params, lora2, cfg)}, x)[0]
+    assert float(jnp.abs(out2 - out0).max()) > 1e-4
