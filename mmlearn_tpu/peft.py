@@ -146,11 +146,20 @@ def freeze_layers_mask(
         return jax.tree.map(lambda _: False, params)
 
     depth = 0
+    has_stacked = False
     for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = _path_str(path)
         m = re.search(rf"{block_prefix}(\d+)", key)
         if m:
             depth = max(depth, int(m.group(1)) + 1)
+        if "block_stack" in key or "/blocks/block/" in f"/{key}/":
+            has_stacked = True
+    if depth == 0 and has_stacked and not isinstance(freeze_spec, bool):
+        raise ValueError(
+            "Per-layer freeze specs (int/float/list) require loop-format "
+            "blocks; this tree uses nn.scan-stacked params (scan_blocks=True)."
+            " Use freeze_spec=True/False, or disable scan_blocks."
+        )
 
     if isinstance(freeze_spec, float):
         n = int(round(freeze_spec * depth))
