@@ -269,6 +269,14 @@ class Trainer:
         max_steps = self._resolve_max_steps(train_loader)
         tx = self._build_tx(task, max_steps)
 
+        try:
+            if len(train_loader) == 0:
+                raise ValueError(
+                    "train_loader yields no batches (dataset smaller than "
+                    "batch_size with drop_last?)"
+                )
+        except TypeError:
+            pass
         first_batch = next(iter(train_loader))
         first_batch = task.prepare_batch(dict(first_batch), step=0)
         sample = self._cast_inputs(_device_batch(first_batch))

@@ -128,3 +128,38 @@ def test_modality_custom_properties():
     mod = Modalities.register_modality("spectro", {"fft": "{}_fft_key"})
     assert mod.fft == "spectro_fft_key"
     assert mod.embedding == "spectro_embedding"
+
+
+def test_collate_fuzz_random_missing_keys():
+    """Randomized hetero batches: dense shapes + correct presence masks."""
+    rng = np.random.default_rng(0)
+    keys = ["rgb", "text", "audio"]
+    shapes = {"rgb": (4, 4, 3), "text": (7,), "audio": (5, 2)}
+    for trial in range(25):
+        n = int(rng.integers(2, 9))
+        present = rng.random((n, len(keys))) > 0.4
+        present[rng.integers(0, n)] = True  # ensure one full example
+        examples = []
+        for i in range(n):
+            ex = Example({EXAMPLE_INDEX_KEY: i})
+            for j, k in enumerate(keys):
+                if present[i, j]:
+                    ex[k] = np.full(shapes[k], float(i))
+            examples.append(ex)
+        batch = collate_example_list(examples)
+        for j, k in enumerate(keys):
+            if not present[:, j].any():
+                assert k not in batch
+                continue
+            assert batch[k].shape == (n, *shapes[k])
+            mask_key = f"{k}{MODALITY_PRESENCE_SUFFIX}"
+            if present[:, j].all():
+                assert mask_key not in batch
+            else:
+                np.testing.assert_array_equal(batch[mask_key], present[:, j])
+                # absent rows zero-padded; present rows carry their value
+                for i in range(n):
+                    expected = float(i) if present[i, j] else 0.0
+                    np.testing.assert_array_equal(
+                        batch[k][i], np.full(shapes[k], expected)
+                    )
