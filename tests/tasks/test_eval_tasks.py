@@ -156,3 +156,38 @@ def test_zero_shot_eval_pipeline():
     assert results["retrieval/rgb_to_text_R@5"] > 0.25
     assert results["classification/ds0_rgb_top2_accuracy"] >= 0.5
     assert results["classification/ds0_rgb_top1_accuracy"] >= 0.25
+
+
+class PairedEvalDatasetB(PairedEvalDataset):
+    """Second eval dataset with its own label space (2 classes)."""
+
+    zero_shot_prompt_templates = ["an x-ray of {}."]
+    id2label = {0: "zero", 1: "one"}
+
+    def __init__(self, size=16, img=16, seed=5):
+        super().__init__(size=size, img=img, seed=seed)
+        self.labels = self.labels % 2
+
+
+@pytest.mark.integration_test
+def test_zero_shot_classification_multi_dataset_routing():
+    """Examples route to their own dataset's class embeddings by
+    dataset_index (reference: zero_shot_classification.py:195-219)."""
+    train_ds = CombinedDataset([PairedEvalDataset(size=32)])
+    val_ds = CombinedDataset(
+        [PairedEvalDataset(size=16, seed=0), PairedEvalDatasetB(size=16)]
+    )
+    task = _task_with_eval()
+    trainer = Trainer(
+        max_steps=10, log_every_n_steps=5, seed=0,
+        default_root_dir="/tmp/mmlearn_test_multi_ds_eval",
+    )
+    trainer.fit(task, DataLoader(train_ds, batch_size=16, drop_last=True))
+    results = trainer.validate(
+        task, DataLoader(val_ds, batch_size=8, pad_partial_batches=True)
+    )
+    # both datasets produce their own metric rows
+    assert "classification/ds0_rgb_top1_accuracy" in results
+    assert "classification/ds1_rgb_top1_accuracy" in results
+    for v in results.values():
+        assert np.isfinite(v)
