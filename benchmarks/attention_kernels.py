@@ -27,13 +27,13 @@ def main() -> None:
     d, h = 64, 8
     rng = np.random.default_rng(0)
     for n in seqs:
-        b = max(1, 2**22 // (n * h))  # keep tokens roughly constant
+        b = max(1, 2**18 // (n * h))  # keep memory modest across seq lens
         q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
         mask = jnp.ones((b, n), bool)
         scale = d ** -0.5
-        block = min(1024, n)
+        block = min(512, n)
 
         results = {"seq": n, "batch": b}
         for name, fn in [
