@@ -58,6 +58,29 @@ def macro_f1(preds: np.ndarray, targets: np.ndarray, num_classes: int) -> float:
     return float(per_class[present].mean()) if present.any() else 0.0
 
 
+def binary_precision(preds: np.ndarray, targets: np.ndarray) -> float:
+    """Precision of the positive class (torchmetrics task='binary')."""
+    tp = np.sum((preds == 1) & (targets == 1))
+    fp = np.sum((preds == 1) & (targets != 1))
+    return float(tp / (tp + fp)) if (tp + fp) > 0 else 0.0
+
+
+def binary_recall(preds: np.ndarray, targets: np.ndarray) -> float:
+    """Recall of the positive class (torchmetrics task='binary')."""
+    tp = np.sum((preds == 1) & (targets == 1))
+    fn = np.sum((preds != 1) & (targets == 1))
+    return float(tp / (tp + fn)) if (tp + fn) > 0 else 0.0
+
+
+def binary_f1(preds: np.ndarray, targets: np.ndarray) -> float:
+    """F1 of the positive class (torchmetrics task='binary')."""
+    tp = np.sum((preds == 1) & (targets == 1))
+    fp = np.sum((preds == 1) & (targets != 1))
+    fn = np.sum((preds != 1) & (targets == 1))
+    denom = 2 * tp + fp + fn
+    return float(2 * tp / denom) if denom > 0 else 0.0
+
+
 def _binary_auroc(scores: np.ndarray, labels: np.ndarray) -> Optional[float]:
     """AUROC via the rank-sum (Mann-Whitney U) formulation."""
     pos = labels.astype(bool)

@@ -481,6 +481,12 @@ class ContrastivePretraining(TrainingTask):
         embeddings_by_mod = {}
         presence = {}
         example_ids = {}
+        # rows duplicated by pad_partial_batches are invalid for every
+        # modality: fold batch_validity into the presence masks so padded
+        # rows drop out of the InfoNCE (as anchors and as negatives)
+        validity = batch.get("batch_validity")
+        if validity is not None:
+            validity = jnp.asarray(validity).astype(bool)
         for m in self.modalities:
             mod = Modalities.get_modality(m)
             if mod.name not in batch:
@@ -494,8 +500,11 @@ class ContrastivePretraining(TrainingTask):
                 deterministic=deterministic, rng=sub_rng,
             )
             pk = f"{mod.name}{MODALITY_PRESENCE_SUFFIX}"
-            if pk in batch:
-                presence[m] = jnp.asarray(batch[pk])
+            pres = jnp.asarray(batch[pk]).astype(bool) if pk in batch else None
+            if validity is not None:
+                pres = validity if pres is None else pres & validity
+            if pres is not None:
+                presence[m] = pres
             ids = batch.get("example_ids", {})
             if mod.name in ids:
                 example_ids[m] = jnp.asarray(ids[mod.name])

@@ -131,7 +131,11 @@ class IJEPA(TrainingTask):
         if mod.name not in batch or ENCODER_MASK_KEY in batch:
             return batch
         b = np.asarray(batch[mod.name]).shape[0]
-        rng = np.random.default_rng(step)
+        # seeded per (run seed, step, phase): distinct masks across seeds and
+        # no train/eval step-index collisions (the trainer sets prepare_seed)
+        rng = np.random.default_rng(
+            (int(getattr(self, "prepare_seed", 0)), int(step), 0 if training else 1)
+        )
         masks = self.mask_generator(b, rng=rng)
         batch = dict(batch)
         batch[ENCODER_MASK_KEY] = masks["encoder_masks"]

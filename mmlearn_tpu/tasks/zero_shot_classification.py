@@ -125,7 +125,16 @@ class ZeroShotClassification(EvaluationHooks):
                 sel = valid & (ds_indices == ds_idx)
                 if not sel.any():
                     continue
-                logits = 100.0 * emb[sel] @ class_emb.T  # reference convention
+                if class_emb.shape[0] == 2:
+                    # binary datasets use softmax-difference scores in [-1, 1]
+                    # (reference zero_shot_classification.py:208-214); stored
+                    # 1-D so epoch-end routes to the binary metric set
+                    raw = emb[sel] @ class_emb.T
+                    ex = np.exp(raw - raw.max(axis=1, keepdims=True))
+                    sm = ex / ex.sum(axis=1, keepdims=True)
+                    logits = sm[:, 1] - sm[:, 0]
+                else:
+                    logits = 100.0 * emb[sel] @ class_emb.T  # reference convention
                 key = (q, ds_idx)
                 self._scores.setdefault(key, []).append(logits)
                 self._targets.setdefault(key, []).append(
@@ -150,12 +159,33 @@ class ZeroShotClassification(EvaluationHooks):
             str(s.query_modality).lower(): [int(k) for k in s.top_k]
             for s in self.task_specs
         }
+        from mmlearn_tpu.modules.metrics.classification import (
+            binary_f1,
+            binary_precision,
+            binary_recall,
+        )
+
         results: dict[str, float] = {}
         for (q, ds_idx), score_chunks in self._scores.items():
             scores = np.concatenate(score_chunks)
             targets = np.concatenate(self._targets[(q, ds_idx)])
-            num_classes = scores.shape[1]
             prefix = f"classification/ds{ds_idx}_{q}"
+            if scores.ndim == 1:
+                # binary softmax-difference scores (reference metrics built
+                # with task="binary", zero_shot_classification.py:252-280);
+                # sigmoid(score) > 0.5 <=> score > 0
+                preds = (scores > 0).astype(np.int64)
+                results[f"{prefix}_accuracy"] = float((preds == targets).mean())
+                results[f"{prefix}_precision"] = binary_precision(preds, targets)
+                results[f"{prefix}_recall"] = binary_recall(preds, targets)
+                results[f"{prefix}_f1"] = binary_f1(preds, targets)
+                from mmlearn_tpu.modules.metrics.classification import _binary_auroc
+
+                auroc = _binary_auroc(scores, targets.astype(bool))
+                if auroc is not None:
+                    results[f"{prefix}_auroc"] = auroc
+                continue
+            num_classes = scores.shape[1]
             for k in top_k_by_q.get(q, [1]):
                 results[f"{prefix}_top{k}_accuracy"] = top_k_accuracy(
                     scores, targets, k

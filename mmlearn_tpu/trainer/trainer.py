@@ -223,6 +223,8 @@ class Trainer:
         )
 
     def _make_train_step(self, task: Any, tx: Any):
+        accumulate = self.accumulate_grad_batches
+
         def step_fn(state: TrainState, batch: dict, rng: jax.Array):
             def loss_wrap(params):
                 loss, (metrics, new_extras) = task.loss_fn(
@@ -235,7 +237,22 @@ class Trainer:
             )(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            extras = task.post_update(params, new_extras, state.step)
+            if accumulate > 1:
+                # optax.MultiSteps applies params every k micro-steps; EMA
+                # teachers must update once per *optimizer* step (reference
+                # on_before_zero_grad cadence, mmlearn/tasks/ijepa.py:108-115)
+                # and anneal on optimizer-step counts. mini_step wraps to 0
+                # exactly when an update was applied.
+                applied = opt_state.mini_step == 0
+                opt_step = opt_state.gradient_step - 1
+                extras = jax.lax.cond(
+                    applied,
+                    lambda e: task.post_update(params, e, opt_step),
+                    lambda e: e,
+                    new_extras,
+                )
+            else:
+                extras = task.post_update(params, new_extras, state.step)
             new_state = TrainState(
                 step=state.step + 1,
                 params=params,
@@ -277,8 +294,14 @@ class Trainer:
                 )
         except TypeError:
             pass
-        first_batch = next(iter(train_loader))
-        first_batch = task.prepare_batch(dict(first_batch), step=0)
+        task.prepare_seed = self.seed
+        # shape-inference probe: keep the iterator and replay the probed batch
+        # so iterable/streaming loaders do not lose their first batch
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(0)
+        probe_iter = iter(train_loader)
+        first_raw = next(probe_iter)
+        first_batch = task.prepare_batch(dict(first_raw), step=0)
         sample = self._cast_inputs(_device_batch(first_batch))
         validate_batch_shapes(sample)
         self._init_state(task, tx, sample)
@@ -313,12 +336,20 @@ class Trainer:
                 limit_batches=self.num_sanity_val_steps, log=False,
             )
 
+        import itertools
+
         while not done:
             if self.max_epochs is not None and epoch >= self.max_epochs:
                 break
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch)
-            for batch_idx, batch in enumerate(train_loader):
+            if epoch == 0 and probe_iter is not None:
+                # replay the probed batch, continue the same iterator
+                epoch_iter = itertools.chain([first_raw], probe_iter)
+                probe_iter = None
+            else:
+                if hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch)
+                epoch_iter = train_loader
+            for batch_idx, batch in enumerate(epoch_iter):
                 if (
                     self.limit_train_batches
                     and batch_idx >= self.limit_train_batches
@@ -411,6 +442,7 @@ class Trainer:
         training-time saves (reference: ``trainer.test(..., ckpt_path=...)``,
         cli/run.py:145-146).
         """
+        task.prepare_seed = self.seed
         first = next(iter(loader))
         first = task.prepare_batch(dict(first), step=0, training=False)
         sample = self._cast_inputs(_device_batch(first))
@@ -463,6 +495,7 @@ class Trainer:
         state = state if state is not None else self.state
         if state is None:
             raise RuntimeError("No TrainState; call fit() or pass state=")
+        task.prepare_seed = self.seed
         params = state.params
         runtime = EvalRuntime(task, params, mesh=self.mesh)
         runtime.dataloader = loader

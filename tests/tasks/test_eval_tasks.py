@@ -186,8 +186,42 @@ def test_zero_shot_classification_multi_dataset_routing():
     results = trainer.validate(
         task, DataLoader(val_ds, batch_size=8, pad_partial_batches=True)
     )
-    # both datasets produce their own metric rows
+    # both datasets produce their own metric rows; ds1 is 2-class so it
+    # takes the binary softmax-difference path (reference
+    # zero_shot_classification.py:208-214, 252-261): plain accuracy, no top-k
     assert "classification/ds0_rgb_top1_accuracy" in results
-    assert "classification/ds1_rgb_top1_accuracy" in results
+    assert "classification/ds1_rgb_accuracy" in results
+    assert "classification/ds1_rgb_top1_accuracy" not in results
+    assert "classification/ds1_rgb_auroc" in results
+    assert 0.0 <= results["classification/ds1_rgb_accuracy"] <= 1.0
     for v in results.values():
         assert np.isfinite(v)
+
+
+def test_binary_softmax_difference_matches_torch_reference_formula():
+    """The binary zero-shot scores must match the reference computation
+    softmax(q @ C^T)[:, 1] - softmax(q @ C^T)[:, 0]
+    (reference zero_shot_classification.py:208-214) bit-for-bit on the same
+    float32 inputs."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((37, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    c = rng.standard_normal((2, 16)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+
+    # our path (as implemented in ZeroShotClassification.evaluation_step)
+    raw = q @ c.T
+    ex = np.exp(raw - raw.max(axis=1, keepdims=True))
+    sm = ex / ex.sum(axis=1, keepdims=True)
+    ours = sm[:, 1] - sm[:, 0]
+
+    t = torch.softmax(torch.from_numpy(q) @ torch.from_numpy(c).T, dim=-1)
+    theirs = (t[:, 1] - t[:, 0]).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7)
+
+    # binary decision threshold: sigmoid(score) > 0.5 <=> score > 0 matches
+    # torchmetrics task="binary" preds semantics
+    preds = (ours > 0).astype(np.int64)
+    assert set(np.unique(preds)) <= {0, 1}

@@ -77,3 +77,67 @@ def test_trainer_accumulation_runs():
     state = trainer.fit(task, loader)
     assert int(state.step) == 12  # micro-steps counted
     assert np.isfinite(rec.losses).all()
+
+
+class CountingEMATask(QuadraticTask):
+    """Tracks post_update invocations + the step values passed in."""
+
+    def init_extras(self, params):
+        return {"ema_w": jnp.array(params["w"]),
+                "n_updates": jnp.zeros((), jnp.int32),
+                "last_step": jnp.full((), -1, jnp.int32)}
+
+    def post_update(self, params, extras, step):
+        new = dict(extras)
+        new["ema_w"] = 0.5 * extras["ema_w"] + 0.5 * params["w"]
+        new["n_updates"] = extras["n_updates"] + 1
+        new["last_step"] = jnp.asarray(step, jnp.int32)
+        return new
+
+
+@pytest.mark.integration_test
+def test_ema_updates_once_per_optimizer_step():
+    """With accumulate_grad_batches=k the EMA (post_update) must fire once
+    per optimizer step, not per micro-step, and receive the optimizer-step
+    counter (reference cadence: mmlearn/tasks/ijepa.py:108-115 updates EMA in
+    on_before_zero_grad, which Lightning calls once per optimizer step)."""
+    from mmlearn_tpu.datasets.core import CombinedDataset, DataLoader
+    from mmlearn_tpu.trainer import Trainer
+
+    x, y = _data(32)
+
+    from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+    from mmlearn_tpu.datasets.core.example import Example
+
+    class ArrayDataset:
+        def __len__(self):
+            return len(x)
+
+        def __getitem__(self, i):
+            return Example({"x": x[i], "y": y[i], EXAMPLE_INDEX_KEY: i})
+
+    task = CountingEMATask(
+        optimizer=functools.partial(optax.sgd, learning_rate=0.1)
+    )
+    loader = DataLoader(CombinedDataset([ArrayDataset()]), batch_size=4,
+                        drop_last=True)
+    trainer = Trainer(
+        max_steps=8, accumulate_grad_batches=4, log_every_n_steps=100,
+        default_root_dir="/tmp/mmlearn_test_ema_accum",
+    )
+    state = trainer.fit(task, loader)
+    # 8 micro-steps / k=4 -> exactly 2 optimizer steps -> 2 EMA updates
+    assert int(state.extras["n_updates"]) == 2
+    # the step passed to post_update counts optimizer steps (0-based)
+    assert int(state.extras["last_step"]) == 1
+
+    # without accumulation, every step is an optimizer step
+    task2 = CountingEMATask(
+        optimizer=functools.partial(optax.sgd, learning_rate=0.1)
+    )
+    trainer2 = Trainer(
+        max_steps=8, accumulate_grad_batches=1, log_every_n_steps=100,
+        default_root_dir="/tmp/mmlearn_test_ema_noaccum",
+    )
+    state2 = trainer2.fit(task2, loader)
+    assert int(state2.extras["n_updates"]) == 8
