@@ -36,6 +36,27 @@ def _topk_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
     return jax.lax.top_k(sim, k)[1]
 
 
+def _merge_gathered_shards(
+    gq: np.ndarray, gt: np.ndarray, gi: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge per-process padded shards into global (queries, targets, indexes).
+
+    ``gq``: (P, max_q, D), ``gt``: (P, max_t, D), ``gi``: (P, max_q),
+    ``counts``: (P, 2) of per-process (num_queries, num_targets). Positive
+    indexes are local to each process's targets and get offset by the
+    cumulative target counts of preceding processes, matching the reference's
+    rank offsetting (retrieval_recall.py:140-161).
+    """
+    offsets = np.concatenate([[0], np.cumsum(counts[:, 1])[:-1]])
+    qs, ts, idxs = [], [], []
+    for p in range(len(counts)):
+        nq, nt = int(counts[p, 0]), int(counts[p, 1])
+        qs.append(gq[p, :nq])
+        ts.append(gt[p, :nt])
+        idxs.append(gi[p, :nq] + offsets[p])
+    return np.concatenate(qs), np.concatenate(ts), np.concatenate(idxs)
+
+
 @store(group="modules/metrics", name="RetrievalRecallAtK", populate_full_signature=False)
 class RetrievalRecallAtK:
     """Recall@K over accumulated (query, target, positive-index) triples."""
@@ -96,13 +117,27 @@ class RetrievalRecallAtK:
         targets = np.concatenate(self._targets)
         indexes = np.concatenate(self._indexes)
         if jax.process_count() > 1:  # pragma: no cover - multihost only
-            queries = np.asarray(process_allgather(queries)).reshape(
-                -1, queries.shape[-1]
+            # unpadded eval shards differ in size across processes: gather
+            # counts, pad to max, gather, then drop padding and rank-offset
+            # the positive indexes (reference retrieval_recall.py:140-161)
+            counts = np.asarray(
+                process_allgather(
+                    np.array([[len(queries), len(targets)]], np.int64)
+                )
+            ).reshape(-1, 2)
+            max_q, max_t = int(counts[:, 0].max()), int(counts[:, 1].max())
+            pq = np.zeros((1, max_q, queries.shape[-1]), queries.dtype)
+            pq[0, : len(queries)] = queries
+            pt = np.zeros((1, max_t, targets.shape[-1]), targets.dtype)
+            pt[0, : len(targets)] = targets
+            pi = np.zeros((1, max_q), indexes.dtype)
+            pi[0, : len(indexes)] = indexes
+            gq = np.asarray(process_allgather(pq))
+            gt = np.asarray(process_allgather(pt))
+            gi = np.asarray(process_allgather(pi))
+            queries, targets, indexes = _merge_gathered_shards(
+                gq, gt, gi, counts
             )
-            targets = np.asarray(process_allgather(targets)).reshape(
-                -1, targets.shape[-1]
-            )
-            indexes = np.asarray(process_allgather(indexes)).reshape(-1)
 
         q = np.asarray(l2_normalize(jnp.asarray(queries, jnp.float32)))
         t = jnp.asarray(

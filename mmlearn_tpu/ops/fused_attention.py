@@ -1,0 +1,441 @@
+"""Fused multi-head attention for short sequences (TPU Pallas).
+
+Motivation (profiled on v5e, CLIP ViT-B/16 train step): at mmlearn sequence
+lengths (77-257 tokens) the attention FLOPs are trivial, but XLA's attention
+spends ~40% of the vision tower's time on layout work — transposing the qkv
+projection output to ``(b, h, n, d)``, materializing softmax(QK^T) through
+HBM, and re-transposing gradients. This kernel eliminates all of it:
+
+- the qkv projection uses a **head-major packing** ``(B, N, H * [q|k|v] * D)``
+  so each (batch-group, head-group) program reads one contiguous
+  ``(G, N, HG*3D)`` block straight out of the Dense output — no transpose,
+  no reshape (Mosaic requires the trailing block dim to be a multiple of 128,
+  hence head *groups*: HG = lcm(3D, 128) / 3D, e.g. 2 heads for D=64);
+- the whole sequence fits in VMEM, so scores/softmax never touch HBM
+  (no online-softmax bookkeeping needed either — one pass, exact);
+- the backward recomputes scores in VMEM from the saved qkv block and writes
+  the *packed* ``dqkv`` cotangent directly — XLA's Dense backward consumes it
+  with zero layout ops.
+
+Replaces the reference's naive materializing attention
+(/root/reference/mmlearn/modules/layers/attention.py:59-75) on the short-seq
+path; long sequences route to :mod:`mmlearn_tpu.ops.flash_attention`.
+
+Numerics: scores and softmax statistics are computed in f32 (VMEM-resident,
+so the usual bf16-scores HBM-traffic tradeoff does not apply); the two MXU
+matmuls run in the input dtype (bf16 in mixed precision).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    _HAS_PLTPU = False
+
+_NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def interleave_qkv_heads(kernel, num_heads: int):
+    """Convert a ``[Wq | Wk | Wv]``-packed fused-qkv kernel (in, 3*out) to the
+    head-major packing ``[h0_q | h0_k | h0_v | h1_q | ...]`` this kernel
+    expects. Works for kernels (C, 3C), biases (3C,), and stacked scan params
+    (depth, C, 3C) / (depth, 3C)."""
+    import numpy as np
+
+    arr = kernel
+    lead = arr.shape[:-1]
+    three_c = arr.shape[-1]
+    c = three_c // 3
+    d = c // num_heads
+    a = arr.reshape(*lead, 3, num_heads, d)
+    if isinstance(arr, np.ndarray):
+        a = np.moveaxis(a, -3, -2)
+    else:
+        a = jnp.moveaxis(a, -3, -2)
+    return a.reshape(*lead, three_c)
+
+
+def _head_group(head_dim: int) -> int:
+    """Heads per program so the qkv block's lane width is a LANES multiple."""
+    width = 3 * head_dim
+    return math.lcm(width, _LANES) // width
+
+
+def _mha_reference_xla(
+    qkv: jax.Array,
+    mask: Optional[jax.Array],
+    num_heads: int,
+    scale: float,
+    causal: bool,
+) -> jax.Array:
+    """Mathematically identical XLA path (CPU tests / fallback).
+
+    Operates on the head-major packing.
+    """
+    b, n, three_c = qkv.shape
+    d = three_c // (3 * num_heads)
+    x = qkv.reshape(b, n, num_heads, 3, d)
+    q, k, v = x[..., 0, :], x[..., 1, :], x[..., 2, :]  # (b, n, h, d)
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :].astype(bool), s, _NEG)
+    if causal:
+        cm = jnp.tril(jnp.ones((n, n), dtype=bool))
+        s = jnp.where(cm, s, _NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum(
+        "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return o.reshape(b, n, num_heads * d).astype(qkv.dtype)
+
+
+def _attend_one(q, k, v, kv_valid, scale, causal, n):
+    """One head's attention in VMEM; returns (o_f32_normalized, lse)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (N, N)
+    s = jnp.where(kv_valid[None, :], s, _NEG)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        s = jnp.where(row >= col, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return o / l, (m + jnp.log(l))[:, 0]
+
+
+def _fwd_kernel(
+    mask_ref,  # (G, 1, N) bool
+    qkv_ref,  # (G, N, HG*3D)
+    o_ref,  # (G, N, HG*D)
+    lse_ref,  # (G, 1, HG, N) f32
+    *,
+    scale: float,
+    causal: bool,
+    group: int,
+    head_group: int,
+    head_dim: int,
+):
+    d = head_dim
+    n = qkv_ref.shape[1]
+    for g in range(group):
+        kv_valid = mask_ref[g, 0, :]
+        for hh in range(head_group):
+            base = hh * 3 * d
+            q = qkv_ref[g, :, base : base + d]
+            k = qkv_ref[g, :, base + d : base + 2 * d]
+            v = qkv_ref[g, :, base + 2 * d : base + 3 * d]
+            o, lse = _attend_one(q, k, v, kv_valid, scale, causal, n)
+            o_ref[g, :, hh * d : (hh + 1) * d] = o.astype(o_ref.dtype)
+            lse_ref[g, 0, hh, :] = lse
+
+
+def _bwd_kernel(
+    mask_ref,  # (G, 1, N)
+    qkv_ref,  # (G, N, HG*3D)
+    o_ref,  # (G, N, HG*D) saved forward output
+    do_ref,  # (G, N, HG*D)
+    lse_ref,  # (G, 1, HG, N) f32
+    dqkv_ref,  # (G, N, HG*3D)
+    *,
+    scale: float,
+    causal: bool,
+    group: int,
+    head_group: int,
+    head_dim: int,
+):
+    d = head_dim
+    n = qkv_ref.shape[1]
+    for g in range(group):
+        kv_valid = mask_ref[g, 0, :]
+        for hh in range(head_group):
+            base = hh * 3 * d
+            q = qkv_ref[g, :, base : base + d]
+            k = qkv_ref[g, :, base + d : base + 2 * d]
+            v = qkv_ref[g, :, base + 2 * d : base + 3 * d]
+            do = do_ref[g, :, hh * d : (hh + 1) * d]
+            out = o_ref[g, :, hh * d : (hh + 1) * d]
+            lse = lse_ref[g, 0, hh, :][:, None]  # (N, 1)
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(kv_valid[None, :], s, _NEG)
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                s = jnp.where(row >= col, s, _NEG)
+            p = jnp.exp(s - lse)  # (N, N); masked cols are exactly 0
+
+            delta = jnp.sum(
+                do.astype(jnp.float32) * out.astype(jnp.float32),
+                axis=-1,
+                keepdims=True,
+            )  # (N, 1)
+            dv = jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, D)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, N)
+            ds = p * (dp - delta) * scale
+            dsc = ds.astype(q.dtype)
+            dq = jax.lax.dot_general(
+                dsc, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                dsc, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[g, :, base : base + d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, base + d : base + 2 * d] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, base + 2 * d : base + 3 * d] = dv.astype(
+                dqkv_ref.dtype
+            )
+
+
+def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
+    """Largest sample group with a comfortable VMEM footprint."""
+    import os
+
+    override = os.environ.get("MMLEARN_FUSED_ATTN_GROUP")
+    budget = 3 * 1024 * 1024  # qkv+out+do blocks per program
+    per_sample = seq * head_group * head_dim * 2 * (3 + 2)
+    g = max(1, min(32, budget // max(per_sample, 1)))
+    if override:
+        g = int(override)
+    while batch % g:
+        g -= 1
+    return max(g, 1)
+
+
+def _kernel_config(qkv, num_heads, interpret):
+    b, n, three_c = qkv.shape
+    d = three_c // (3 * num_heads)
+    hg = 1 if interpret else _head_group(d)
+    g = _pick_group(b, n, d, hg)
+    return b, n, d, hg, g
+
+
+def supports_fused(num_heads: int, head_dim: int, seq: int) -> bool:
+    """Static dispatch predicate for the fused short-seq kernel."""
+    if seq > 2048:  # scores (N, N) f32 must fit comfortably in VMEM
+        return False
+    return num_heads % _head_group(head_dim) == 0
+
+
+def _fwd_pallas(qkv, mask, num_heads, scale, causal, interpret=False):
+    b, n, d, hg, g = _kernel_config(qkv, num_heads, interpret)
+    grid = (b // g, num_heads // hg)
+    mask3 = mask.reshape(b, 1, n)
+    kernel = functools.partial(
+        _fwd_kernel, scale=float(scale), causal=causal, group=g,
+        head_group=hg, head_dim=d,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, 1, n), lambda bi, h: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, hg * 3 * d), lambda bi, h: (bi, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, n, hg * d), lambda bi, h: (bi, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, hg, n), lambda bi, h: (bi, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, num_heads // hg, hg, n), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        )
+        if (_HAS_PLTPU and not interpret)
+        else None,
+    )(mask3, qkv)
+    return out, lse
+
+
+def _bwd_pallas(qkv, mask, out, lse, g_out, num_heads, scale, causal,
+                interpret=False):
+    b, n, d, hg, g = _kernel_config(qkv, num_heads, interpret)
+    grid = (b // g, num_heads // hg)
+    mask3 = mask.reshape(b, 1, n)
+    kernel = functools.partial(
+        _bwd_kernel, scale=float(scale), causal=causal, group=g,
+        head_group=hg, head_dim=d,
+    )
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, 1, n), lambda bi, h: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, hg * 3 * d), lambda bi, h: (bi, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, hg * d), lambda bi, h: (bi, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, hg * d), lambda bi, h: (bi, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, hg, n), lambda bi, h: (bi, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, n, hg * 3 * d), lambda bi, h: (bi, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, 3 * num_heads * d), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        )
+        if (_HAS_PLTPU and not interpret)
+        else None,
+    )(mask3, qkv, out, g_out, lse)
+    return dqkv
+
+
+def _use_pallas(num_heads: int, head_dim: int, seq: int) -> bool:
+    import os
+
+    if os.environ.get("MMLEARN_FUSED_ATTN", "1") == "0":
+        return False
+    if not supports_fused(num_heads, head_dim, seq):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_mha(qkv, mask, num_heads, scale, causal):
+    b, n, three_c = qkv.shape
+    d = three_c // (3 * num_heads)
+    if not _use_pallas(num_heads, d, n):
+        return _mha_reference_xla(qkv, mask, num_heads, scale, causal)
+    out, _ = _fwd_pallas(qkv, mask, num_heads, scale, causal)
+    return out
+
+
+def _fused_mha_fwd(qkv, mask, num_heads, scale, causal):
+    b, n, three_c = qkv.shape
+    d = three_c // (3 * num_heads)
+    if not _use_pallas(num_heads, d, n):
+        out = _mha_reference_xla(qkv, mask, num_heads, scale, causal)
+        return out, (qkv, mask, None, None)
+    out, lse = _fwd_pallas(qkv, mask, num_heads, scale, causal)
+    # names let remat policies keep these residuals (BlockStack
+    # remat_policy="save_attn_out") so the backward skips the fwd kernel
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return out, (qkv, mask, out, lse)
+
+
+def _fused_mha_bwd(num_heads, scale, causal, residuals, g):
+    qkv, mask, out, lse = residuals
+    if out is None:  # XLA fallback path
+        def _ref(qkv):
+            return _mha_reference_xla(qkv, mask, num_heads, scale, causal)
+
+        _, vjp = jax.vjp(_ref, qkv)
+        (dqkv,) = vjp(g)
+        return dqkv, None
+    dqkv = _bwd_pallas(qkv, mask, out, lse, g, num_heads, scale, causal)
+    return dqkv, None
+
+
+_fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
+def fused_mha(
+    qkv: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    num_heads: int,
+    scale: Optional[float] = None,
+    causal: bool = False,
+) -> jax.Array:
+    """Head-major packed multi-head self-attention.
+
+    Args:
+        qkv: ``(B, N, H * 3 * D)`` fused projection output, packed head-major
+            (``interleave_qkv_heads`` converts [q|k|v]-major weights).
+        mask: optional ``(B, N)`` boolean key-validity mask (True = attend).
+        num_heads: number of attention heads ``H``.
+        scale: logit scale; defaults to ``D ** -0.5``.
+        causal: apply a causal mask.
+
+    Returns:
+        ``(B, N, H * D)`` attention output.
+    """
+    b, n, three_c = qkv.shape
+    if three_c % (3 * num_heads):
+        raise ValueError(f"qkv dim {three_c} not divisible by 3*{num_heads}")
+    d = three_c // (3 * num_heads)
+    if scale is None:
+        scale = float(d) ** -0.5
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    else:
+        mask = mask.astype(bool)
+    return _fused_mha(qkv, mask, num_heads, float(scale), causal)
+
+
+def fused_mha_interpret(qkv, mask=None, *, num_heads, scale=None, causal=False):
+    """Run the Pallas forward in interpreter mode (CPU correctness tests)."""
+    b, n, three_c = qkv.shape
+    d = three_c // (3 * num_heads)
+    if scale is None:
+        scale = float(d) ** -0.5
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    out, lse = _fwd_pallas(
+        qkv, mask.astype(bool), num_heads, float(scale), causal, interpret=True
+    )
+    return out
+
+
+def fused_mha_bwd_interpret(
+    qkv, g, mask=None, *, num_heads, scale=None, causal=False
+):
+    """Run fwd+bwd Pallas kernels in interpreter mode; returns dqkv."""
+    b, n, three_c = qkv.shape
+    d = three_c // (3 * num_heads)
+    if scale is None:
+        scale = float(d) ** -0.5
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    mask = mask.astype(bool)
+    out, lse = _fwd_pallas(qkv, mask, num_heads, float(scale), causal,
+                           interpret=True)
+    return _bwd_pallas(qkv, mask, out, lse, g, num_heads, float(scale),
+                       causal, interpret=True)

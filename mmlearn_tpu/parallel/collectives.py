@@ -85,3 +85,32 @@ def process_allgather(x: Any) -> Any:
     if jax.process_count() == 1:
         return jax.tree.map(jnp.asarray, x)
     return mhu.process_allgather(x, tiled=True)
+
+
+def process_allgather_object(obj: Any) -> list:
+    """Gather an arbitrary picklable object from every process.
+
+    Equivalent of ``torch.distributed.all_gather_object`` (used by the
+    reference's bioscan eval, projects/bioscan_clip/eval_task.py:222-229):
+    returns ``[obj_process0, obj_process1, ...]``. Single-process returns
+    ``[obj]`` without serialization.
+    """
+    import pickle
+
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+    import jax.experimental.multihost_utils as mhu  # pragma: no cover
+
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = np.asarray(
+        mhu.process_allgather(np.array([[len(buf)]], np.int64), tiled=True)
+    ).reshape(-1)
+    padded = np.zeros((1, int(lens.max())), np.uint8)
+    padded[0, : len(buf)] = buf
+    gathered = np.asarray(mhu.process_allgather(padded, tiled=True))
+    return [
+        pickle.loads(gathered[p, : int(lens[p])].tobytes())
+        for p in range(len(lens))
+    ]

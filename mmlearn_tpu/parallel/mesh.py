@@ -107,14 +107,22 @@ def _shardable(shape: tuple, spec: P, mesh: Mesh) -> bool:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch pytree with the batch dim sharded.
+    """Put a host batch pytree on the mesh with the batch dim sharded.
 
     Non-array leaves (strings, python lists of objects) are left on host.
     Scalar arrays are replicated. Batch-dim arrays that don't divide the
     data axes are replicated as a safe fallback.
+
+    Multi-process: each process holds a *disjoint rank-strided shard* from
+    its sampler, so the local array is only this process's slice of the
+    global batch — assemble the global array with
+    ``jax.make_array_from_process_local_data`` (a bare ``device_put`` would
+    treat the local shard as the whole global batch and drop/misroute rows).
+    Single-process keeps the cheaper ``device_put``.
     """
     sharding = batch_sharding(mesh)
     repl = replicated(mesh)
+    multiprocess = jax.process_count() > 1
 
     def _put(leaf: Any) -> Any:
         if isinstance(leaf, (list, str)) or leaf is None:
@@ -123,7 +131,30 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         if arr.dtype == object:
             return leaf
         if arr.ndim == 0:
+            if multiprocess:  # pragma: no cover - multihost only
+                return jax.make_array_from_process_local_data(
+                    repl, arr, arr.shape
+                )
             return jax.device_put(arr, repl)
+        if multiprocess:  # pragma: no cover - multihost only
+            p = jax.process_count()
+            global0 = (arr.shape[0] * p,) + arr.shape[1:]
+            if _shardable(global0, batch_spec(), mesh):
+                return jax.make_array_from_process_local_data(
+                    sharding, arr, global0
+                )
+            # aux arrays leading with a non-batch dim (e.g. I-JEPA masks
+            # (n_masks, B, K)): concatenate the per-process batch on axis 1
+            if arr.ndim >= 2:
+                global1 = (arr.shape[0], arr.shape[1] * p) + arr.shape[2:]
+                spec1 = P(None, (DATA_AXIS, FSDP_AXIS))
+                if _shardable(global1, spec1, mesh):
+                    return jax.make_array_from_process_local_data(
+                        NamedSharding(mesh, spec1), arr, global1
+                    )
+            return jax.make_array_from_process_local_data(
+                repl, arr, arr.shape
+            )
         if _shardable(arr.shape, batch_spec(), mesh):
             return jax.device_put(arr, sharding)
         return jax.device_put(arr, repl)

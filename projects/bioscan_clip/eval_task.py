@@ -116,10 +116,16 @@ class TaxonomicClassification(EvaluationHooks):
         top_k: Sequence[int] = (1,),
         query_splits: Sequence[str] = ("val_seen", "val_unseen"),
         key_split: str = "all_keys",
+        report_combos: Sequence[Sequence[str]] = (("rgb", "dna"),),
     ) -> None:
         self.top_k = [int(k) for k in top_k]
         self.query_splits = list(query_splits)
         self.key_split = key_split
+        # only these (query_type, key_type) pairs are computed and reported —
+        # the reference computes the full 4x5 grid but reports rgb→dna
+        # (reference eval_task.py:193-201); computing unreported combos is
+        # wasted eval compute
+        self.report_combos = [tuple(c) for c in report_combos]
 
     def on_evaluation_epoch_start(self, runtime: EvalRuntime) -> None:
         self._store: dict[str, dict[str, list]] = {}
@@ -164,6 +170,15 @@ class TaxonomicClassification(EvaluationHooks):
                 store.setdefault("all_key_labels", []).extend(sel_labels * 3)
 
     def on_evaluation_epoch_end(self, runtime: EvalRuntime) -> dict[str, float]:
+        import jax
+
+        if jax.process_count() > 1:  # pragma: no cover - multihost only
+            # every process sees the global store (embeddings + label objects)
+            # before scoring, matching the reference's all_gather +
+            # all_gather_object (reference eval_task.py:68-92, 222-229)
+            from mmlearn_tpu.parallel.collectives import process_allgather_object
+
+            self._store = _merge_stores(process_allgather_object(self._store))
         if not self._store or self.key_split not in self._store:
             return {}
         keys_store = self._store[self.key_split]
@@ -186,35 +201,43 @@ class TaxonomicClassification(EvaluationHooks):
                 if k != "labels"
             }
             gt = qstore["labels"]
-            # reference reports rgb-query → dna-key (eval_task.py:193-201);
-            # compute the full query×key grid but flatten the same slice
-            for q_type in QUERY_TYPES:
-                for k_type in KEY_TYPES:
-                    if q_type not in q_emb:
+            for q_type, k_type in self.report_combos:
+                if q_type not in q_emb:
+                    continue
+                if k_type == "all_key":
+                    if "all_key" not in keys_store:
                         continue
-                    if k_type == "all_key":
-                        if "all_key" not in keys_store:
-                            continue
-                        keys = np.concatenate(keys_store["all_key"])
-                        k_labels = keys_store["all_key_labels"]
-                    else:
-                        if k_type not in cat:
-                            continue
-                        keys = cat[k_type]
-                        k_labels = key_labels
-                    if keys.shape[-1] != q_emb[q_type].shape[-1]:
+                    keys = np.concatenate(keys_store["all_key"])
+                    k_labels = keys_store["all_key_labels"]
+                else:
+                    if k_type not in cat:
                         continue
-                    preds = knn_predict(q_emb[q_type], keys, k_labels, max_k)
-                    micro = top_k_micro_accuracy(preds, gt, self.top_k)
-                    macro, _ = top_k_macro_accuracy(preds, gt, self.top_k)
-                    if q_type == "rgb" and k_type == "dna":
-                        for k in self.top_k:
-                            for level in LEVELS:
-                                results[
-                                    f"{split}_rgb_2_dna_top_{k}_micro_{level}"
-                                ] = micro[k][level]
-                                results[
-                                    f"{split}_rgb_2_dna_top_{k}_macro_{level}"
-                                ] = macro[k][level]
+                    keys = cat[k_type]
+                    k_labels = key_labels
+                if keys.shape[-1] != q_emb[q_type].shape[-1]:
+                    continue
+                preds = knn_predict(q_emb[q_type], keys, k_labels, max_k)
+                micro = top_k_micro_accuracy(preds, gt, self.top_k)
+                macro, _ = top_k_macro_accuracy(preds, gt, self.top_k)
+                for k in self.top_k:
+                    for level in LEVELS:
+                        results[
+                            f"{split}_{q_type}_2_{k_type}_top_{k}_micro_{level}"
+                        ] = micro[k][level]
+                        results[
+                            f"{split}_{q_type}_2_{k_type}_top_{k}_macro_{level}"
+                        ] = macro[k][level]
         self._store.clear()
         return results
+
+
+def _merge_stores(stores: Sequence[Mapping[str, Mapping[str, list]]]) -> dict:
+    """Merge per-process accumulation stores: per split, concatenate the
+    per-key lists in process order (so every process scores the global set)."""
+    merged: dict[str, dict[str, list]] = {}
+    for store in stores:
+        for split, sub in store.items():
+            dst = merged.setdefault(split, {})
+            for key, items in sub.items():
+                dst.setdefault(key, []).extend(items)
+    return merged

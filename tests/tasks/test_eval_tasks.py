@@ -225,3 +225,27 @@ def test_binary_softmax_difference_matches_torch_reference_formula():
     # torchmetrics task="binary" preds semantics
     preds = (ours > 0).astype(np.int64)
     assert set(np.unique(preds)) <= {0, 1}
+
+
+def test_merge_gathered_shards_offsets_indexes():
+    """Multihost Recall@K merge: per-process positive indexes are offset by
+    the cumulative target counts of preceding processes (the reference
+    rank-offsets inside update, retrieval_recall.py:140-161)."""
+    from mmlearn_tpu.modules.metrics.retrieval_recall import (
+        _merge_gathered_shards,
+    )
+
+    d = 4
+    # process 0: 2 queries / 3 targets; process 1: 1 query / 2 targets (padded)
+    counts = np.array([[2, 3], [1, 2]])
+    gq = np.zeros((2, 2, d)); gq[0, :2] = 1.0; gq[1, :1] = 2.0
+    gt = np.zeros((2, 3, d)); gt[0, :3] = 3.0; gt[1, :2] = 4.0
+    gi = np.zeros((2, 2), np.int64)
+    gi[0, :2] = [0, 2]   # local target rows on process 0
+    gi[1, :1] = [1]      # local target row on process 1
+    q, t, idx = _merge_gathered_shards(gq, gt, gi, counts)
+    assert q.shape == (3, d) and t.shape == (5, d)
+    # process-1 indexes offset by process-0's 3 targets
+    np.testing.assert_array_equal(idx, [0, 2, 4])
+    # padding rows dropped
+    assert (t[3:] == 4.0).all() and (t[:3] == 3.0).all()

@@ -198,3 +198,18 @@ def test_bioscan_dataset_and_taxonomic_eval(tmp_path):
     assert "val_unseen_rgb_2_dna_top_1_macro_species" in results
     for v in results.values():
         assert 0.0 <= v <= 1.0 or np.isfinite(v)
+
+
+def test_taxonomic_merge_stores():
+    """Multihost store merge keeps per-split key lists in process order."""
+    from projects.bioscan_clip.eval_task import _merge_stores
+
+    s0 = {"all_keys": {"rgb": [np.ones((2, 4))], "labels": [{"order": "a"}]}}
+    s1 = {
+        "all_keys": {"rgb": [np.zeros((1, 4))], "labels": [{"order": "b"}]},
+        "val_seen": {"rgb": [np.full((1, 4), 2.0)], "labels": [{"order": "c"}]},
+    }
+    merged = _merge_stores([s0, s1])
+    assert [a.shape for a in merged["all_keys"]["rgb"]] == [(2, 4), (1, 4)]
+    assert merged["all_keys"]["labels"] == [{"order": "a"}, {"order": "b"}]
+    assert "val_seen" in merged
