@@ -302,3 +302,82 @@ def convert_bert(
     if f"{p}pooler.dense.weight" in sd:
         params["pooler"] = _linear(sd, f"{p}pooler.dense")
     return params
+
+
+# -- timm ViT (TimmViT parity) ----------------------------------------------
+
+
+def timm_vit_geometry(state_dict: Mapping[str, Any]) -> dict:
+    """Infer ViT geometry from a timm-format state dict.
+
+    timm naming (reference wraps ``timm.create_model``,
+    /root/reference/mmlearn/modules/encoders/vision.py:33-176):
+    ``cls_token``, ``pos_embed``, ``patch_embed.proj.*``,
+    ``blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}.*``,
+    final ``norm.*``.
+    """
+    sd = state_dict
+    embed_dim = int(_np(sd["cls_token"]).shape[-1])
+    patch = int(_np(sd["patch_embed.proj.weight"]).shape[-1])
+    n_pos = int(_np(sd["pos_embed"]).shape[1])
+    grid = int(round((n_pos - 1) ** 0.5))
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    )
+    mlp_hidden = int(_np(sd["blocks.0.mlp.fc1.weight"]).shape[0])
+    return {
+        "img_size": grid * patch,
+        "patch_size": patch,
+        "embed_dim": embed_dim,
+        "depth": depth,
+        "mlp_ratio": mlp_hidden / embed_dim,
+        # timm ViTs use 64-dim heads throughout (vit_tiny..vit_giant)
+        "num_heads": max(1, embed_dim // 64),
+        "qkv_bias": "blocks.0.attn.qkv.bias" in sd,
+    }
+
+
+def convert_timm_vit(
+    state_dict: Mapping[str, Any], depth: Optional[int] = None
+) -> dict:
+    """timm ``VisionTransformer`` state dict → our VisionTransformer params.
+
+    Target module config: ``use_cls_token=True, learned_pos_embed=True,
+    final_norm=True, act_layer='gelu'`` (augreg/deit-style checkpoints).
+    timm packs the fused qkv as rows ``[q; k; v]`` — transposed that is the
+    same [q|k|v]-major column packing our ``Attention`` uses.
+    """
+    sd = state_dict
+    if depth is None:
+        depth = timm_vit_geometry(sd)["depth"]
+    params: dict[str, Any] = {
+        "patch_embed": {
+            "proj": {
+                "kernel": _np(sd["patch_embed.proj.weight"]).transpose(
+                    2, 3, 1, 0
+                ),
+                "bias": _np(sd["patch_embed.proj.bias"]),
+            }
+        },
+        "cls_token": _np(sd["cls_token"]).reshape(1, 1, -1),
+        "pos_embed": _np(sd["pos_embed"]),
+        "norm": _layernorm(sd, "norm"),
+    }
+    for i in range(depth):
+        lp = f"blocks.{i}"
+        qkv = {"kernel": _np(sd[f"{lp}.attn.qkv.weight"]).T}
+        if f"{lp}.attn.qkv.bias" in sd:
+            qkv["bias"] = _np(sd[f"{lp}.attn.qkv.bias"])
+        params[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd, f"{lp}.norm1"),
+            "attn": {
+                "qkv": qkv,
+                "proj": _linear(sd, f"{lp}.attn.proj"),
+            },
+            "norm2": _layernorm(sd, f"{lp}.norm2"),
+            "mlp": {
+                "fc1": _linear(sd, f"{lp}.mlp.fc1"),
+                "fc2": _linear(sd, f"{lp}.mlp.fc2"),
+            },
+        }
+    return params

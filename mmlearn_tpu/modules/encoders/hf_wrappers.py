@@ -64,10 +64,6 @@ def HFTextEncoder(
 
     from mmlearn_tpu.modules.encoders.bert import BertTextEncoder
 
-    if scan_blocks:
-        raise NotImplementedError(
-            "BertTextEncoder does not support scan_blocks yet"
-        )
     encoder = BertTextEncoder(
         vocab_size=config.vocab_size,
         max_length=config.max_position_embeddings,
@@ -78,13 +74,22 @@ def HFTextEncoder(
         norm_eps=config.layer_norm_eps,
         pooling=pooling,
         proj_dim=proj_dim,
+        scan_blocks=scan_blocks,
         dtype=_jnp_dtype(dtype),
     )
     sd = model.state_dict()
     depth = config.num_hidden_layers
-    return register_pretrained_loader(
-        encoder, lambda: convert_bert(sd, depth)
-    )
+
+    def _load():
+        params = convert_bert(sd, depth)
+        if scan_blocks:
+            # BertTextEncoder's scan path is blocks/block (post-LN stack)
+            params = stack_block_params(
+                params, depth, out_path=("blocks", "block")
+            )
+        return params
+
+    return register_pretrained_loader(encoder, _load)
 
 
 def convert_hf_vit(state_dict: Any, depth: int, prefix: str = "vit") -> dict:
@@ -185,6 +190,89 @@ def HFViTEncoder(
 
     def _load():
         params = convert_hf_vit(sd, depth, prefix=prefix)
+        return stack_block_params(params, depth) if scan_blocks else params
+
+    return register_pretrained_loader(encoder, _load)
+
+
+@store(group="modules/encoders", name="TimmViT", populate_full_signature=False)
+def TimmViT(
+    model_name: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    state_dict: Any = None,
+    projection_dim: int = 768,
+    num_heads: Optional[int] = None,
+    global_pool: str = "cls",
+    dtype: Any = None,
+    scan_blocks: bool = False,
+    remat: bool = False,
+):
+    """timm ViT encoder with converted weights + projection head.
+
+    Parity: reference ``TimmViT`` wraps ``timm.create_model(model_name,
+    num_classes=projection_dim)`` (/root/reference/mmlearn/modules/encoders/
+    vision.py:33-176). Here the timm checkpoint's weights convert into the
+    native :class:`VisionTransformer`; geometry is inferred from the state
+    dict. Accepts ``model_name`` (requires the optional timm package),
+    ``checkpoint_path`` (a torch ``.pth``/``.bin`` state dict), or an
+    in-memory ``state_dict``.
+    """
+    from mmlearn_tpu.hf_utils import (
+        convert_timm_vit,
+        register_pretrained_loader,
+        stack_block_params,
+        timm_vit_geometry,
+    )
+
+    sd = state_dict
+    if sd is None and checkpoint_path is not None:
+        import torch
+
+        sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+    if sd is None and model_name is not None:
+        try:
+            import timm
+        except ImportError as exc:  # pragma: no cover
+            raise ImportError(
+                "TimmViT by model_name requires the timm package; pass "
+                "checkpoint_path or state_dict instead"
+            ) from exc
+        sd = timm.create_model(model_name, pretrained=True).state_dict()
+    if sd is None:
+        raise ValueError(
+            "TimmViT requires one of model_name / checkpoint_path / state_dict"
+        )
+    sd = {k: v for k, v in sd.items()}
+    geo = timm_vit_geometry(sd)
+    if num_heads is not None:
+        geo["num_heads"] = int(num_heads)
+
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    encoder = VisionTransformer(
+        img_size=geo["img_size"],
+        patch_size=geo["patch_size"],
+        embed_dim=geo["embed_dim"],
+        depth=geo["depth"],
+        num_heads=geo["num_heads"],
+        mlp_ratio=geo["mlp_ratio"],
+        qkv_bias=geo["qkv_bias"],
+        use_cls_token=True,
+        learned_pos_embed=True,
+        final_norm=True,
+        act_layer="gelu",
+        global_pool=global_pool,
+        proj_dim=projection_dim,
+        scan_blocks=scan_blocks,
+        remat=remat,
+        dtype=_jnp_dtype(dtype),
+    )
+    depth = geo["depth"]
+
+    def _load():
+        params = convert_timm_vit(sd, depth)
         return stack_block_params(params, depth) if scan_blocks else params
 
     return register_pretrained_loader(encoder, _load)
