@@ -187,13 +187,26 @@ def main(argv: Optional[Sequence[str]] = None) -> Any:
 
 
 def run_sweep(argv: Sequence[str], print_cfg: bool = False) -> list:
-    """Local sequential sweep over comma-separated override values.
+    """Sweep over comma-separated override values (cartesian product).
 
-    ``mmlearn_run -m trainer.max_steps=5,10 task.encoders.rgb.depth=2,4``
-    runs the cartesian product (reference: hydra --multirun via submitit;
-    here jobs run sequentially in-process, each with a suffixed output dir).
+    ``mmlearn_run -m trainer.max_steps=5,10 task.encoders.rgb.depth=2,4``.
+    Launchers (reference: hydra --multirun via hydra-submitit-launcher,
+    conf/__init__.py:101-103):
+
+    - default: jobs run sequentially in-process;
+    - ``launcher=local launcher.workers=N``: N concurrent subprocesses;
+    - ``launcher=slurm launcher.partition=... launcher.nodes=...``:
+      submitit-style sbatch submission, one script per job.
     """
     import itertools
+
+    from mmlearn_tpu.cli.launcher import (
+        launch_local,
+        launch_slurm,
+        parse_launcher_args,
+    )
+
+    launcher_opts, argv = parse_launcher_args(argv)
 
     sweep_axes: list[list[str]] = []
     base_args: list[str] = []
@@ -208,17 +221,34 @@ def run_sweep(argv: Sequence[str], print_cfg: bool = False) -> list:
             sweep_axes.append([f"{key}={v}" for v in raw.split(",")])
         else:
             base_args.append(arg)
-    results = []
-    for i, combo in enumerate(itertools.product(*sweep_axes)):
+    job_argvs: list[list[str]] = []
+    job_dirs: list[str] = []
+    combos = list(itertools.product(*sweep_axes))
+    for i, combo in enumerate(combos):
         job_args = base_args + list(combo)
         # recompose with the suffixed output dir so ${runtime.output_dir}
         # interpolations (loggers, checkpoints) resolve to the job dir
         out = build_experiment(job_args).get("runtime", {}).get(
             "output_dir", "outputs"
         )
-        cfg = build_experiment(
-            job_args + [f"runtime.output_dir={out}/job{i}"]
+        job_argvs.append(job_args + [f"runtime.output_dir={out}/job{i}"])
+        job_dirs.append(f"{out}/job{i}")
+
+    kind = launcher_opts.pop("kind", None)
+    if kind == "local" and not print_cfg:
+        workers = int(launcher_opts.pop("workers", 1))
+        return launch_local(job_argvs, job_dirs, workers=workers)
+    if kind == "slurm" and not print_cfg:
+        sbatch = launcher_opts.pop("sbatch", "sbatch")
+        multihost = launcher_opts.pop("multihost", "0") not in ("0", "false")
+        return launch_slurm(
+            job_argvs, job_dirs, sbatch=sbatch, multihost=multihost,
+            **launcher_opts,
         )
+
+    results = []
+    for i, (combo, job_args) in enumerate(zip(combos, job_argvs)):
+        cfg = build_experiment(job_args)
         logger.info("multirun job %d: %s", i, list(combo))
         if print_cfg:
             import yaml

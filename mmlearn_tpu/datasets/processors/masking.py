@@ -198,7 +198,11 @@ class IJEPAMaskGenerator:
         mean_enc = 0.5 * (self.enc_mask_scale[0] + self.enc_mask_scale[1])
         k_enc_raw = int(round(self.num_patches * mean_enc))
         if not self.allow_overlap:
-            k_enc_raw -= self.npred * self.k_tgt
+            # targets overlap each other: the context loses the expected
+            # *union* of the npred target blocks, not npred disjoint blocks
+            # (reference removes the actual union, masking.py:341-358)
+            coverage = 1.0 - (1.0 - mean_pred) ** self.npred
+            k_enc_raw = int(round(k_enc_raw * (1.0 - coverage)))
         self.k_ctx = max(self.min_keep, k_enc_raw)
         self._rng = np.random.default_rng(self.seed)
 
@@ -217,6 +221,9 @@ class IJEPAMaskGenerator:
         # block shapes sampled once per batch (reference behavior:
         # masking.py:371-377 samples block size per batch, offsets per example)
         ph, pw = self._sample_pred_block_shape(rng)
+        eh, ew = _sample_block_size(
+            rng, self.grid, self.grid, self.enc_mask_scale, (1.0, 1.0)
+        )
         for b in range(batch_size):
             taken = np.zeros(self.num_patches, dtype=bool)
             for m in range(self.npred):
@@ -224,11 +231,20 @@ class IJEPAMaskGenerator:
                 pred_masks[m, b] = idx
                 taken[idx] = True
             for m in range(self.nenc):
-                free = np.nonzero(~taken)[0] if not self.allow_overlap else np.arange(
-                    self.num_patches
-                )
-                if len(free) < self.min_keep:
-                    free = np.arange(self.num_patches)
+                # context = contiguous block at enc_mask_scale minus the
+                # union of target patches (reference masking.py:341-358)
+                top = rng.integers(0, self.grid - eh + 1)
+                left = rng.integers(0, self.grid - ew + 1)
+                rows = np.arange(top, top + eh)[:, None]
+                cols = np.arange(left, left + ew)[None, :]
+                block = (rows * self.grid + cols).reshape(-1)
+                if not self.allow_overlap:
+                    free = block[~taken[block]]
+                    if len(free) < self.min_keep:
+                        fallback = np.nonzero(~taken)[0]
+                        free = fallback if len(fallback) >= self.min_keep else block
+                else:
+                    free = block
                 k = min(self.k_ctx, len(free))
                 sel = rng.choice(free, size=k, replace=False)
                 if k < self.k_ctx:

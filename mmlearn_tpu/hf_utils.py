@@ -60,25 +60,36 @@ def _layernorm(sd: Mapping[str, Any], prefix: str) -> dict:
     return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
 
 
-def _fused_qkv(sd: Mapping[str, Any], prefix: str) -> dict:
-    """Fuse HF q/k/v projections into one (in, 3*out) kernel."""
+def _fused_qkv(sd: Mapping[str, Any], prefix: str, num_heads: int) -> dict:
+    """Fuse HF q/k/v projections into one (in, 3*out) head-major kernel.
+
+    The Attention module packs qkv head-major for the fused Pallas kernel
+    (mmlearn_tpu/ops/fused_attention.py) — ``interleave_qkv_heads`` permutes
+    the [q|k|v]-major concat into that layout.
+    """
+    from mmlearn_tpu.ops.fused_attention import interleave_qkv_heads
+
     kernels = [
         _np(sd[f"{prefix}.{n}.weight"]).T for n in ("q_proj", "k_proj", "v_proj")
     ]
-    out = {"kernel": np.concatenate(kernels, axis=1)}
+    out = {
+        "kernel": interleave_qkv_heads(
+            np.concatenate(kernels, axis=1), num_heads
+        )
+    }
     if f"{prefix}.q_proj.bias" in sd:
         biases = [
             _np(sd[f"{prefix}.{n}.bias"]) for n in ("q_proj", "k_proj", "v_proj")
         ]
-        out["bias"] = np.concatenate(biases)
+        out["bias"] = interleave_qkv_heads(np.concatenate(biases), num_heads)
     return out
 
 
-def _clip_block(sd: Mapping[str, Any], prefix: str) -> dict:
+def _clip_block(sd: Mapping[str, Any], prefix: str, num_heads: int) -> dict:
     return {
         "norm1": _layernorm(sd, f"{prefix}.layer_norm1"),
         "attn": {
-            "qkv": _fused_qkv(sd, f"{prefix}.self_attn"),
+            "qkv": _fused_qkv(sd, f"{prefix}.self_attn", num_heads),
             "proj": _linear(sd, f"{prefix}.self_attn.out_proj"),
         },
         "norm2": _layernorm(sd, f"{prefix}.layer_norm2"),
@@ -94,6 +105,7 @@ def convert_clip_vision(
     depth: int,
     prefix: str = "vision_model",
     projection_key: Optional[str] = "visual_projection.weight",
+    num_heads: Optional[int] = None,
 ) -> dict:
     """HF ``CLIPVisionModel(WithProjection)`` → our VisionTransformer params.
 
@@ -123,8 +135,13 @@ def convert_clip_vision(
         params["patch_embed"]["proj"]["bias"] = _np(
             sd[f"{prefix}.embeddings.patch_embedding.bias"]
         )
+    if num_heads is None:
+        # CLIP/ViT checkpoints use 64-dim heads throughout
+        num_heads = params["cls_token"].shape[-1] // 64
     for i in range(depth):
-        params[f"blocks_{i}"] = _clip_block(sd, f"{prefix}.encoder.layers.{i}")
+        params[f"blocks_{i}"] = _clip_block(
+            sd, f"{prefix}.encoder.layers.{i}", num_heads
+        )
     if projection_key and projection_key in sd:
         params["proj"] = {"kernel": _np(sd[projection_key]).T}
     return params
@@ -135,6 +152,7 @@ def convert_clip_text(
     depth: int,
     prefix: str = "text_model",
     projection_key: Optional[str] = "text_projection.weight",
+    num_heads: Optional[int] = None,
 ) -> dict:
     """HF ``CLIPTextModel(WithProjection)`` → our TextTransformer params.
 
@@ -149,8 +167,12 @@ def convert_clip_text(
         "pos_embed": _np(sd[f"{prefix}.embeddings.position_embedding.weight"])[None],
         "norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
     }
+    if num_heads is None:
+        num_heads = params["token_embedding"]["embedding"].shape[-1] // 64
     for i in range(depth):
-        params[f"blocks_{i}"] = _clip_block(sd, f"{prefix}.encoder.layers.{i}")
+        params[f"blocks_{i}"] = _clip_block(
+            sd, f"{prefix}.encoder.layers.{i}", num_heads
+        )
     if projection_key and projection_key in sd:
         params["proj"] = {"kernel": _np(sd[projection_key]).T}
     return params
@@ -221,8 +243,14 @@ def load_clip_from_hf(
     sd = model.state_dict()
     config = model.config
     vision, text = clip_modules_from_config(config, dtype=dtype)
-    vision_params = convert_clip_vision(sd, config.vision_config.num_hidden_layers)
-    text_params = convert_clip_text(sd, config.text_config.num_hidden_layers)
+    vision_params = convert_clip_vision(
+        sd, config.vision_config.num_hidden_layers,
+        num_heads=config.vision_config.num_attention_heads,
+    )
+    text_params = convert_clip_text(
+        sd, config.text_config.num_hidden_layers,
+        num_heads=config.text_config.num_attention_heads,
+    )
     logit_scale = float(_np(sd["logit_scale"]))
     return {
         "vision": (vision, vision_params),
@@ -257,7 +285,8 @@ def stack_block_params(
 
 
 def convert_bert(
-    state_dict: Mapping[str, Any], depth: int, prefix: str = ""
+    state_dict: Mapping[str, Any], depth: int, prefix: str = "",
+    num_heads: Optional[int] = None,
 ) -> dict:
     """HF ``BertModel`` → our BertTextEncoder params."""
     sd = state_dict
@@ -274,6 +303,10 @@ def convert_bert(
         },
         "embed_norm": _layernorm(sd, f"{p}embeddings.LayerNorm"),
     }
+    from mmlearn_tpu.ops.fused_attention import interleave_qkv_heads
+
+    if num_heads is None:
+        num_heads = params["embed_norm"]["scale"].shape[-1] // 64
     for i in range(depth):
         lp = f"{p}encoder.layer.{i}"
         kernels = [
@@ -287,8 +320,12 @@ def convert_bert(
         params[f"blocks_{i}"] = {
             "attn": {
                 "qkv": {
-                    "kernel": np.concatenate(kernels, axis=1),
-                    "bias": np.concatenate(biases),
+                    "kernel": interleave_qkv_heads(
+                        np.concatenate(kernels, axis=1), num_heads
+                    ),
+                    "bias": interleave_qkv_heads(
+                        np.concatenate(biases), num_heads
+                    ),
                 },
                 "proj": _linear(sd, f"{lp}.attention.output.dense"),
             },
@@ -338,7 +375,8 @@ def timm_vit_geometry(state_dict: Mapping[str, Any]) -> dict:
 
 
 def convert_timm_vit(
-    state_dict: Mapping[str, Any], depth: Optional[int] = None
+    state_dict: Mapping[str, Any], depth: Optional[int] = None,
+    num_heads: Optional[int] = None,
 ) -> dict:
     """timm ``VisionTransformer`` state dict → our VisionTransformer params.
 
@@ -347,9 +385,14 @@ def convert_timm_vit(
     timm packs the fused qkv as rows ``[q; k; v]`` — transposed that is the
     same [q|k|v]-major column packing our ``Attention`` uses.
     """
+    from mmlearn_tpu.ops.fused_attention import interleave_qkv_heads
+
     sd = state_dict
+    geo = timm_vit_geometry(sd)
     if depth is None:
-        depth = timm_vit_geometry(sd)["depth"]
+        depth = geo["depth"]
+    if num_heads is None:
+        num_heads = geo["num_heads"]
     params: dict[str, Any] = {
         "patch_embed": {
             "proj": {
@@ -365,9 +408,15 @@ def convert_timm_vit(
     }
     for i in range(depth):
         lp = f"blocks.{i}"
-        qkv = {"kernel": _np(sd[f"{lp}.attn.qkv.weight"]).T}
+        qkv = {
+            "kernel": interleave_qkv_heads(
+                _np(sd[f"{lp}.attn.qkv.weight"]).T, num_heads
+            )
+        }
         if f"{lp}.attn.qkv.bias" in sd:
-            qkv["bias"] = _np(sd[f"{lp}.attn.qkv.bias"])
+            qkv["bias"] = interleave_qkv_heads(
+                _np(sd[f"{lp}.attn.qkv.bias"]), num_heads
+            )
         params[f"blocks_{i}"] = {
             "norm1": _layernorm(sd, f"{lp}.norm1"),
             "attn": {

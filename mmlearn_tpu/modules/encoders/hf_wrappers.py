@@ -81,7 +81,7 @@ def HFTextEncoder(
     depth = config.num_hidden_layers
 
     def _load():
-        params = convert_bert(sd, depth)
+        params = convert_bert(sd, depth, num_heads=config.num_attention_heads)
         if scan_blocks:
             # BertTextEncoder's scan path is blocks/block (post-LN stack)
             params = stack_block_params(
@@ -92,7 +92,8 @@ def HFTextEncoder(
     return register_pretrained_loader(encoder, _load)
 
 
-def convert_hf_vit(state_dict: Any, depth: int, prefix: str = "vit") -> dict:
+def convert_hf_vit(state_dict: Any, depth: int, prefix: str = "vit",
+                   num_heads: Optional[int] = None) -> dict:
     """HF ``ViTModel`` → our VisionTransformer params.
 
     Target module config: ``use_cls_token=True, learned_pos_embed=True,
@@ -115,6 +116,10 @@ def convert_hf_vit(state_dict: Any, depth: int, prefix: str = "vit") -> dict:
         "pos_embed": _np(sd[f"{p}embeddings.position_embeddings"]),
         "norm": _layernorm(sd, f"{p}layernorm"),
     }
+    from mmlearn_tpu.ops.fused_attention import interleave_qkv_heads
+
+    if num_heads is None:
+        num_heads = params["cls_token"].shape[-1] // 64
     for i in range(depth):
         lp = f"{p}encoder.layer.{i}"
         kernels = [
@@ -129,8 +134,12 @@ def convert_hf_vit(state_dict: Any, depth: int, prefix: str = "vit") -> dict:
             "norm1": _layernorm(sd, f"{lp}.layernorm_before"),
             "attn": {
                 "qkv": {
-                    "kernel": np.concatenate(kernels, axis=1),
-                    "bias": np.concatenate(biases),
+                    "kernel": interleave_qkv_heads(
+                        np.concatenate(kernels, axis=1), num_heads
+                    ),
+                    "bias": interleave_qkv_heads(
+                        np.concatenate(biases), num_heads
+                    ),
                 },
                 "proj": _linear(sd, f"{lp}.attention.output.dense"),
             },
@@ -189,7 +198,9 @@ def HFViTEncoder(
     depth = config.num_hidden_layers
 
     def _load():
-        params = convert_hf_vit(sd, depth, prefix=prefix)
+        params = convert_hf_vit(
+            sd, depth, prefix=prefix, num_heads=config.num_attention_heads
+        )
         return stack_block_params(params, depth) if scan_blocks else params
 
     return register_pretrained_loader(encoder, _load)
@@ -272,7 +283,7 @@ def TimmViT(
     depth = geo["depth"]
 
     def _load():
-        params = convert_timm_vit(sd, depth)
+        params = convert_timm_vit(sd, depth, num_heads=geo["num_heads"])
         return stack_block_params(params, depth) if scan_blocks else params
 
     return register_pretrained_loader(encoder, _load)

@@ -21,10 +21,18 @@ import jax
 import jax.numpy as jnp
 
 from mmlearn_tpu.ops.flash_attention import flash_attention
+from mmlearn_tpu.ops.fused_attention import fused_mha, supports_fused
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention with fused qkv projection."""
+    """Multi-head self-attention with fused qkv projection.
+
+    The fused ``qkv`` kernel is packed **head-major**
+    (``[h0_q | h0_k | h0_v | h1_q | ...]``, see
+    :mod:`mmlearn_tpu.ops.fused_attention`) so the short-seq Pallas kernel
+    consumes the projection output with zero layout ops. Weight converters
+    produce this packing via ``interleave_qkv_heads``.
+    """
 
     num_heads: int = 8
     qkv_bias: bool = False
@@ -55,15 +63,22 @@ class Attention(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="qkv",
-        )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (
-            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
-        )  # each (b, h, n, d)
+        )(x)  # (b, n, H*3*D) head-major
+
+        # drop statically-all-true masks so the kernel elides masking work
+        if attention_mask is not None and attention_mask.ndim != 2:
+            raise ValueError(
+                f"attention_mask must be (batch, kv_seq), got "
+                f"{attention_mask.shape}"
+            )
 
         use_dropout = self.attn_drop > 0.0 and not deterministic
         if return_weights or use_dropout:
             # XLA path: materializes weights (introspection or attn dropout).
+            hm = qkv.reshape(b, n, self.num_heads, 3, head_dim)
+            q = jnp.transpose(hm[..., 0, :], (0, 2, 1, 3))  # (b, h, n, d)
+            k = jnp.transpose(hm[..., 1, :], (0, 2, 1, 3))
+            v = jnp.transpose(hm[..., 2, :], (0, 2, 1, 3))
             s = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
             ) * scale
@@ -77,13 +92,25 @@ class Attention(nn.Module):
             if use_dropout:
                 attn = nn.Dropout(self.attn_drop, deterministic=False)(attn)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        elif supports_fused(self.num_heads, head_dim, n):
+            # short-seq fused kernel (TPU) / identical XLA math elsewhere
+            out = fused_mha(
+                qkv, attention_mask, num_heads=self.num_heads, scale=scale,
+                causal=self.causal,
+            )
+            attn = None
         else:
+            hm = qkv.reshape(b, n, self.num_heads, 3, head_dim)
+            q = jnp.transpose(hm[..., 0, :], (0, 2, 1, 3))
+            k = jnp.transpose(hm[..., 1, :], (0, 2, 1, 3))
+            v = jnp.transpose(hm[..., 2, :], (0, 2, 1, 3))
             out = flash_attention(
                 q, k, v, mask=attention_mask, scale=scale, causal=self.causal
             )
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
             attn = None
 
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         out = nn.Dense(
             c,
             use_bias=True,

@@ -12,10 +12,16 @@ HBM, and re-transposing gradients. This kernel eliminates all of it:
   no reshape (Mosaic requires the trailing block dim to be a multiple of 128,
   hence head *groups*: HG = lcm(3D, 128) / 3D, e.g. 2 heads for D=64);
 - the whole sequence fits in VMEM, so scores/softmax never touch HBM
-  (no online-softmax bookkeeping needed either — one pass, exact);
-- the backward recomputes scores in VMEM from the saved qkv block and writes
-  the *packed* ``dqkv`` cotangent directly — XLA's Dense backward consumes it
-  with zero layout ops.
+  (no online-softmax bookkeeping needed — one pass, exact);
+- **no softmax residuals at all**: the backward kernel recomputes scores from
+  the saved qkv block and re-derives the row max/normalizer — bitwise
+  identical to the forward since the inputs and op order are identical
+  (measured: storing the LSE through HBM nearly doubled kernel time due to
+  its (2, N)-sublane layout);
+- the backward writes the *packed* ``dqkv`` cotangent directly — XLA's Dense
+  backward consumes it with zero layout ops;
+- masking is statically elided when no key-validity mask is passed (the
+  vision tower), and the causal mask is an in-register iota compare.
 
 Replaces the reference's naive materializing attention
 (/root/reference/mmlearn/modules/layers/attention.py:59-75) on the short-seq
@@ -105,70 +111,71 @@ def _mha_reference_xla(
     return o.reshape(b, n, num_heads * d).astype(qkv.dtype)
 
 
-def _attend_one(q, k, v, kv_valid, scale, causal, n):
-    """One head's attention in VMEM; returns (o_f32_normalized, lse)."""
+def _scores(q, k, kv_valid, scale, causal, n):
+    """Masked f32 score matrix for one head — shared by fwd and bwd so the
+    backward's recomputed softmax statistics are bitwise identical."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (N, N)
-    s = jnp.where(kv_valid[None, :], s, _NEG)
+    if kv_valid is not None:
+        s = jnp.where(kv_valid[None, :], s, _NEG)
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         s = jnp.where(row >= col, s, _NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return o / l, (m + jnp.log(l))[:, 0]
+    return s
 
 
 def _fwd_kernel(
-    mask_ref,  # (G, 1, N) bool
-    qkv_ref,  # (G, N, HG*3D)
-    o_ref,  # (G, N, HG*D)
-    lse_ref,  # (G, 1, HG, N) f32
-    *,
+    *refs,
     scale: float,
     causal: bool,
     group: int,
     head_group: int,
     head_dim: int,
+    has_mask: bool,
 ):
+    if has_mask:
+        mask_ref, qkv_ref, o_ref = refs
+    else:
+        qkv_ref, o_ref = refs
     d = head_dim
     n = qkv_ref.shape[1]
     for g in range(group):
-        kv_valid = mask_ref[g, 0, :]
+        kv_valid = mask_ref[g, 0, :] if has_mask else None
         for hh in range(head_group):
             base = hh * 3 * d
             q = qkv_ref[g, :, base : base + d]
             k = qkv_ref[g, :, base + d : base + 2 * d]
             v = qkv_ref[g, :, base + 2 * d : base + 3 * d]
-            o, lse = _attend_one(q, k, v, kv_valid, scale, causal, n)
-            o_ref[g, :, hh * d : (hh + 1) * d] = o.astype(o_ref.dtype)
-            lse_ref[g, 0, hh, :] = lse
+            s = _scores(q, k, kv_valid, scale, causal, n)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[g, :, hh * d : (hh + 1) * d] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
-    mask_ref,  # (G, 1, N)
-    qkv_ref,  # (G, N, HG*3D)
-    o_ref,  # (G, N, HG*D) saved forward output
-    do_ref,  # (G, N, HG*D)
-    lse_ref,  # (G, 1, HG, N) f32
-    dqkv_ref,  # (G, N, HG*3D)
-    *,
+    *refs,
     scale: float,
     causal: bool,
     group: int,
     head_group: int,
     head_dim: int,
+    has_mask: bool,
 ):
+    if has_mask:
+        mask_ref, qkv_ref, o_ref, do_ref, dqkv_ref = refs
+    else:
+        qkv_ref, o_ref, do_ref, dqkv_ref = refs
     d = head_dim
     n = qkv_ref.shape[1]
     for g in range(group):
-        kv_valid = mask_ref[g, 0, :]
+        kv_valid = mask_ref[g, 0, :] if has_mask else None
         for hh in range(head_group):
             base = hh * 3 * d
             q = qkv_ref[g, :, base : base + d]
@@ -176,18 +183,13 @@ def _bwd_kernel(
             v = qkv_ref[g, :, base + 2 * d : base + 3 * d]
             do = do_ref[g, :, hh * d : (hh + 1) * d]
             out = o_ref[g, :, hh * d : (hh + 1) * d]
-            lse = lse_ref[g, 0, hh, :][:, None]  # (N, 1)
 
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            s = jnp.where(kv_valid[None, :], s, _NEG)
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-                s = jnp.where(row >= col, s, _NEG)
-            p = jnp.exp(s - lse)  # (N, N); masked cols are exactly 0
+            # recompute softmax exactly as the forward did
+            s = _scores(q, k, kv_valid, scale, causal, n)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / l  # (N, N) == softmax(s)
 
             delta = jnp.sum(
                 do.astype(jnp.float32) * out.astype(jnp.float32),
@@ -249,77 +251,82 @@ def supports_fused(num_heads: int, head_dim: int, seq: int) -> bool:
     return num_heads % _head_group(head_dim) == 0
 
 
-def _fwd_pallas(qkv, mask, num_heads, scale, causal, interpret=False):
-    b, n, d, hg, g = _kernel_config(qkv, num_heads, interpret)
-    grid = (b // g, num_heads // hg)
-    mask3 = mask.reshape(b, 1, n)
-    kernel = functools.partial(
-        _fwd_kernel, scale=float(scale), causal=causal, group=g,
-        head_group=hg, head_dim=d,
-    )
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+def _common_specs(b, n, d, hg, g, has_mask):
+    specs = []
+    if has_mask:
+        specs.append(
             pl.BlockSpec((g, 1, n), lambda bi, h: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n, hg * 3 * d), lambda bi, h: (bi, 0, h),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((g, n, hg * d), lambda bi, h: (bi, 0, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, hg, n), lambda bi, h: (bi, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, num_heads // hg, hg, n), jnp.float32),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
+                         memory_space=pltpu.VMEM)
+        )
+    specs.append(
+        pl.BlockSpec((g, n, hg * 3 * d), lambda bi, h: (bi, 0, h),
+                     memory_space=pltpu.VMEM)
+    )
+    return specs
+
+
+def _out_spec(n, d, hg, g):
+    return pl.BlockSpec((g, n, hg * d), lambda bi, h: (bi, 0, h),
+                        memory_space=pltpu.VMEM)
+
+
+def _compiler_params(interpret):
+    if _HAS_PLTPU and not interpret:
+        return pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         )
-        if (_HAS_PLTPU and not interpret)
-        else None,
-    )(mask3, qkv)
-    return out, lse
+    return None
 
 
-def _bwd_pallas(qkv, mask, out, lse, g_out, num_heads, scale, causal,
+def _fwd_pallas(qkv, mask, num_heads, scale, causal, interpret=False):
+    b, n, d, hg, g = _kernel_config(qkv, num_heads, interpret)
+    has_mask = mask is not None
+    grid = (b // g, num_heads // hg)
+    kernel = functools.partial(
+        _fwd_kernel, scale=float(scale), causal=causal, group=g,
+        head_group=hg, head_dim=d, has_mask=has_mask,
+    )
+    args = [qkv]
+    if has_mask:
+        args.insert(0, mask.reshape(b, 1, n))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_common_specs(b, n, d, hg, g, has_mask),
+        out_specs=_out_spec(n, d, hg, g),
+        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(*args)
+    return out
+
+
+def _bwd_pallas(qkv, mask, out, g_out, num_heads, scale, causal,
                 interpret=False):
     b, n, d, hg, g = _kernel_config(qkv, num_heads, interpret)
+    has_mask = mask is not None
     grid = (b // g, num_heads // hg)
-    mask3 = mask.reshape(b, 1, n)
     kernel = functools.partial(
         _bwd_kernel, scale=float(scale), causal=causal, group=g,
-        head_group=hg, head_dim=d,
+        head_group=hg, head_dim=d, has_mask=has_mask,
     )
+    in_specs = _common_specs(b, n, d, hg, g, has_mask) + [
+        _out_spec(n, d, hg, g),  # saved forward output
+        _out_spec(n, d, hg, g),  # cotangent
+    ]
+    args = [qkv, out, g_out]
+    if has_mask:
+        args.insert(0, mask.reshape(b, 1, n))
     dqkv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((g, 1, n), lambda bi, h: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n, hg * 3 * d), lambda bi, h: (bi, 0, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n, hg * d), lambda bi, h: (bi, 0, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, n, hg * d), lambda bi, h: (bi, 0, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, hg, n), lambda bi, h: (bi, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, n, hg * 3 * d), lambda bi, h: (bi, 0, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, 3 * num_heads * d), qkv.dtype),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
-        )
-        if (_HAS_PLTPU and not interpret)
-        else None,
-    )(mask3, qkv, out, g_out, lse)
+        compiler_params=_compiler_params(interpret),
+    )(*args)
     return dqkv
 
 
@@ -336,44 +343,71 @@ def _use_pallas(num_heads: int, head_dim: int, seq: int) -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_mha(qkv, mask, num_heads, scale, causal):
-    b, n, three_c = qkv.shape
-    d = three_c // (3 * num_heads)
-    if not _use_pallas(num_heads, d, n):
-        return _mha_reference_xla(qkv, mask, num_heads, scale, causal)
-    out, _ = _fwd_pallas(qkv, mask, num_heads, scale, causal)
-    return out
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_mha_nomask(qkv, num_heads, scale, causal):
+    if not _use_pallas(num_heads, qkv.shape[-1] // (3 * num_heads),
+                       qkv.shape[1]):
+        return _mha_reference_xla(qkv, None, num_heads, scale, causal)
+    return _fwd_pallas(qkv, None, num_heads, scale, causal)
 
 
-def _fused_mha_fwd(qkv, mask, num_heads, scale, causal):
-    b, n, three_c = qkv.shape
-    d = three_c // (3 * num_heads)
-    if not _use_pallas(num_heads, d, n):
-        out = _mha_reference_xla(qkv, mask, num_heads, scale, causal)
-        return out, (qkv, mask, None, None)
-    out, lse = _fwd_pallas(qkv, mask, num_heads, scale, causal)
-    # names let remat policies keep these residuals (BlockStack
-    # remat_policy="save_attn_out") so the backward skips the fwd kernel
+def _fused_mha_nomask_fwd(qkv, num_heads, scale, causal):
+    d = qkv.shape[-1] // (3 * num_heads)
+    if not _use_pallas(num_heads, d, qkv.shape[1]):
+        out = _mha_reference_xla(qkv, None, num_heads, scale, causal)
+        return out, (qkv, None)
+    out = _fwd_pallas(qkv, None, num_heads, scale, causal)
     out = checkpoint_name(out, "attn_out")
-    lse = checkpoint_name(lse, "attn_lse")
-    return out, (qkv, mask, out, lse)
+    return out, (qkv, out)
 
 
-def _fused_mha_bwd(num_heads, scale, causal, residuals, g):
-    qkv, mask, out, lse = residuals
-    if out is None:  # XLA fallback path
+def _fused_mha_nomask_bwd(num_heads, scale, causal, residuals, g):
+    qkv, out = residuals
+    if out is None:
+        def _ref(qkv):
+            return _mha_reference_xla(qkv, None, num_heads, scale, causal)
+
+        _, vjp = jax.vjp(_ref, qkv)
+        (dqkv,) = vjp(g)
+        return (dqkv,)
+    return (_bwd_pallas(qkv, None, out, g, num_heads, scale, causal),)
+
+
+_fused_mha_nomask.defvjp(_fused_mha_nomask_fwd, _fused_mha_nomask_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_mha_masked(qkv, mask, num_heads, scale, causal):
+    if not _use_pallas(num_heads, qkv.shape[-1] // (3 * num_heads),
+                       qkv.shape[1]):
+        return _mha_reference_xla(qkv, mask, num_heads, scale, causal)
+    return _fwd_pallas(qkv, mask, num_heads, scale, causal)
+
+
+def _fused_mha_masked_fwd(qkv, mask, num_heads, scale, causal):
+    d = qkv.shape[-1] // (3 * num_heads)
+    if not _use_pallas(num_heads, d, qkv.shape[1]):
+        out = _mha_reference_xla(qkv, mask, num_heads, scale, causal)
+        return out, (qkv, mask, None)
+    out = _fwd_pallas(qkv, mask, num_heads, scale, causal)
+    out = checkpoint_name(out, "attn_out")
+    return out, (qkv, mask, out)
+
+
+def _fused_mha_masked_bwd(num_heads, scale, causal, residuals, g):
+    qkv, mask, out = residuals
+    if out is None:
         def _ref(qkv):
             return _mha_reference_xla(qkv, mask, num_heads, scale, causal)
 
         _, vjp = jax.vjp(_ref, qkv)
         (dqkv,) = vjp(g)
         return dqkv, None
-    dqkv = _bwd_pallas(qkv, mask, out, lse, g, num_heads, scale, causal)
+    dqkv = _bwd_pallas(qkv, mask, out, g, num_heads, scale, causal)
     return dqkv, None
 
 
-_fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+_fused_mha_masked.defvjp(_fused_mha_masked_fwd, _fused_mha_masked_bwd)
 
 
 def fused_mha(
@@ -390,6 +424,8 @@ def fused_mha(
         qkv: ``(B, N, H * 3 * D)`` fused projection output, packed head-major
             (``interleave_qkv_heads`` converts [q|k|v]-major weights).
         mask: optional ``(B, N)`` boolean key-validity mask (True = attend).
+            Pass None when all keys are valid — the masking VPU work is
+            statically elided (measured ~2x kernel time at ViT shapes).
         num_heads: number of attention heads ``H``.
         scale: logit scale; defaults to ``D ** -0.5``.
         causal: apply a causal mask.
@@ -404,38 +440,31 @@ def fused_mha(
     if scale is None:
         scale = float(d) ** -0.5
     if mask is None:
-        mask = jnp.ones((b, n), dtype=bool)
-    else:
-        mask = mask.astype(bool)
-    return _fused_mha(qkv, mask, num_heads, float(scale), causal)
+        return _fused_mha_nomask(qkv, num_heads, float(scale), causal)
+    return _fused_mha_masked(
+        qkv, mask.astype(bool), num_heads, float(scale), causal
+    )
 
 
 def fused_mha_interpret(qkv, mask=None, *, num_heads, scale=None, causal=False):
     """Run the Pallas forward in interpreter mode (CPU correctness tests)."""
-    b, n, three_c = qkv.shape
-    d = three_c // (3 * num_heads)
+    d = qkv.shape[-1] // (3 * num_heads)
     if scale is None:
         scale = float(d) ** -0.5
-    if mask is None:
-        mask = jnp.ones((b, n), dtype=bool)
-    out, lse = _fwd_pallas(
-        qkv, mask.astype(bool), num_heads, float(scale), causal, interpret=True
-    )
-    return out
+    mask = None if mask is None else mask.astype(bool)
+    return _fwd_pallas(qkv, mask, num_heads, float(scale), causal,
+                       interpret=True)
 
 
 def fused_mha_bwd_interpret(
     qkv, g, mask=None, *, num_heads, scale=None, causal=False
 ):
     """Run fwd+bwd Pallas kernels in interpreter mode; returns dqkv."""
-    b, n, three_c = qkv.shape
-    d = three_c // (3 * num_heads)
+    d = qkv.shape[-1] // (3 * num_heads)
     if scale is None:
         scale = float(d) ** -0.5
-    if mask is None:
-        mask = jnp.ones((b, n), dtype=bool)
-    mask = mask.astype(bool)
-    out, lse = _fwd_pallas(qkv, mask, num_heads, float(scale), causal,
-                           interpret=True)
-    return _bwd_pallas(qkv, mask, out, lse, g, num_heads, float(scale),
-                       causal, interpret=True)
+    mask = None if mask is None else mask.astype(bool)
+    out = _fwd_pallas(qkv, mask, num_heads, float(scale), causal,
+                      interpret=True)
+    return _bwd_pallas(qkv, mask, out, g, num_heads, float(scale), causal,
+                       interpret=True)

@@ -46,17 +46,28 @@ class ModelCheckpoint(Callback):
         every_n_epochs: Optional[int] = 1,
         save_last: bool = True,
         max_to_keep: int = 3,
-        monitor: Optional[str] = None,  # parity arg; not used yet
+        monitor: Optional[str] = None,
         mode: str = "min",
+        save_top_k: int = 1,
         async_save: bool = True,
     ) -> None:
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
         self.dirpath = dirpath
         self.every_n_train_steps = every_n_train_steps
         self.every_n_epochs = every_n_epochs
         self.save_last = save_last
         self.max_to_keep = max_to_keep
+        #: Lightning ModelCheckpoint(monitor=..., save_top_k=...) parity
+        #: (reference conf/__init__.py:417-426): when set, every validation
+        #: end saves into a ``best/`` manager that retains the top-k
+        #: checkpoints by this metric.
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
         self.async_save = async_save
         self._manager = None
+        self._best_manager = None
 
     def _ensure_manager(self, trainer: Any):
         if self._manager is None:
@@ -87,6 +98,80 @@ class ModelCheckpoint(Callback):
             manager.wait_until_finished()
         logger.info("Saved checkpoint at step %d", step)
 
+    def _ensure_best_manager(self, trainer: Any):
+        if self._best_manager is None:
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(
+                self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
+            )
+            self._best_dir = os.path.join(path, "best")
+            os.makedirs(self._best_dir, exist_ok=True)
+            self._best_manager = ocp.CheckpointManager(
+                self._best_dir,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=max(1, self.save_top_k),
+                    best_fn=lambda m: float(m[self.monitor]),
+                    best_mode=self.mode,
+                    create=True,
+                ),
+            )
+        return self._best_manager
+
+    def on_validation_end(self, trainer: Any, metrics: dict, step: int) -> None:
+        if not self.monitor:
+            return
+        if self.monitor not in metrics:
+            logger.warning(
+                "ModelCheckpoint monitor '%s' not in validation metrics %s",
+                self.monitor, sorted(metrics),
+            )
+            return
+        import orbax.checkpoint as ocp
+
+        manager = self._ensure_best_manager(trainer)
+        manager.save(
+            step,
+            args=ocp.args.StandardSave(trainer.state),
+            metrics={self.monitor: float(metrics[self.monitor])},
+            force=True,
+        )
+        if not self.async_save:
+            manager.wait_until_finished()
+        logger.info(
+            "Saved monitored checkpoint at step %d (%s=%s)",
+            step, self.monitor, metrics[self.monitor],
+        )
+
+    @property
+    def best_model_path(self) -> Optional[str]:
+        """Directory of the best checkpoint by the monitored metric
+        (Lightning ``ModelCheckpoint.best_model_path`` equivalent)."""
+        if self._best_manager is None:
+            return None
+        self._best_manager.wait_until_finished()
+        step = self._best_manager.best_step()
+        if step is None:
+            return None
+        return os.path.join(self._best_dir, str(step))
+
+    def restore_best(self, trainer: Any, strict: bool = True) -> Optional[Any]:
+        """Restore the best checkpoint by the monitored metric."""
+        import orbax.checkpoint as ocp
+
+        if self._best_manager is None:
+            return None
+        manager = self._best_manager
+        manager.wait_until_finished()
+        step = manager.best_step()
+        if step is None:
+            return None
+        restored = manager.restore(
+            step, args=ocp.args.StandardRestore(trainer.state)
+        )
+        logger.info("Restored best checkpoint from step %d", step)
+        return restored
+
     def on_train_batch_end(self, trainer: Any, metrics: dict, step: int) -> None:
         if self.every_n_train_steps and step > 0 and step % self.every_n_train_steps == 0:
             self._save(trainer, step)
@@ -100,6 +185,8 @@ class ModelCheckpoint(Callback):
             self._save(trainer, int(trainer.state.step), wait=True)
         elif self._manager is not None:
             self._manager.wait_until_finished()
+        if self._best_manager is not None:
+            self._best_manager.wait_until_finished()
 
     def restore_latest(self, trainer: Any, strict: bool = True) -> Optional[Any]:
         """Restore the newest checkpoint.

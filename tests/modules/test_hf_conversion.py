@@ -108,7 +108,7 @@ def test_bert_conversion_matches_torch():
         vocab_size=120, max_length=24, embed_dim=32, depth=2, num_heads=4,
         mlp_ratio=2.0, norm_eps=config.layer_norm_eps, pooling="pooler",
     )
-    params = convert_bert(model.state_dict(), depth=2)
+    params = convert_bert(model.state_dict(), depth=2, num_heads=4)
 
     rng = np.random.default_rng(2)
     ids = rng.integers(1, 119, (2, 10)).astype(np.int64)
@@ -212,9 +212,9 @@ def test_bert_scan_blocks_conversion_equals_unrolled():
     )
     unrolled = BertTextEncoder(**kwargs)
     scanned = BertTextEncoder(**kwargs, scan_blocks=True)
-    params = convert_bert(model.state_dict(), depth=3)
+    params = convert_bert(model.state_dict(), depth=3, num_heads=4)
     stacked = stack_block_params(
-        convert_bert(model.state_dict(), depth=3), 3,
+        convert_bert(model.state_dict(), depth=3, num_heads=4), 3,
         out_path=("blocks", "block"),
     )
 

@@ -145,3 +145,49 @@ def test_non_strict_restore_across_config_change(tmp_path):
     np.testing.assert_allclose(restored_block0, saved_block0, atol=1e-6)
     # the extra block exists (fresh init)
     assert "blocks_2" in state2.params["encoders"]["rgb"]
+
+
+@pytest.mark.integration_test
+def test_monitor_best_k_checkpointing(tmp_path):
+    """monitor/save_top_k keeps the best-by-metric checkpoint and
+    best_model_path/restore_best expose it (Lightning ModelCheckpoint
+    parity, reference conf/__init__.py:417-426)."""
+    import jax.numpy as jnp
+
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    task = _tiny_task()
+    loader = DataLoader(PairedDataset(size=32), batch_size=16, drop_last=True)
+    ckpt = ModelCheckpoint(
+        dirpath=str(tmp_path / "ckpts"), monitor="validation/loss",
+        mode="min", save_top_k=1, every_n_epochs=None, save_last=False,
+        async_save=False,
+    )
+    trainer = Trainer(
+        max_steps=3, log_every_n_steps=10, callbacks=[ckpt],
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(task, loader)
+
+    # simulate three validations; step 2 is best (loss 1.5)
+    ckpt.on_validation_end(trainer, {"validation/loss": 5.0}, 1)
+    ckpt.on_validation_end(trainer, {"validation/loss": 1.5}, 2)
+    ckpt.on_validation_end(trainer, {"validation/loss": 4.0}, 3)
+    ckpt.on_train_end(trainer)
+
+    best = ckpt.best_model_path
+    assert best is not None and best.endswith("2"), best
+    # top-k retention: only the best step's checkpoint remains
+    import os
+
+    kept = {
+        d for d in os.listdir(os.path.dirname(best)) if d.isdigit()
+    }
+    assert kept == {"2"}
+
+    restored = ckpt.restore_best(trainer)
+    assert restored is not None
+    assert int(restored.step) == int(trainer.state.step)
+
+    # missing monitor key is a warning, not a crash
+    ckpt.on_validation_end(trainer, {"other_metric": 1.0}, 4)

@@ -94,3 +94,62 @@ def test_multirun_cartesian_product():
     # output dirs are job-suffixed
     assert all(f"job{i}" in c["runtime"]["output_dir"]
                for i, c in enumerate(cfgs))
+
+
+def test_launcher_arg_parsing():
+    from mmlearn_tpu.cli.launcher import parse_launcher_args
+
+    opts, rest = parse_launcher_args(
+        ["launcher=slurm", "launcher.partition=tpu", "launcher.nodes=4",
+         "trainer.max_steps=5,10", "+experiment=x"]
+    )
+    assert opts == {"kind": "slurm", "partition": "tpu", "nodes": "4"}
+    assert rest == ["trainer.max_steps=5,10", "+experiment=x"]
+
+
+def test_slurm_launcher_writes_scripts_and_submits(tmp_path):
+    """submitit-style sbatch dispatch (reference default multirun path,
+    conf/__init__.py:101-103) — scripts carry the job argv and directives."""
+    from mmlearn_tpu.cli.launcher import launch_slurm
+
+    # stub sbatch that records its argument
+    sbatch = tmp_path / "sbatch"
+    sbatch.write_text(
+        "#!/bin/bash\necho submitted $1\ncat \"$1\" >> {}/calls.txt\n".format(
+            tmp_path
+        )
+    )
+    sbatch.chmod(0o755)
+
+    outs = launch_slurm(
+        [["a=1", "+experiment=foo"], ["a=2", "+experiment=foo"]],
+        [str(tmp_path / "job0"), str(tmp_path / "job1")],
+        sbatch=str(sbatch),
+        partition="tpu", nodes=2, ntasks_per_node=1, multihost=True,
+    )
+    assert len(outs) == 2 and all(o.startswith("submitted") for o in outs)
+    script = (tmp_path / "job0" / "submit.sh").read_text()
+    assert "#SBATCH --partition=tpu" in script
+    assert "#SBATCH --nodes=2" in script
+    assert "#SBATCH --ntasks-per-node=1" in script
+    assert "MMLEARN_MULTIHOST=1" in script
+    assert "a=1" in script and "mmlearn_tpu.cli.run" in script
+    calls = (tmp_path / "calls.txt").read_text()
+    assert calls.count("srun") == 2
+
+
+@pytest.mark.integration_test
+def test_local_parallel_launcher(tmp_path):
+    """launcher=local runs sweep jobs as concurrent subprocesses with
+    per-job logs (each job gets a fresh JAX process)."""
+    from mmlearn_tpu.cli.launcher import launch_local
+
+    rcs = launch_local(
+        [["--help"], ["--help"]],
+        [str(tmp_path / "j0"), str(tmp_path / "j1")],
+        workers=2,
+        env={"MMLEARN_PLATFORM": "cpu"},
+    )
+    assert rcs == [0, 0]
+    log = (tmp_path / "j0" / "job.log").read_text()
+    assert "task" in log  # --help lists config groups
