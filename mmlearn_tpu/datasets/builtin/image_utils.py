@@ -35,22 +35,32 @@ def decode_transform_jpeg(
 ) -> np.ndarray:
     """Decode JPEG bytes and apply a transform.
 
-    Eval path rides the native C++ fastloader (fused decode+resize+crop,
-    mmlearn_tpu/native/fastloader.cpp) when available; train path and
-    fallback decode with PIL.
+    Both paths ride the native C++ fastloader when available
+    (mmlearn_tpu/native/fastloader.cpp): eval = fused decode+resize+center
+    crop, train = fused decode+random-resized-crop+hflip with a seed drawn
+    from ``rng``. PIL is the fallback.
     """
-    if not transform.train:
-        from mmlearn_tpu import native
+    from mmlearn_tpu import native
 
-        if native.available():
-            try:
-                arr = native.decode_jpeg(data, transform.size)
-                out = arr.astype(np.float32) / 255.0
-                return (out - np.asarray(transform.mean, np.float32)) / np.asarray(
-                    transform.std, np.float32
+    if native.available():
+        try:
+            if transform.train:
+                seed_rng = rng or np.random.default_rng()
+                arr = native.decode_jpeg_train(
+                    data,
+                    transform.size,
+                    scale=tuple(transform.random_crop_scale),
+                    hflip_prob=transform.hflip_prob,
+                    seed=int(seed_rng.integers(0, 2**63 - 1)),
                 )
-            except (ValueError, RuntimeError):
-                pass
+            else:
+                arr = native.decode_jpeg(data, transform.size)
+            out = arr.astype(np.float32) / 255.0
+            return (out - np.asarray(transform.mean, np.float32)) / np.asarray(
+                transform.std, np.float32
+            )
+        except (ValueError, RuntimeError):
+            pass
     import io
 
     from PIL import Image

@@ -119,6 +119,15 @@ class ImageNet:
                 if isinstance(raw, list):
                     return {i: name for i, name in enumerate(raw)}
                 return {int(k): v for k, v in raw.items()}
+        if len(classes) == 1000:
+            # self-contained 1000-class mapping (the reference embeds the
+            # same table, mmlearn/datasets/imagenet.py:157+); folder names
+            # are wnids, so map them through the canonical index order
+            from mmlearn_tpu.datasets.builtin._imagenet_labels import (
+                IMAGENET_ID2LABEL,
+            )
+
+            return dict(IMAGENET_ID2LABEL)
         return {i: c for i, c in enumerate(classes)}
 
     def __len__(self) -> int:

@@ -70,6 +70,30 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.fl_decode_jpeg_train.restype = ctypes.c_int
+        lib.fl_decode_jpeg_train.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_uint64,
+            ctypes.c_void_p,
+        ]
+        lib.fl_decode_jpeg_batch_train.restype = ctypes.c_int
+        lib.fl_decode_jpeg_batch_train.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -117,4 +141,61 @@ def decode_jpeg(jpeg: bytes, out_size: int) -> np.ndarray:
     )
     if rc != 0:
         raise ValueError("JPEG decode failed")
+    return out
+
+
+def decode_jpeg_train(
+    jpeg: bytes,
+    out_size: int,
+    scale: tuple[float, float] = (0.6, 1.0),
+    hflip_prob: float = 0.5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train-path decode: random-resized-crop + random hflip (seeded)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("fastloader native library unavailable")
+    out = np.empty((out_size, out_size, 3), dtype=np.uint8)
+    rc = lib.fl_decode_jpeg_train(
+        jpeg, len(jpeg), out_size, float(scale[0]), float(scale[1]),
+        float(hflip_prob), int(seed) & (2**64 - 1),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError("JPEG decode failed")
+    return out
+
+
+def decode_jpeg_batch_train(
+    jpegs: Sequence[bytes],
+    out_size: int,
+    seeds: Sequence[int],
+    scale: tuple[float, float] = (0.6, 1.0),
+    hflip_prob: float = 0.5,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Batched train-path decode with per-image augmentation seeds."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("fastloader native library unavailable")
+    n = len(jpegs)
+    blob = b"".join(jpegs)
+    offsets = np.zeros(n + 1, dtype=np.uintp)
+    np.cumsum([len(j) for j in jpegs], out=offsets[1:])
+    seed_arr = np.asarray(seeds, dtype=np.uint64)
+    out = np.empty((n, out_size, out_size, 3), dtype=np.uint8)
+    failures = lib.fl_decode_jpeg_batch_train(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        n,
+        out_size,
+        float(scale[0]),
+        float(scale[1]),
+        float(hflip_prob),
+        seed_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    if failures:
+        logger.warning("fastloader: %d/%d JPEGs failed to decode", failures, n)
     return out

@@ -72,25 +72,21 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
   return true;
 }
 
-// Bilinear resize (shorter side -> target scale) + center crop to
-// (out_size, out_size). Matches the eval path of
-// mmlearn_tpu.datasets.builtin.image_utils.ImageTransform.
-void resize_center_crop(const uint8_t* src, int w, int h, int out_size,
-                        uint8_t* dst) {
-  const int short_side = w < h ? w : h;
-  const double scale = static_cast<double>(out_size) / short_side;
-  const int nw = static_cast<int>(std::lround(w * scale));
-  const int nh = static_cast<int>(std::lround(h * scale));
-  const int left = (nw - out_size) / 2;
-  const int top = (nh - out_size) / 2;
-
+// Bilinear resample of a source crop rect (cx, cy, cw, ch) to a square
+// (out_size, out_size) output; optional horizontal flip.
+void resample_crop(const uint8_t* src, int w, int h, double cx, double cy,
+                   double cw, double ch, int out_size, bool hflip,
+                   uint8_t* dst) {
+  const double sx_scale = cw / out_size;
+  const double sy_scale = ch / out_size;
   for (int oy = 0; oy < out_size; ++oy) {
-    const double sy = (oy + top + 0.5) / scale - 0.5;
+    const double sy = cy + (oy + 0.5) * sy_scale - 0.5;
     const int y0 = sy <= 0 ? 0 : static_cast<int>(sy);
     const int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
     const double fy = sy - y0 < 0 ? 0 : sy - y0;
     for (int ox = 0; ox < out_size; ++ox) {
-      const double sx = (ox + left + 0.5) / scale - 0.5;
+      const int out_x = hflip ? out_size - 1 - ox : ox;
+      const double sx = cx + (ox + 0.5) * sx_scale - 0.5;
       const int x0 = sx <= 0 ? 0 : static_cast<int>(sx);
       const int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
       const double fx = sx - x0 < 0 ? 0 : sx - x0;
@@ -101,11 +97,64 @@ void resize_center_crop(const uint8_t* src, int w, int h, int out_size,
         const double v11 = src[(static_cast<size_t>(y1) * w + x1) * 3 + c];
         const double v = v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
                          v10 * fy * (1 - fx) + v11 * fy * fx;
-        dst[(static_cast<size_t>(oy) * out_size + ox) * 3 + c] =
+        dst[(static_cast<size_t>(oy) * out_size + out_x) * 3 + c] =
             static_cast<uint8_t>(v + 0.5);
       }
     }
   }
+}
+
+// Eval path: shorter side -> out_size, center crop. Matches
+// mmlearn_tpu.datasets.builtin.image_utils.ImageTransform(train=False).
+void resize_center_crop(const uint8_t* src, int w, int h, int out_size,
+                        uint8_t* dst) {
+  const int short_side = w < h ? w : h;
+  const double scale = static_cast<double>(out_size) / short_side;
+  const int nw = static_cast<int>(std::lround(w * scale));
+  const int nh = static_cast<int>(std::lround(h * scale));
+  const int left = (nw - out_size) / 2;
+  const int top = (nh - out_size) / 2;
+  // crop rect in source coordinates
+  resample_crop(src, w, h, left / scale, top / scale, out_size / scale,
+                out_size / scale, out_size, /*hflip=*/false, dst);
+}
+
+// splitmix64: tiny deterministic per-image RNG for the train augmentations.
+struct Rng {
+  uint64_t state;
+  explicit Rng(uint64_t seed) : state(seed) {}
+  uint64_t next() {
+    state += 0x9e3779b97f4a7c15ULL;
+    uint64_t z = state;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  double uniform() {  // [0, 1)
+    return (next() >> 11) * (1.0 / 9007199254740992.0);
+  }
+};
+
+// Train path: random area-scale crop + resize + random horizontal flip.
+// Matches ImageTransform(train=True): scale ~ U(smin, smax),
+// crop = (w*sqrt(s), h*sqrt(s)) at a uniform offset, flip with p=pflip.
+void random_resized_crop(const uint8_t* src, int w, int h, int out_size,
+                         double smin, double smax, double pflip, uint64_t seed,
+                         uint8_t* dst) {
+  Rng rng(seed);
+  const double s = smin + (smax - smin) * rng.uniform();
+  const double root = std::sqrt(s);
+  const int cw = w * root < 1 ? 1 : static_cast<int>(w * root);
+  const int ch = h * root < 1 ? 1 : static_cast<int>(h * root);
+  const int max_left = w - cw > 0 ? w - cw : 0;
+  const int max_top = h - ch > 0 ? h - ch : 0;
+  const int left = max_left > 0
+                       ? static_cast<int>(rng.next() % (max_left + 1))
+                       : 0;
+  const int top = max_top > 0 ? static_cast<int>(rng.next() % (max_top + 1))
+                              : 0;
+  const bool flip = rng.uniform() < pflip;
+  resample_crop(src, w, h, left, top, cw, ch, out_size, flip, dst);
 }
 
 }  // namespace
@@ -121,6 +170,50 @@ int fl_decode_jpeg_resize(const uint8_t* data, size_t len, int out_size,
   if (!decode_jpeg(data, len, raw, w, h)) return 1;
   resize_center_crop(raw.data(), w, h, out_size, out);
   return 0;
+}
+
+// Train-path decode: random-resized-crop (area scale in [smin, smax]) +
+// random horizontal flip (p=pflip), seeded per call. Returns 0 on success.
+int fl_decode_jpeg_train(const uint8_t* data, size_t len, int out_size,
+                         double smin, double smax, double pflip, uint64_t seed,
+                         uint8_t* out) {
+  std::vector<uint8_t> raw;
+  int w = 0, h = 0;
+  if (!decode_jpeg(data, len, raw, w, h)) return 1;
+  random_resized_crop(raw.data(), w, h, out_size, smin, smax, pflip, seed,
+                      out);
+  return 0;
+}
+
+// Batched train-path decode with per-image seeds and a thread pool.
+int fl_decode_jpeg_batch_train(const uint8_t* blob, const size_t* offsets,
+                               int n, int out_size, double smin, double smax,
+                               double pflip, const uint64_t* seeds,
+                               uint8_t* out, int n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), failures(0);
+  const size_t item = static_cast<size_t>(out_size) * out_size * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* data = blob + offsets[i];
+      const size_t len = offsets[i + 1] - offsets[i];
+      if (fl_decode_jpeg_train(data, len, out_size, smin, smax, pflip,
+                               seeds[i], out + item * i) != 0) {
+        std::memset(out + item * i, 0, item);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failures.load();
 }
 
 // Batch variant with an internal thread pool. `offsets` has n+1 entries into

@@ -74,3 +74,46 @@ def test_fastloader_bad_jpeg_zeroed():
     out = native.decode_jpeg_batch([jpegs[0], b"not a jpeg"], out_size=16)
     assert out[0].std() > 0
     assert (out[1] == 0).all()
+
+
+@pytest.mark.integration_test
+def test_native_train_decode_seeded_and_shaped():
+    """Train-path decode: random-resized-crop + hflip, deterministic per
+    seed, distinct across seeds."""
+    from mmlearn_tpu import native
+
+    if not native.available():
+        pytest.skip("native fastloader unavailable")
+    jpeg = _make_jpegs(n=1, w=96, h=72)[0]
+    a = native.decode_jpeg_train(jpeg, 48, seed=11)
+    b = native.decode_jpeg_train(jpeg, 48, seed=11)
+    c = native.decode_jpeg_train(jpeg, 48, seed=12)
+    assert a.shape == (48, 48, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+    batch = native.decode_jpeg_batch_train(
+        [jpeg] * 3, 48, seeds=[5, 6, 5], n_threads=2
+    )
+    np.testing.assert_array_equal(batch[0], batch[2])
+    assert (batch[0] != batch[1]).any()
+
+
+@pytest.mark.integration_test
+def test_decode_transform_jpeg_train_uses_native(monkeypatch):
+    """ImageTransform(train=True) rides the fused native decode and stays
+    normalized like the PIL path."""
+    from mmlearn_tpu import native
+    from mmlearn_tpu.datasets.builtin.image_utils import (
+        ImageTransform,
+        decode_transform_jpeg,
+    )
+
+    if not native.available():
+        pytest.skip("native fastloader unavailable")
+    jpeg = _make_jpegs(n=1, w=100, h=80)[0]
+    t = ImageTransform(size=32, train=True)
+    rng = np.random.default_rng(0)
+    out = decode_transform_jpeg(jpeg, t, rng=rng)
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    # normalized output: roughly centered values, not raw uint8
+    assert np.abs(out).max() < 10
