@@ -111,18 +111,43 @@ def _mha_reference_xla(
     return o.reshape(b, n, num_heads * d).astype(qkv.dtype)
 
 
-def _scores(q, k, kv_valid, scale, causal, n):
-    """Masked f32 score matrix for one head — shared by fwd and bwd so the
+def _stack_units(qkv_ref, group, head_group, head_dim):
+    """Stack the (sample, head) units of a (G, N, HG*3D) block into batched
+    (U, N, D) q/k/v arrays, U = G*HG (unit-major: sample outer, head inner).
+    One batched dot_general over U pipelines the MXU better than a python
+    loop of small matmuls (measured +7% at ViT shapes)."""
+    d = head_dim
+    qs, ks, vs = [], [], []
+    for g in range(group):
+        for hh in range(head_group):
+            base = hh * 3 * d
+            qs.append(qkv_ref[g, :, base : base + d])
+            ks.append(qkv_ref[g, :, base + d : base + 2 * d])
+            vs.append(qkv_ref[g, :, base + 2 * d : base + 3 * d])
+    return jnp.stack(qs), jnp.stack(ks), jnp.stack(vs)
+
+
+_BATCH_NN = (((2,), (2,)), ((0,), (0,)))  # (U,N,D)x(U,N,D) -> (U,N,N)
+_BATCH_ND = (((2,), (1,)), ((0,), (0,)))  # (U,N,N)x(U,N,D) -> (U,N,D)
+_BATCH_TD = (((1,), (1,)), ((0,), (0,)))  # contract rows: (U,N,N)x(U,N,D)
+
+
+def _scores_batched(q, k, mask, scale, causal, group, head_group, n):
+    """Masked f32 score tensor (U, N, N) — shared by fwd and bwd so the
     backward's recomputed softmax statistics are bitwise identical."""
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (N, N)
-    if kv_valid is not None:
-        s = jnp.where(kv_valid[None, :], s, _NEG)
+        q, k, _BATCH_NN, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        # kv-validity per sample, repeated per head unit
+        kv = jnp.stack(
+            [mask[g, 0, :] for g in range(group) for _ in range(head_group)]
+        )  # (U, N)
+        s = jnp.where(kv[:, None, :], s, _NEG)
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        s = jnp.where(row >= col, s, _NEG)
+        s = jnp.where((row >= col)[None], s, _NEG)
     return s
 
 
@@ -141,22 +166,23 @@ def _fwd_kernel(
         qkv_ref, o_ref = refs
     d = head_dim
     n = qkv_ref.shape[1]
+    q, k, v = _stack_units(qkv_ref, group, head_group, d)
+    s = _scores_batched(
+        q, k, mask_ref if has_mask else None, scale, causal, group,
+        head_group, n,
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, _BATCH_ND,
+        preferred_element_type=jnp.float32,
+    )  # (U, N, D)
+    u = 0
     for g in range(group):
-        kv_valid = mask_ref[g, 0, :] if has_mask else None
         for hh in range(head_group):
-            base = hh * 3 * d
-            q = qkv_ref[g, :, base : base + d]
-            k = qkv_ref[g, :, base + d : base + 2 * d]
-            v = qkv_ref[g, :, base + 2 * d : base + 3 * d]
-            s = _scores(q, k, kv_valid, scale, causal, n)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[g, :, hh * d : (hh + 1) * d] = (o / l).astype(o_ref.dtype)
+            o_ref[g, :, hh * d : (hh + 1) * d] = o[u].astype(o_ref.dtype)
+            u += 1
 
 
 def _bwd_kernel(
@@ -174,51 +200,57 @@ def _bwd_kernel(
         qkv_ref, o_ref, do_ref, dqkv_ref = refs
     d = head_dim
     n = qkv_ref.shape[1]
+    q, k, v = _stack_units(qkv_ref, group, head_group, d)
+    dos, outs = [], []
     for g in range(group):
-        kv_valid = mask_ref[g, 0, :] if has_mask else None
+        for hh in range(head_group):
+            dos.append(do_ref[g, :, hh * d : (hh + 1) * d])
+            outs.append(o_ref[g, :, hh * d : (hh + 1) * d])
+    do = jnp.stack(dos)  # (U, N, D)
+    out = jnp.stack(outs)
+
+    # recompute softmax exactly as the forward did
+    s = _scores_batched(
+        q, k, mask_ref if has_mask else None, scale, causal, group,
+        head_group, n,
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l  # (U, N, N) == softmax(s)
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    )  # (U, N, 1)
+    dv = jax.lax.dot_general(
+        p.astype(do.dtype), do, _BATCH_TD,
+        preferred_element_type=jnp.float32,
+    )  # (U, N, D) — contracts p's query rows
+    dp = jax.lax.dot_general(
+        do, v, _BATCH_NN, preferred_element_type=jnp.float32
+    )  # (U, N, N)
+    ds = p * (dp - delta) * scale
+    dsc = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dsc, k, _BATCH_ND, preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        dsc, q, _BATCH_TD, preferred_element_type=jnp.float32
+    )
+    u = 0
+    for g in range(group):
         for hh in range(head_group):
             base = hh * 3 * d
-            q = qkv_ref[g, :, base : base + d]
-            k = qkv_ref[g, :, base + d : base + 2 * d]
-            v = qkv_ref[g, :, base + 2 * d : base + 3 * d]
-            do = do_ref[g, :, hh * d : (hh + 1) * d]
-            out = o_ref[g, :, hh * d : (hh + 1) * d]
-
-            # recompute softmax exactly as the forward did
-            s = _scores(q, k, kv_valid, scale, causal, n)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            l = jnp.sum(e, axis=-1, keepdims=True)
-            p = e / l  # (N, N) == softmax(s)
-
-            delta = jnp.sum(
-                do.astype(jnp.float32) * out.astype(jnp.float32),
-                axis=-1,
-                keepdims=True,
-            )  # (N, 1)
-            dv = jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (N, D)
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (N, N)
-            ds = p * (dp - delta) * scale
-            dsc = ds.astype(q.dtype)
-            dq = jax.lax.dot_general(
-                dsc, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk = jax.lax.dot_general(
-                dsc, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dqkv_ref[g, :, base : base + d] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[g, :, base + d : base + 2 * d] = dk.astype(dqkv_ref.dtype)
-            dqkv_ref[g, :, base + 2 * d : base + 3 * d] = dv.astype(
+            dqkv_ref[g, :, base : base + d] = dq[u].astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, base + d : base + 2 * d] = dk[u].astype(
                 dqkv_ref.dtype
             )
+            dqkv_ref[g, :, base + 2 * d : base + 3 * d] = dv[u].astype(
+                dqkv_ref.dtype
+            )
+            u += 1
 
 
 def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
