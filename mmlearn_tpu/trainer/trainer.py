@@ -155,6 +155,14 @@ class Trainer:
             model=shape.get("model", 1),
         )
         set_global_mesh(self.mesh)
+        if self.mesh.size > 1:
+            # pallas_call has no GSPMD partitioning rule: on multi-device
+            # meshes route attention through the (partitionable) XLA path.
+            # Explicit MMLEARN_FUSED_ATTN=1 overrides (e.g. pure-dp meshes
+            # wrapped in shard_map).
+            import os
+
+            os.environ.setdefault("MMLEARN_FUSED_ATTN", "0")
 
         self.state: Optional[TrainState] = None
         self._lr_schedule = None
