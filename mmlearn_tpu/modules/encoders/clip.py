@@ -63,8 +63,12 @@ def _vision_module(
     depth = model.config.vision_config.num_hidden_layers
     proj_key = "visual_projection.weight" if with_projection else None
 
+    num_heads = model.config.vision_config.num_attention_heads
+
     def _load():
-        params = convert_clip_vision(sd, depth, projection_key=proj_key)
+        params = convert_clip_vision(
+            sd, depth, projection_key=proj_key, num_heads=num_heads
+        )
         return stack_block_params(params, depth) if scan_blocks else params
 
     return register_pretrained_loader(vision, _load)
@@ -90,8 +94,12 @@ def _text_module(
     depth = model.config.text_config.num_hidden_layers
     proj_key = "text_projection.weight" if with_projection else None
 
+    num_heads = model.config.text_config.num_attention_heads
+
     def _load():
-        params = convert_clip_text(sd, depth, projection_key=proj_key)
+        params = convert_clip_text(
+            sd, depth, projection_key=proj_key, num_heads=num_heads
+        )
         return stack_block_params(params, depth) if scan_blocks else params
 
     return register_pretrained_loader(text, _load)

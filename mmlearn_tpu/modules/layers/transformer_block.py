@@ -150,7 +150,11 @@ class Block(nn.Module):
         deterministic: bool = True,
         return_attention: bool = False,
     ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
-        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        from mmlearn_tpu.modules.layers.normalization import FusedLayerNorm
+
+        y = FusedLayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype, name="norm1"
+        )(x)
         attn_out = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -172,10 +176,13 @@ class Block(nn.Module):
         # named for remat policies (BlockStack remat_policy="save_attn_out")
         from jax.ad_checkpoint import checkpoint_name
         attn_out = checkpoint_name(attn_out, "attn_out")
-        x = x + DropPath(self.drop_path_rate, name="drop_path1")(
+        branch = DropPath(self.drop_path_rate, name="drop_path1")(
             attn_out, deterministic
         )
-        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        # residual add fused into the norm kernel: x, y = (x+branch, LN(...))
+        x, y = FusedLayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype, name="norm2"
+        )(x, residual=branch)
         mlp_out = MLP(
             hidden_dims=[int(self.dim * self.mlp_ratio)],
             out_dim=self.dim,
