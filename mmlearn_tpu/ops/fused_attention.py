@@ -442,6 +442,50 @@ def _fused_mha_masked_bwd(num_heads, scale, causal, residuals, g):
 _fused_mha_masked.defvjp(_fused_mha_masked_fwd, _fused_mha_masked_bwd)
 
 
+def _shard_map_plan(num_heads: int, head_dim: int, b: int):
+    """Mesh + specs for running the kernel per-shard on a >1-device mesh.
+
+    ``pallas_call`` has no GSPMD partitioning rule, so on a sharded mesh the
+    fused kernel is wrapped in ``jax.shard_map`` over the canonical
+    ``data×fsdp×model`` layout: batch sharded over (data, fsdp), heads over
+    model (Megatron-style — the head-major qkv packing makes the channel
+    split land exactly on head boundaries). Returns ``(mesh, batch_axes,
+    model_axis, local_heads)`` or ``None`` when the kernel should run
+    unwrapped (single device / unshardable config / opt-out).
+    """
+    import os
+
+    if os.environ.get("MMLEARN_FUSED_ATTN_SHARD", "1") == "0":
+        return None
+    if os.environ.get("MMLEARN_FUSED_ATTN", "1") == "0":
+        # kernel disabled entirely -> let GSPMD partition the XLA math
+        return None
+    from mmlearn_tpu.parallel.mesh import peek_global_mesh
+
+    mesh = peek_global_mesh()
+    if mesh is None or mesh.size <= 1:
+        return None
+    if not set(mesh.axis_names) <= {"data", "fsdp", "model"}:
+        return None
+    batch_axes = tuple(
+        a for a in ("data", "fsdp") if a in mesh.axis_names
+    )
+    batch_shards = 1
+    for a in batch_axes:
+        batch_shards *= mesh.shape[a]
+    if batch_shards == 0 or b % batch_shards:
+        return None
+    model_shards = mesh.shape.get("model", 1)
+    model_axis = "model" if model_shards > 1 else None
+    if num_heads % model_shards:
+        return None
+    local_heads = num_heads // model_shards
+    # per-shard head count must still tile the kernel's head groups
+    if local_heads % _head_group(head_dim):
+        return None
+    return mesh, batch_axes, model_axis, local_heads
+
+
 def fused_mha(
     qkv: jax.Array,
     mask: Optional[jax.Array] = None,
@@ -471,11 +515,40 @@ def fused_mha(
     d = three_c // (3 * num_heads)
     if scale is None:
         scale = float(d) ** -0.5
+    scale = float(scale)
+
+    plan = _shard_map_plan(num_heads, d, b)
+    if plan is not None:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, batch_axes, model_axis, local_heads = plan
+        qkv_spec = P(batch_axes, None, model_axis)
+        out_spec = P(batch_axes, None, model_axis)
+        if mask is None:
+
+            def _local_nomask(qkv):
+                return _fused_mha_nomask(qkv, local_heads, scale, causal)
+
+            return jax.shard_map(
+                _local_nomask,
+                mesh=mesh,
+                in_specs=(qkv_spec,),
+                out_specs=out_spec,
+            )(qkv)
+
+        def _local_masked(qkv, mask):
+            return _fused_mha_masked(qkv, mask, local_heads, scale, causal)
+
+        return jax.shard_map(
+            _local_masked,
+            mesh=mesh,
+            in_specs=(qkv_spec, P(batch_axes, None)),
+            out_specs=out_spec,
+        )(qkv, mask.astype(bool))
+
     if mask is None:
-        return _fused_mha_nomask(qkv, num_heads, float(scale), causal)
-    return _fused_mha_masked(
-        qkv, mask.astype(bool), num_heads, float(scale), causal
-    )
+        return _fused_mha_nomask(qkv, num_heads, scale, causal)
+    return _fused_mha_masked(qkv, mask.astype(bool), num_heads, scale, causal)
 
 
 def fused_mha_interpret(qkv, mask=None, *, num_heads, scale=None, causal=False):

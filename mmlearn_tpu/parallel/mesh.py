@@ -71,6 +71,11 @@ def get_global_mesh() -> Mesh:
     return _GLOBAL_MESH
 
 
+def peek_global_mesh() -> Optional[Mesh]:
+    """The active mesh if one was set, without creating a default one."""
+    return _GLOBAL_MESH
+
+
 def batch_spec() -> P:
     """Batch-dim sharding: data and fsdp axes jointly shard the batch."""
     return P((DATA_AXIS, FSDP_AXIS))

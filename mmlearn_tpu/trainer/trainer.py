@@ -155,14 +155,10 @@ class Trainer:
             model=shape.get("model", 1),
         )
         set_global_mesh(self.mesh)
-        if self.mesh.size > 1:
-            # pallas_call has no GSPMD partitioning rule: on multi-device
-            # meshes route attention through the (partitionable) XLA path.
-            # Explicit MMLEARN_FUSED_ATTN=1 overrides (e.g. pure-dp meshes
-            # wrapped in shard_map).
-            import os
-
-            os.environ.setdefault("MMLEARN_FUSED_ATTN", "0")
+        # multi-device meshes run the fused MHA kernel per-shard via the
+        # shard_map wrapper in ops/fused_attention._shard_map_plan (batch
+        # over data×fsdp, heads over model); MMLEARN_FUSED_ATTN=0 or
+        # MMLEARN_FUSED_ATTN_SHARD=0 fall back to partitionable XLA math.
 
         self.state: Optional[TrainState] = None
         self._lr_schedule = None
