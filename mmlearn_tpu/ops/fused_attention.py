@@ -465,7 +465,10 @@ def _shard_map_plan(num_heads: int, head_dim: int, b: int):
     mesh = peek_global_mesh()
     if mesh is None or mesh.size <= 1:
         return None
-    if not set(mesh.axis_names) <= {"data", "fsdp", "model"}:
+    extra = set(mesh.axis_names) - {"data", "fsdp", "model"}
+    if any(mesh.shape[a] > 1 for a in extra):
+        # a >1 'seq' (or foreign) axis: this short-seq kernel does not
+        # sequence-shard — let the XLA path / ring attention handle it
         return None
     batch_axes = tuple(
         a for a in ("data", "fsdp") if a in mesh.axis_names

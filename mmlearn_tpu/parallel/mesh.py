@@ -25,8 +25,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 MESH_AXES = (DATA_AXIS, FSDP_AXIS, MODEL_AXIS)
+MESH_AXES_SEQ = (DATA_AXIS, FSDP_AXIS, SEQ_AXIS, MODEL_AXIS)
 
 _GLOBAL_MESH: Optional[Mesh] = None
 
@@ -35,26 +37,35 @@ def create_mesh(
     data: int = -1,
     fsdp: int = 1,
     model: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a 3-axis mesh over the available devices.
+    """Create a mesh over the available devices.
 
-    ``data=-1`` fills whatever device count remains after ``fsdp``/``model``.
+    ``data=-1`` fills whatever device count remains after the other axes.
+    ``seq > 1`` adds a fourth ``seq`` axis (between fsdp and model) for
+    sequence parallelism (ring attention, :mod:`mmlearn_tpu.ops.ring_attention`);
+    the default keeps the 3-axis ``data×fsdp×model`` layout.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    other = fsdp * model * seq
     if data == -1:
-        if n % (fsdp * model) != 0:
+        if n % other != 0:
             raise ValueError(
-                f"{n} devices not divisible by fsdp*model={fsdp * model}"
+                f"{n} devices not divisible by fsdp*seq*model={other}"
             )
-        data = n // (fsdp * model)
-    if data * fsdp * model > n:
+        data = n // other
+    if data * other > n:
         raise ValueError(
-            f"Mesh {data}x{fsdp}x{model} needs more than the {n} available devices"
+            f"Mesh {data}x{fsdp}x{seq}x{model} needs more than the "
+            f"{n} available devices"
         )
     # an explicit smaller mesh uses a prefix of the devices
-    devices = devices[: data * fsdp * model]
+    devices = devices[: data * other]
+    if seq > 1:
+        dev_array = np.asarray(devices).reshape(data, fsdp, seq, model)
+        return Mesh(dev_array, MESH_AXES_SEQ)
     dev_array = np.asarray(devices).reshape(data, fsdp, model)
     return Mesh(dev_array, MESH_AXES)
 

@@ -153,6 +153,7 @@ class Trainer:
             data=shape.get("data", -1),
             fsdp=shape.get("fsdp", 1),
             model=shape.get("model", 1),
+            seq=shape.get("seq", 1),
         )
         set_global_mesh(self.mesh)
         # multi-device meshes run the fused MHA kernel per-shard via the
