@@ -55,6 +55,8 @@ def decode_transform_jpeg(
                 )
             else:
                 arr = native.decode_jpeg(data, transform.size)
+            if transform.device_normalize:
+                return arr  # uint8; trainer normalizes on device
             out = arr.astype(np.float32) / 255.0
             return (out - np.asarray(transform.mean, np.float32)) / np.asarray(
                 transform.std, np.float32
@@ -85,6 +87,9 @@ class ImageTransform:
     train: bool = False
     random_crop_scale: tuple[float, float] = (0.6, 1.0)
     hflip_prob: float = 0.5
+    #: emit uint8 pixels and defer (x/255 - mean)/std to the device (the
+    #: trainer's device_normalize config; 4x smaller host→device transfer)
+    device_normalize: bool = False
 
     def __call__(
         self, img: np.ndarray, rng: Optional[np.random.Generator] = None
@@ -114,6 +119,8 @@ class ImageTransform:
             left = (nw - self.size) // 2
             top = (nh - self.size) // 2
             pil = pil.crop((left, top, left + self.size, top + self.size))
+        if self.device_normalize:
+            return np.asarray(pil, np.uint8)
         out = np.asarray(pil, np.float32) / 255.0
         return (out - np.asarray(self.mean, np.float32)) / np.asarray(
             self.std, np.float32

@@ -121,6 +121,7 @@ class Trainer:
         num_sanity_val_steps: int = 0,
         enable_profiling: bool = False,
         donate_state: bool = True,
+        device_normalize: Optional[Mapping[str, Mapping[str, Any]]] = None,
     ) -> None:
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -139,6 +140,7 @@ class Trainer:
         self.num_sanity_val_steps = num_sanity_val_steps
         self.enable_profiling = enable_profiling
         self.donate_state = donate_state
+        self.device_normalize = dict(device_normalize or {})
 
         if precision == "bf16-mixed":
             # "mixed" opts into relaxed attention-score precision as well
@@ -192,6 +194,40 @@ class Trainer:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
         return tx
 
+    def _device_normalize(self, batch: dict[str, Any]) -> dict[str, Any]:
+        """Normalize uint8 image batches on device, inside the jitted step.
+
+        Datasets opt in by emitting uint8 pixels (``ImageTransform(
+        device_normalize=True)``) — the host→device transfer is then 4x
+        smaller than float32 and the ``(x/255 - mean)/std`` arithmetic fuses
+        into the first conv's operand read. Stats come from the trainer's
+        ``device_normalize`` config, e.g.
+        ``{"rgb": {"mean": CLIP_MEAN, "std": CLIP_STD}}``.
+        """
+        compute_dtype = (
+            jnp.bfloat16
+            if self.precision in ("bf16", "bf16-mixed", "bfloat16")
+            else jnp.float32
+        )
+        out = dict(batch)
+        for key, val in batch.items():
+            if getattr(val, "dtype", None) != jnp.uint8:
+                continue
+            if getattr(val, "ndim", 0) < 3:
+                continue  # uint8 non-image payloads pass through
+            stats = self.device_normalize.get(key)
+            if stats is None:
+                raise ValueError(
+                    f"batch['{key}'] is uint8 but no normalization stats are "
+                    f"configured — set trainer.device_normalize.{key}."
+                    "{mean,std} (or use a host-side float transform)"
+                )
+            mean = jnp.asarray(stats["mean"], jnp.float32)
+            std = jnp.asarray(stats["std"], jnp.float32)
+            x = val.astype(jnp.float32) / 255.0
+            out[key] = ((x - mean) / std).astype(compute_dtype)
+        return out
+
     def _cast_inputs(self, batch: dict[str, Any]) -> dict[str, Any]:
         if self.precision not in ("bf16", "bf16-mixed", "bfloat16"):
             return batch
@@ -207,7 +243,7 @@ class Trainer:
         rng = jax.random.key(self.seed)
 
         def init_fn(rng):
-            params = task.init_params(rng, sample_batch)
+            params = task.init_params(rng, self._device_normalize(sample_batch))
             return TrainState(
                 step=jnp.zeros((), jnp.int32),
                 params=params,
@@ -231,6 +267,8 @@ class Trainer:
         accumulate = self.accumulate_grad_batches
 
         def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+            batch = self._device_normalize(batch)
+
             def loss_wrap(params):
                 loss, (metrics, new_extras) = task.loss_fn(
                     params, batch, rng, state.extras, deterministic=False
@@ -272,6 +310,7 @@ class Trainer:
 
     def _make_val_step(self, task: Any):
         def val_fn(params, batch, extras, rng):
+            batch = self._device_normalize(batch)
             loss, (metrics, _) = task.loss_fn(
                 params, batch, rng, extras, deterministic=True
             )
