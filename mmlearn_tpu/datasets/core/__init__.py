@@ -8,6 +8,10 @@ from mmlearn_tpu.datasets.core.data_collator import (
 from mmlearn_tpu.datasets.core.example import Example, find_matching_indices
 from mmlearn_tpu.datasets.core.loader import DataLoader
 from mmlearn_tpu.datasets.core.modalities import Modalities, Modality
+from mmlearn_tpu.datasets.core.streaming import (
+    StreamingDataset,
+    jsonl_open_shard,
+)
 from mmlearn_tpu.datasets.core.samplers import (
     CombinedDatasetRatioSampler,
     DistributedEvalSampler,
@@ -26,6 +30,8 @@ __all__ = [
     "Modality",
     "RandomSampler",
     "SequentialSampler",
+    "StreamingDataset",
+    "jsonl_open_shard",
     "collate_example_list",
     "find_matching_indices",
 ]

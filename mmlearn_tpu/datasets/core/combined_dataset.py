@@ -19,6 +19,7 @@ from typing import Any
 
 import numpy as np
 
+from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
 from mmlearn_tpu.datasets.core.example import Example
 
 
@@ -49,7 +50,12 @@ class CombinedDataset:
             return len(dataset)
         # iterable-style: honor __len__ if present, else treat as size-1 slot
         # consumed repeatedly (reference uses the same cumulative scheme).
-        return len(dataset) if hasattr(dataset, "__len__") else 1
+        if hasattr(dataset, "__len__"):
+            try:
+                return len(dataset)
+            except TypeError:  # stream with no declared length
+                return 1
+        return 1
 
     def __len__(self) -> int:
         return int(self._cumulative_sizes[-1])
@@ -88,5 +94,9 @@ class CombinedDataset:
                 f"from dataset {dataset_idx}"
             )
         example["dataset_index"] = dataset_idx
+        if EXAMPLE_INDEX_KEY not in example:
+            # streaming sources can't know a global index — use the position
+            # in this process's consumption order
+            example[EXAMPLE_INDEX_KEY] = sample_idx
         example.create_ids()
         return example

@@ -61,6 +61,12 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         if hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        # streaming/iterable sub-datasets reshuffle their shard order per
+        # epoch (the ratio sampler propagates this itself; plain samplers
+        # don't, so cover the direct path here)
+        for ds in getattr(self.dataset, "datasets", []):
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.sampler)
