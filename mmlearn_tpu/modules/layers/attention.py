@@ -73,7 +73,37 @@ class Attention(nn.Module):
             )
 
         use_dropout = self.attn_drop > 0.0 and not deterministic
-        if return_weights or use_dropout:
+
+        # sequence-parallel path: a >1 'seq' mesh axis shards the tokens —
+        # ring attention rotates k/v over the axis (ops/ring_attention)
+        ring_mesh = None
+        if not (return_weights or use_dropout) and attention_mask is None:
+            from mmlearn_tpu.parallel.mesh import peek_global_mesh
+
+            m = peek_global_mesh()
+            if (
+                m is not None
+                and "seq" in m.axis_names
+                and m.shape["seq"] > 1
+                and n % m.shape["seq"] == 0
+            ):
+                ring_mesh = m
+
+        if ring_mesh is not None:
+            from mmlearn_tpu.ops.ring_attention import (
+                sequence_sharded_attention,
+            )
+
+            hm = qkv.reshape(b, n, self.num_heads, 3, head_dim)
+            q = jnp.transpose(hm[..., 0, :], (0, 2, 1, 3))  # (b, h, n, d)
+            k = jnp.transpose(hm[..., 1, :], (0, 2, 1, 3))
+            v = jnp.transpose(hm[..., 2, :], (0, 2, 1, 3))
+            out = sequence_sharded_attention(
+                q, k, v, ring_mesh, scale=scale, causal=self.causal
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+            attn = None
+        elif return_weights or use_dropout:
             # XLA path: materializes weights (introspection or attn dropout).
             hm = qkv.reshape(b, n, self.num_heads, 3, head_dim)
             q = jnp.transpose(hm[..., 0, :], (0, 2, 1, 3))  # (b, h, n, d)
