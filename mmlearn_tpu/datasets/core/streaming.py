@@ -28,9 +28,11 @@ from typing import Any, Callable, Iterator, Optional, Sequence
 
 import numpy as np
 
+from mmlearn_tpu.conf import store
 from mmlearn_tpu.datasets.core.example import Example
 
 
+@store(group="datasets", name="StreamingDataset", populate_full_signature=False)
 class StreamingDataset:
     """Iterate examples from the shard subset owned by this process.
 

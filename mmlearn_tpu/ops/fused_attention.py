@@ -224,20 +224,32 @@ def _bwd_kernel(
         axis=-1,
         keepdims=True,
     )  # (U, N, 1)
-    dv = jax.lax.dot_general(
-        p.astype(do.dtype), do, _BATCH_TD,
-        preferred_element_type=jnp.float32,
-    )  # (U, N, D) — contracts p's query rows
     dp = jax.lax.dot_general(
         do, v, _BATCH_NN, preferred_element_type=jnp.float32
     )  # (U, N, N)
     ds = p * (dp - delta) * scale
     dsc = ds.astype(q.dtype)
+    import os
+
+    if os.environ.get("MMLEARN_FUSED_ATTN_BWD") == "merged":
+        # dv and dk share the contract-rows pattern: one 2U-batch matmul
+        lhs = jnp.concatenate([p.astype(do.dtype), dsc], axis=0)
+        rhs = jnp.concatenate([do, q], axis=0)
+        both = jax.lax.dot_general(
+            lhs, rhs, _BATCH_TD, preferred_element_type=jnp.float32
+        )
+        uu = dsc.shape[0]
+        dv, dk = both[:uu], both[uu:]
+    else:
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, _BATCH_TD,
+            preferred_element_type=jnp.float32,
+        )  # (U, N, D) — contracts p's query rows
+        dk = jax.lax.dot_general(
+            dsc, q, _BATCH_TD, preferred_element_type=jnp.float32
+        )
     dq = jax.lax.dot_general(
         dsc, k, _BATCH_ND, preferred_element_type=jnp.float32
-    )
-    dk = jax.lax.dot_general(
-        dsc, q, _BATCH_TD, preferred_element_type=jnp.float32
     )
     u = 0
     for g in range(group):
