@@ -92,5 +92,28 @@ def main() -> None:
     )
 
 
+def main_with_retries(attempts: int = 4) -> None:
+    """Retry transient tunneled-compile failures (HTTP 500 from the remote
+    compile helper); the persistent cache makes later attempts cheap."""
+    import time as _time
+    import traceback
+
+    for i in range(attempts):
+        try:
+            main()
+            return
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            transient = "remote_compile" in msg or "INTERNAL" in msg
+            if not transient or i == attempts - 1:
+                raise
+            traceback.print_exc()
+            print(
+                f"transient compile failure, retrying ({i + 1}/{attempts})",
+                flush=True,
+            )
+            _time.sleep(45)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retries()

@@ -224,15 +224,16 @@ def _bwd_kernel(
         axis=-1,
         keepdims=True,
     )  # (U, N, 1)
-    dp = jax.lax.dot_general(
-        do, v, _BATCH_NN, preferred_element_type=jnp.float32
-    )  # (U, N, N)
-    ds = p * (dp - delta) * scale
-    dsc = ds.astype(q.dtype)
     import os
 
     if os.environ.get("MMLEARN_FUSED_ATTN_BWD") == "merged":
-        # dv and dk share the contract-rows pattern: one 2U-batch matmul
+        # experiment: dv and dk share the contract-rows pattern — one
+        # 2U-batch matmul (keeps p live longer; needs a smaller group)
+        dp = jax.lax.dot_general(
+            do, v, _BATCH_NN, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dsc = ds.astype(q.dtype)
         lhs = jnp.concatenate([p.astype(do.dtype), dsc], axis=0)
         rhs = jnp.concatenate([do, q], axis=0)
         both = jax.lax.dot_general(
@@ -240,17 +241,27 @@ def _bwd_kernel(
         )
         uu = dsc.shape[0]
         dv, dk = both[:uu], both[uu:]
+        dq = jax.lax.dot_general(
+            dsc, k, _BATCH_ND, preferred_element_type=jnp.float32
+        )
     else:
+        # order matters for peak VMEM: consume p (dv) before materializing
+        # dp/ds so the two (U, N, N) f32 tensors don't overlap in liveness
         dv = jax.lax.dot_general(
             p.astype(do.dtype), do, _BATCH_TD,
             preferred_element_type=jnp.float32,
         )  # (U, N, D) — contracts p's query rows
+        dp = jax.lax.dot_general(
+            do, v, _BATCH_NN, preferred_element_type=jnp.float32
+        )  # (U, N, N)
+        ds = p * (dp - delta) * scale
+        dsc = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(
+            dsc, k, _BATCH_ND, preferred_element_type=jnp.float32
+        )
         dk = jax.lax.dot_general(
             dsc, q, _BATCH_TD, preferred_element_type=jnp.float32
         )
-    dq = jax.lax.dot_general(
-        dsc, k, _BATCH_ND, preferred_element_type=jnp.float32
-    )
     u = 0
     for g in range(group):
         for hh in range(head_group):
