@@ -48,6 +48,7 @@ class TextTransformer(nn.Module):
     remat: bool = False
     remat_policy: str = "dots_no_batch"
     scan_blocks: bool = False  # lax.scan over blocks: ~depth× faster compile
+    scan_unroll: int = 1  # block bodies per scan iteration (perf/compile knob)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -103,6 +104,7 @@ class TextTransformer(nn.Module):
                 causal=self.causal,
                 remat=self.remat,
                 remat_policy=self.remat_policy if self.remat else None,
+                scan_unroll=self.scan_unroll,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="block_stack",

@@ -92,6 +92,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     remat_policy: str = "dots_no_batch"
     scan_blocks: bool = False  # lax.scan over blocks: ~depth× faster compile
+    scan_unroll: int = 1  # block bodies per scan iteration (perf/compile knob)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -186,6 +187,7 @@ class VisionTransformer(nn.Module):
                 norm_eps=self.norm_eps,
                 remat=self.remat,
                 remat_policy=self.remat_policy if self.remat else None,
+                scan_unroll=self.scan_unroll,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="block_stack",

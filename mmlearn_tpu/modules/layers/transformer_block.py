@@ -68,6 +68,8 @@ class BlockStack(nn.Module):
     causal: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None  # None=save nothing | "dots_no_batch"
+    scan_unroll: int = 1  # block bodies per scan iteration (XLA pipelines
+    # across unrolled bodies; param layout is unchanged)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -115,11 +117,17 @@ class BlockStack(nn.Module):
                     jax.checkpoint_policies.save_only_these_names("attn_out"),
                 )
             target = nn.remat(target, policy=policy)
+        unroll = self.scan_unroll
+        if self.depth % unroll:
+            raise ValueError(
+                f"scan_unroll={unroll} must divide depth={self.depth}"
+            )
         scanned = nn.scan(
             target,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.depth,
+            unroll=unroll,
         )
         y, _ = scanned(name="blocks")(x, None)
         return y

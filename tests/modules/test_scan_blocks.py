@@ -108,3 +108,34 @@ def test_bert_scan_matches_loop():
         np.asarray(out_scan.pooler_output), np.asarray(out_loop.pooler_output),
         atol=1e-5,
     )
+
+
+def test_scan_unroll_matches_unroll1():
+    """scan_unroll changes scheduling only: same params tree, same outputs
+    and grads as the default unroll=1 scan."""
+    kwargs = dict(img_size=16, patch_size=8, embed_dim=32, depth=4,
+                  num_heads=4, use_cls_token=True, global_pool="cls",
+                  scan_blocks=True, remat=True)
+    m1 = VisionTransformer(**kwargs)
+    m2 = VisionTransformer(scan_unroll=2, **kwargs)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 16, 3)), jnp.float32
+    )
+    params = m1.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m1.apply(params, x)[0]),
+        np.asarray(m2.apply(params, x)[0]),
+        atol=1e-6,
+    )
+    g1 = jax.grad(lambda p: m1.apply(p, x)[0].sum())(params)
+    g2 = jax.grad(lambda p: m2.apply(p, x)[0].sum())(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_scan_unroll_must_divide_depth():
+    kwargs = dict(img_size=16, patch_size=8, embed_dim=32, depth=4,
+                  num_heads=4, scan_blocks=True, scan_unroll=3)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    with pytest.raises(ValueError, match="scan_unroll"):
+        VisionTransformer(**kwargs).init(jax.random.key(0), x)
