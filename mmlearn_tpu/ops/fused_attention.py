@@ -555,11 +555,14 @@ def fused_mha(
             def _local_nomask(qkv):
                 return _fused_mha_nomask(qkv, local_heads, scale, causal)
 
+            # check_vma=False: pallas_call carries no varying-manual-axes
+            # metadata; per-shard correctness is covered by the sharded tests
             return jax.shard_map(
                 _local_nomask,
                 mesh=mesh,
                 in_specs=(qkv_spec,),
                 out_specs=out_spec,
+                check_vma=False,
             )(qkv)
 
         def _local_masked(qkv, mask):
@@ -570,6 +573,7 @@ def fused_mha(
             mesh=mesh,
             in_specs=(qkv_spec, P(batch_axes, None)),
             out_specs=out_spec,
+            check_vma=False,
         )(qkv, mask.astype(bool))
 
     if mask is None:

@@ -103,3 +103,47 @@ def test_seq_mesh_keeps_three_axis_default():
     m = create_mesh(data=2, seq=4)
     assert m.axis_names == ("data", "fsdp", "seq", "model")
     assert m.shape["seq"] == 4
+
+
+def test_ring_flash_block_backend_matches_full_attention(monkeypatch):
+    """Force the Pallas flash block backend (interpret mode) inside the ring
+    and check fwd + grads against full attention — validates that passing
+    the merged global (out, lse) into the flash bwd kernels per hop yields
+    the exact full-softmax gradients."""
+    import functools
+
+    from mmlearn_tpu.ops import ring_attention as ra
+
+    monkeypatch.setattr(ra, "_use_flash_blocks", lambda *a, **k: True)
+    monkeypatch.setattr(
+        ra, "_block_attn_flash",
+        functools.partial(ra._block_attn_flash.__wrapped__, interpret=True)
+        if hasattr(ra._block_attn_flash, "__wrapped__")
+        else functools.partial(ra._block_attn_flash, interpret=True),
+    )
+    monkeypatch.setattr(
+        ra, "_block_attn_bwd_flash",
+        functools.partial(ra._block_attn_bwd_flash, interpret=True),
+    )
+
+    b, h, n, d = 2, 2, 64, 16
+    q, k, v = _qkv(b, h, n, d, seed=3)
+    mesh = create_mesh(data=1, fsdp=1, seq=4, model=1)
+
+    def ring_loss(q, k, v):
+        out = sequence_sharded_attention(q, k, v, mesh, causal=False)
+        return jnp.sum(out * jnp.cos(out))
+
+    def full_loss(q, k, v):
+        out = _full_attention(q, k, v, causal=False)
+        return jnp.sum(out * jnp.cos(out))
+
+    got = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(full_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(
+        float(ring_loss(q, k, v)), float(full_loss(q, k, v)), rtol=1e-5
+    )
+    for g1, g2 in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), atol=3e-5
+        )
