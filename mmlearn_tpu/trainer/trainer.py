@@ -369,7 +369,27 @@ class Trainer:
 
         rng_root = jax.random.key(self.seed + 1)
         step = int(self.state.step)
+        # resume mid-training at the right epoch: the epoch-seeded sampler
+        # would otherwise replay epoch-0 data (reference semantics: Lightning
+        # restores the loop position — mmlearn delegates via
+        # resume_from_checkpoint, reference cli/run.py:141-146)
         epoch = 0
+        skip_batches = 0
+        if step > 0:
+            try:
+                per_epoch = len(train_loader)
+                if self.limit_train_batches:
+                    per_epoch = min(per_epoch, self.limit_train_batches)
+                epoch, skip_batches = divmod(step, per_epoch)
+            except TypeError:
+                pass  # iterable loader: epoch position is not recoverable
+            if epoch > 0 or skip_batches > 0:
+                # the shape probe consumed epoch-0 batches; start clean
+                probe_iter = None
+                logger.info(
+                    "Resuming at step %d → epoch %d, skipping %d batches",
+                    step, epoch, skip_batches,
+                )
         done = False
         t_log = time.perf_counter()
         examples_since_log = 0
@@ -399,6 +419,11 @@ class Trainer:
                     and batch_idx >= self.limit_train_batches
                 ):
                     break
+                if skip_batches > 0:
+                    # batches consumed before the checkpoint in the resumed
+                    # (partial) epoch
+                    skip_batches -= 1
+                    continue
                 batch = task.prepare_batch(dict(batch), step=step)
                 device_batch = shard_batch(
                     self._cast_inputs(_device_batch(batch)), self.mesh

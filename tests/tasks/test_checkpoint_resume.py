@@ -191,3 +191,54 @@ def test_monitor_best_k_checkpointing(tmp_path):
 
     # missing monitor key is a warning, not a crash
     ckpt.on_validation_end(trainer, {"other_metric": 1.0}, 4)
+
+
+@pytest.mark.integration_test
+def test_resume_restores_epoch_position_with_shuffled_loader(tmp_path):
+    """Resume must continue at the restored step's epoch + batch offset:
+    with an epoch-seeded shuffling loader, 2 steps + resume + 3 must see the
+    exact batch sequence of an uninterrupted 5-step run (reference: Lightning
+    restores the fit-loop position via resume_from_checkpoint)."""
+    ds = CombinedDataset([PairedDataset(size=48)])
+
+    class EpochRecorder:
+        def __init__(self, loader):
+            self._loader = loader
+            self.epochs = []
+
+        def set_epoch(self, e):
+            self.epochs.append(e)
+            self._loader.set_epoch(e)
+
+        def __iter__(self):
+            return iter(self._loader)
+
+        def __len__(self):
+            return len(self._loader)
+
+    def run(max_steps, ckpt_dir=None, resume=False):
+        loader = EpochRecorder(
+            DataLoader(ds, batch_size=16, shuffle=True, seed=7,
+                       drop_last=True)
+        )
+        task = _tiny_task()
+        cbs = []
+        if ckpt_dir:
+            cbs.append(ModelCheckpoint(dirpath=ckpt_dir, every_n_epochs=None,
+                                       save_last=True))
+        trainer = Trainer(max_steps=max_steps, log_every_n_steps=1, seed=0,
+                          callbacks=cbs, default_root_dir=str(tmp_path))
+        state = trainer.fit(task, loader,
+                            ckpt_path="last" if resume else None)
+        return jax.device_get(state.params), loader.epochs
+
+    straight, _ = run(5)
+    ckpt_dir = str(tmp_path / "epoch_ckpts")
+    run(2, ckpt_dir=ckpt_dir)  # stops mid-epoch-0 (3 batches/epoch)
+    resumed, epochs = run(5, ckpt_dir=ckpt_dir, resume=True)
+
+    # probe sets epoch 0, then the loop re-enters epoch 0 (skipping the 2
+    # consumed batches) and continues into epoch 1
+    assert epochs == [0, 0, 1]
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
