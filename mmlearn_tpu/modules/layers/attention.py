@@ -57,8 +57,10 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         scale = self.qk_scale if self.qk_scale is not None else head_dim**-0.5
 
-        qkv = nn.Dense(
-            3 * c,
+        from mmlearn_tpu.modules.layers.quantization import dense
+
+        qkv = dense(
+            features=3 * c,
             use_bias=self.qkv_bias,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -141,8 +143,8 @@ class Attention(nn.Module):
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
             attn = None
 
-        out = nn.Dense(
-            c,
+        out = dense(
+            features=c,
             use_bias=True,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -61,9 +61,11 @@ class MLP(nn.Module):
             hidden = []
         dims = hidden + [self.out_dim if self.out_dim is not None else in_dim]
         act = _get_activation(self.activation)
+        from mmlearn_tpu.modules.layers.quantization import dense
+
         for i, dim in enumerate(dims):
-            x = nn.Dense(
-                dim,
+            x = dense(
+                features=dim,
                 use_bias=self.bias,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,

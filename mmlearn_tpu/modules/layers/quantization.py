@@ -1,0 +1,180 @@
+"""int8 quantized-forward Dense (opt-in training experiment).
+
+The MXU runs int8 at 2x bf16 throughput (measured on v5e:
+`benchmarks/int8_matmul_probe.py` — 273-405 int8 T/s vs 127-136 bf16 TF/s at
+the flagship's vision matmul shapes). ``Int8Dense`` exploits this with
+dynamic symmetric quantization:
+
+- activations: per-row (per-token) absmax scale to int8;
+- weights: per-output-channel absmax scale to int8;
+- matmul in int8 with int32 accumulation, dequantized by ``sx * sw``;
+- backward: straight-through estimator — ``dx``/``dw`` are computed from the
+  *unquantized* operands in the compute dtype, i.e. exactly the gradients of
+  the unquantized matmul (standard QAT practice; keeps the optimizer
+  trajectory close to bf16 training while the forward enjoys int8 speed).
+
+Param layout is identical to ``nn.Dense`` (``kernel``/``bias``), so
+checkpoints are interchangeable and the flag can be flipped mid-training.
+
+Enable with ``MMLEARN_QUANT=int8_fwd`` (read at trace time, like
+``MMLEARN_ATTN_LOGITS``); the transformer-block projections (attention
+qkv/out, MLP fc layers) switch to ``Int8Dense``. Off by default — the
+reference has no quantization support at all (its perf tuning surface is
+TF32/fp16-mixed, /root/reference/mmlearn/cli/run.py:46-49); this is a
+TPU-native capability addition.
+
+Measured on the flagship CLIP ViT-B/16 step (one v5e, b256): **748 pairs/s
+vs 770 bf16** — a net loss despite the 2x raw int8 matmul throughput,
+because (a) only the forward third of the matmul FLOPs quantizes (the STE
+backward stays bf16), (b) the per-matmul dynamic-quantization elementwise
+costs ~0.2-0.8 ms/layer, and (c) remat reruns the quantize+dot chain in the
+backward. int8 becomes a win only with quantized dgrad/wgrad (full int8
+training) or inference-style forward-only workloads — kept opt-in for
+those; see BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax.linen import initializers
+
+
+def quant_mode() -> Optional[str]:
+    """Active quantization mode (trace-time env read)."""
+    mode = os.environ.get("MMLEARN_QUANT", "").strip().lower()
+    return mode or None
+
+
+def exclude_int_dots(base_policy):
+    """Wrap a remat policy so integer-accumulated dots are never saved.
+
+    ``dots_with_no_batch_dims_saveable`` would otherwise stash the int8
+    matmuls' s32 accumulators — at ViT-B b256 that is a 6.9 GB
+    ``s32[12,256,197,3072]`` scan residual for fc1 alone (measured OOM).
+    Recomputing the int8 dots in the backward is cheap; that is the point
+    of running them in int8.
+    """
+
+    def policy(prim, *args, **params):
+        if getattr(prim, "name", "") == "dot_general":
+            pref = params.get("preferred_element_type")
+            if pref is not None and jnp.issubdtype(pref, jnp.integer):
+                return False
+        return base_policy(prim, *args, **params)
+
+    return policy
+
+
+@jax.custom_vjp
+def int8_matmul_ste(x: jax.Array, w: jax.Array) -> jax.Array:
+    """``x @ w`` with int8 operands / int32 accumulation, STE backward.
+
+    x: ``(..., K)`` activations; w: ``(K, N)`` weights. Returns ``(..., N)``
+    in ``x.dtype``.
+    """
+    return _int8_fwd(x, w)
+
+
+def _int8_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6
+    ) / 127.0  # per-row
+    qx = jnp.round(xf / sx).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    sw = jnp.maximum(
+        jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-6
+    ) / 127.0  # per-out-channel
+    qw = jnp.round(wf / sw).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qx, qw, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (acc.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    # named so remat policies can save the (bf16) dequantized output instead
+    # of recomputing the whole quantize+dot chain in the backward
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(y, "int8_out")
+
+
+def _int8_fwd_vjp(x, w):
+    return _int8_fwd(x, w), (x, w)
+
+
+def _int8_bwd_vjp(residuals, g):
+    x, w = residuals
+    # straight-through: exact gradients of the unquantized matmul
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    batch = tuple(range(x.ndim - 1))
+    dw = jax.lax.dot_general(
+        x, g, ((batch, batch), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return dx, dw
+
+
+int8_matmul_ste.defvjp(_int8_fwd_vjp, _int8_bwd_vjp)
+
+
+class Int8Dense(nn.Module):
+    """Drop-in ``nn.Dense`` with an int8 forward matmul (STE backward).
+
+    Same parameter names/shapes as ``nn.Dense``.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = initializers.lecun_normal()
+    bias_init: Callable = initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,),
+                       self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        from flax.linen import dtypes
+
+        x, kernel, bias = dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        y = int8_matmul_ste(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+def dense(*, features: int, use_bias: bool = True, dtype: Any = None,
+          param_dtype: Any = jnp.float32, name: Optional[str] = None,
+          kernel_init: Optional[Callable] = None,
+          bias_init: Optional[Callable] = None) -> nn.Module:
+    """Projection factory for transformer blocks: ``nn.Dense`` normally,
+    :class:`Int8Dense` under ``MMLEARN_QUANT=int8_fwd``."""
+    kw: dict = dict(
+        features=features, use_bias=use_bias, dtype=dtype,
+        param_dtype=param_dtype, name=name,
+    )
+    if kernel_init is not None:
+        kw["kernel_init"] = kernel_init
+    if bias_init is not None:
+        kw["bias_init"] = bias_init
+    if quant_mode() == "int8_fwd":
+        return Int8Dense(**kw)
+    return nn.Dense(**kw)

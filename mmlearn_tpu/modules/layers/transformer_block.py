@@ -103,6 +103,11 @@ class BlockStack(nn.Module):
 
         target = _Body
         if self.remat:
+            from mmlearn_tpu.modules.layers.quantization import (
+                exclude_int_dots,
+                quant_mode,
+            )
+
             policy = None
             if self.remat_policy == "dots_no_batch":
                 # keep (cheap, bf16) projection/MLP outputs; recompute the
@@ -116,6 +121,13 @@ class BlockStack(nn.Module):
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                     jax.checkpoint_policies.save_only_these_names("attn_out"),
                 )
+            if policy is not None and quant_mode():
+                # never save the s32 accumulators (6.9 GB/stack at ViT-B
+                # b256 — measured OOM); the int8 chain recomputes in the
+                # backward instead (saving the bf16 dequantized outputs via
+                # save_only_these_names("int8_out") measured slower: 717 vs
+                # 748 pairs/s — stash traffic beats recompute on v5e)
+                policy = exclude_int_dots(policy)
             target = nn.remat(target, policy=policy)
         unroll = self.scan_unroll
         if self.depth % unroll:

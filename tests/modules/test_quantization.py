@@ -1,0 +1,148 @@
+"""Int8Dense: forward accuracy, STE gradient exactness, checkpoint compat."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from mmlearn_tpu.modules.layers.quantization import (
+    Int8Dense,
+    int8_matmul_ste,
+    quant_mode,
+)
+
+
+def _data(m=64, k=96, n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((4, m, k)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    return x, w
+
+
+def test_int8_matmul_close_to_exact():
+    x, w = _data()
+    got = int8_matmul_ste(x, w)
+    want = x @ w
+    # per-row/per-channel symmetric int8: ~1% relative error at these scales
+    err = jnp.linalg.norm(got - want) / jnp.linalg.norm(want)
+    assert float(err) < 0.02, float(err)
+
+
+def test_int8_ste_gradients_are_exact():
+    """The STE backward must equal the unquantized matmul's gradients."""
+    x, w = _data(seed=1)
+
+    def loss_q(x, w):
+        y = int8_matmul_ste(x, w)
+        return jnp.sum(jnp.sin(y * 0.1))
+
+    def loss_f(x, w):
+        return jnp.sum(jnp.sin((x @ w) * 0.1))
+
+    gx_q, gw_q = jax.grad(loss_q, argnums=(0, 1))(x, w)
+    gx_f, gw_f = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    # cotangents differ (sin' evaluated at quantized vs exact y), so compare
+    # against the STE's own definition: vjp of the exact matmul with the
+    # quantized-forward cotangent
+    y_q = int8_matmul_ste(x, w)
+    g = jnp.cos(y_q * 0.1) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(gx_q),
+        np.asarray(jax.lax.dot_general(
+            g, w, (((g.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )),
+        rtol=1e-5,
+    )
+    # and structurally close to the unquantized grads
+    cos = float(
+        jnp.vdot(gw_q, gw_f)
+        / (jnp.linalg.norm(gw_q) * jnp.linalg.norm(gw_f))
+    )
+    assert cos > 0.99, cos
+
+
+def test_int8dense_params_match_nn_dense():
+    """Same param tree as nn.Dense — checkpoints interchangeable."""
+    x, _ = _data()
+    q = Int8Dense(features=32)
+    d = nn.Dense(features=32)
+    pq = q.init(jax.random.key(0), x)
+    pd = d.init(jax.random.key(0), x)
+    assert jax.tree.structure(pq) == jax.tree.structure(pd)
+    for a, b in zip(jax.tree.leaves(pq), jax.tree.leaves(pd)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # loading Dense-trained params into Int8Dense produces a close forward
+    out_d = d.apply(pd, x)
+    out_q = q.apply(pd, x)
+    err = jnp.linalg.norm(out_q - out_d) / jnp.linalg.norm(out_d)
+    assert float(err) < 0.05, float(err)
+
+
+def test_quant_mode_env_switch(monkeypatch):
+    from mmlearn_tpu.modules.layers.mlp import MLP
+
+    monkeypatch.delenv("MMLEARN_QUANT", raising=False)
+    assert quant_mode() is None
+    x, _ = _data(m=8, k=96, n=0)
+
+    mlp = MLP(hidden_dims=[64], out_dim=96)
+    params = mlp.init(jax.random.key(0), x)
+    base = mlp.apply(params, x)
+
+    monkeypatch.setenv("MMLEARN_QUANT", "int8_fwd")
+    assert quant_mode() == "int8_fwd"
+    quant = mlp.apply(params, x)  # same params, int8 forward
+    err = jnp.linalg.norm(quant - base) / jnp.linalg.norm(base)
+    assert 0.0 < float(err) < 0.05, float(err)
+
+
+@pytest.mark.integration_test
+def test_int8_training_smoke(monkeypatch):
+    """Tiny contrastive task trains (loss decreases) under int8 forward."""
+    monkeypatch.setenv("MMLEARN_QUANT", "int8_fwd")
+    import functools
+
+    import optax
+
+    from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+    from mmlearn_tpu.tasks import ContrastivePretraining
+
+    vision = VisionTransformer(
+        img_size=16, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+        use_cls_token=True, global_pool="cls", proj_dim=32,
+    )
+    text = TextTransformer(
+        vocab_size=64, max_length=12, embed_dim=64, depth=2, num_heads=4,
+        pooling="eos", proj_dim=32,
+    )
+    task = ContrastivePretraining(
+        encoders={"rgb": vision, "text": text},
+        optimizer=functools.partial(optax.adam, learning_rate=1e-3),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb": jnp.asarray(rng.standard_normal((8, 16, 16, 3)), jnp.float32),
+        "text": jnp.asarray(rng.integers(2, 63, (8, 12)), jnp.int32),
+    }
+    params = task.init_params(jax.random.key(0), batch)
+    tx = task.configure_optimizers(max_steps=100)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            loss, _ = task.loss_fn(p, batch, jax.random.key(1), {},
+                                   deterministic=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
