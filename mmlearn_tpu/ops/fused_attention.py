@@ -284,6 +284,12 @@ def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
     budget = 3 * 1024 * 1024  # qkv+out+do blocks per program
     per_sample = seq * head_group * head_dim * 2 * (3 + 2)
     g = max(1, min(32, budget // max(per_sample, 1)))
+    if head_group > 2:
+        # small head dims (D<64) pack many heads per program; the backward's
+        # f32 (U, N, N) temporaries then overflow the 16 MB scoped-VMEM stack
+        # (measured: U=64 at N=118/D=32 peaks at 39.7 MB — the I-JEPA
+        # predictor). Cap units at the compile-proven U=16.
+        g = min(g, max(1, 16 // head_group))
     if override:
         g = int(override)
     while batch % g:
