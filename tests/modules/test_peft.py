@@ -151,3 +151,22 @@ def test_lora_on_scan_stacked_kernels():
     lora2 = jax.tree.map(lambda v: v + 0.1, lora)
     out2 = model.apply({"params": apply_lora(params, lora2, cfg)}, x)[0]
     assert float(jnp.abs(out2 - out0).max()) > 1e-4
+
+
+def test_lora_composes_with_int8_forward(vit_params, monkeypatch):
+    """LoRA merges into the kernel params before apply; Int8Dense consumes
+    the merged kernel like nn.Dense, so MMLEARN_QUANT composes with PEFT."""
+    model, params = vit_params
+    cfg = LoRAConfig(r=4)
+    lora = init_lora_params(params, cfg, jax.random.key(1))
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+    merged = apply_lora(params, lora, cfg)
+    x = jnp.ones((1, 16, 16, 3))
+
+    base = model.apply({"params": merged}, x)[0]
+    monkeypatch.setenv("MMLEARN_QUANT", "int8_fwd")
+    quant = model.apply({"params": merged}, x)[0]
+    err = float(
+        jnp.linalg.norm(quant - base) / jnp.maximum(jnp.linalg.norm(base), 1e-9)
+    )
+    assert 0.0 < err < 0.05, err
