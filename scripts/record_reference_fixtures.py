@@ -195,9 +195,59 @@ def record_d2v_ema() -> None:
     print("d2v/ema recorded")
 
 
+
+
+def record_ijepa_targets() -> None:
+    """Reference I-JEPA target pipeline: LN -> apply_masks -> repeat ->
+    smooth_l1 (reference tasks/ijepa.py:231-257) on fixed inputs."""
+    import torch
+    import torch.nn.functional as F
+
+    masking = load_file(
+        "ref_masking",
+        "/root/reference/mmlearn/datasets/processors/masking.py",
+    )
+    transforms = load_file(
+        "ref_transforms",
+        "/root/reference/mmlearn/datasets/processors/transforms.py",
+    )
+
+    g = torch.Generator().manual_seed(7)
+    B, N, D, K = 4, 16, 8, 5
+    h = torch.randn(B, N, D, generator=g)
+    # two predictor masks + two encoder masks (repeat=2), (B, K) index style
+    # boolean masks with exactly K kept patches per row (the reference
+    # selects via boolean indexing and reshapes to (B, K, D))
+    pred_masks = []
+    for _ in range(2):
+        m = torch.zeros(B, N, dtype=torch.bool)
+        for bi in range(B):
+            idx = torch.randperm(N, generator=g)[:K]
+            m[bi, idx] = True
+        pred_masks.append(m)
+    n_enc = 2
+    hn = F.layer_norm(h, h.size()[-1:])
+    h_masked = masking.apply_masks(hn, pred_masks)
+    h_rep = transforms.repeat_interleave_batch(h_masked, B, repeat=n_enc)
+    z = torch.randn_like(h_rep, dtype=torch.float32)
+    loss = F.smooth_l1_loss(z, h_rep)
+
+    np.savez(
+        os.path.join(OUT_DIR, "reference_ijepa_targets.npz"),
+        h=h.numpy(),
+        pred_masks=np.stack([m.numpy() for m in pred_masks]),  # bool (2, B, N)
+        n_enc=np.asarray(n_enc),
+        z=z.numpy(),
+        target=h_rep.numpy(),
+        loss=np.asarray(loss.item(), dtype=np.float64),
+    )
+    print("ijepa targets recorded")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     install_stubs()
     record_contrastive()
     record_lr_schedule()
     record_d2v_ema()
+    record_ijepa_targets()

@@ -107,3 +107,43 @@ def test_ema_annealed_rate_matches_reference():
         np.testing.assert_allclose(
             float(ema.get_annealed_rate(n)), expected, rtol=1e-6
         )
+
+
+def test_ijepa_target_pipeline_matches_reference():
+    """LN → apply_masks → repeat_interleave → smooth-L1 reproduces the
+    recorded reference pipeline (reference tasks/ijepa.py:231-257,
+    masking.py:241-287, transforms.py:55-79)."""
+    from mmlearn_tpu.modules.encoders.vision import (
+        apply_masks,
+        repeat_interleave_batch,
+    )
+    from mmlearn_tpu.modules.losses.data2vec import smooth_l1
+
+    fx = np.load(
+        os.path.join(
+            os.path.dirname(__file__), "..", "fixtures",
+            "reference_ijepa_targets.npz",
+        )
+    )
+    h = jnp.asarray(fx["h"])
+    bool_masks = fx["pred_masks"]  # (num_masks, B, N) boolean, K True/row
+    n_enc = int(fx["n_enc"])
+    b = h.shape[0]
+
+    # boolean → static keep-index masks (ascending order == reference's
+    # boolean-indexing order)
+    idx_masks = jnp.asarray(
+        np.stack([
+            np.stack([np.nonzero(row)[0] for row in m]) for m in bool_masks
+        ])
+    )  # (num_masks, B, K)
+
+    hn_mean = h.mean(axis=-1, keepdims=True)
+    hn_var = h.var(axis=-1, keepdims=True)
+    hn = (h - hn_mean) / jnp.sqrt(hn_var + 1e-5)
+    target = repeat_interleave_batch(apply_masks(hn, idx_masks), b, n_enc)
+    np.testing.assert_allclose(
+        np.asarray(target), fx["target"], atol=2e-5
+    )
+    loss = smooth_l1(jnp.asarray(fx["z"]), target, beta=1.0)
+    np.testing.assert_allclose(float(loss), float(fx["loss"]), rtol=1e-5)
