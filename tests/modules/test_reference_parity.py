@@ -145,5 +145,5 @@ def test_ijepa_target_pipeline_matches_reference():
     np.testing.assert_allclose(
         np.asarray(target), fx["target"], atol=2e-5
     )
-    loss = smooth_l1(jnp.asarray(fx["z"]), target, beta=1.0)
+    loss = smooth_l1(jnp.asarray(fx["z"]), target, beta=1.0).mean()
     np.testing.assert_allclose(float(loss), float(fx["loss"]), rtol=1e-5)
