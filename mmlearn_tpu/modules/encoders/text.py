@@ -44,6 +44,13 @@ class TextTransformer(nn.Module):
     act_layer: str = "quick_gelu"
     norm_eps: float = 1e-5
     pooling: str = "eos"  # eos | cls | mean | none
+    # On causal towers, padding sits after the EOS token and causal masking
+    # already prevents it from influencing any earlier position — the
+    # key-validity mask is a numerical no-op for every non-pad output.
+    # Eliding it lets the fused MHA kernel run its unmasked path (~2x faster
+    # kernel; see ops/fused_attention.py). Only hidden states AT padded
+    # positions change, which downstream consumers must already ignore.
+    elide_padding_mask: bool = False
     proj_dim: Optional[int] = None
     remat: bool = False
     remat_policy: str = "dots_no_batch"
@@ -87,6 +94,10 @@ class TextTransformer(nn.Module):
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
 
+        block_mask = attention_mask
+        if self.elide_padding_mask and self.causal:
+            block_mask = None
+
         hidden_states = []
         if self.scan_blocks and not return_hidden_states:
             from mmlearn_tpu.modules.layers.transformer_block import BlockStack
@@ -108,7 +119,7 @@ class TextTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="block_stack",
-            )(x, attention_mask, deterministic)
+            )(x, block_mask, deterministic)
         else:
             for i in range(self.depth):
                 x = Block(
@@ -124,7 +135,7 @@ class TextTransformer(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"blocks_{i}",
-                )(x, attention_mask=attention_mask, deterministic=deterministic)
+                )(x, attention_mask=block_mask, deterministic=deterministic)
                 if return_hidden_states:
                     hidden_states.append(x)
 

@@ -173,3 +173,43 @@ def test_ema():
     ema_skip = ExponentialMovingAverage(ema_decay=0.5, skip_keys=("skip",))
     out3 = ema_skip.step(teacher, params, num_updates=0)
     np.testing.assert_allclose(out3["skip/me"], 0.0)  # copied, not averaged
+
+
+def test_causal_tower_padding_mask_is_a_noop_for_valid_positions():
+    """On a causal tower, padding sits after EOS and cannot influence any
+    earlier position: eliding the key-validity mask must leave the pooled
+    output and every non-pad hidden state unchanged."""
+    import numpy as np
+
+    from mmlearn_tpu.modules.encoders import TextTransformer
+
+    kw = dict(vocab_size=50, max_length=12, embed_dim=32, depth=2,
+              num_heads=4, causal=True, pooling="eos")
+    masked = TextTransformer(**kw)
+    elided = TextTransformer(elide_padding_mask=True, **kw)
+
+    rng = np.random.default_rng(0)
+    b, n = 4, 12
+    lengths = np.array([12, 7, 3, 9])
+    ids = rng.integers(2, 48, (b, n)).astype(np.int32)
+    mask = np.zeros((b, n), np.int32)
+    for i, l in enumerate(lengths):
+        ids[i, l - 1] = 49  # eos = max token id (argmax pooling)
+        ids[i, l:] = 0  # padding
+        mask[i, :l] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    params = masked.init(jax.random.key(0), ids, mask)
+    out_m = masked.apply(params, ids, mask)
+    out_e = elided.apply(params, ids, mask)
+
+    np.testing.assert_allclose(
+        np.asarray(out_m.pooler_output), np.asarray(out_e.pooler_output),
+        atol=1e-5,
+    )
+    for i, l in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(out_m.last_hidden_state[i, :l]),
+            np.asarray(out_e.last_hidden_state[i, :l]),
+            atol=1e-5,
+        )
