@@ -189,3 +189,46 @@ def test_ijepa_training_runs_and_ema_moves():
         lambda a, b: float(jnp.abs(a - b).max()), ema, student
     )
     assert max(jax.tree.leaves(diffs)) > 0
+
+
+@pytest.mark.integration_test
+def test_contrastive_training_seq_parallel_mesh():
+    """End-to-end training on a data x seq x model mesh: the towers route
+    attention through the ppermute ring (ops/ring_attention.py) and the loss
+    matches the 1-device run."""
+    ds = CombinedDataset([PairedDataset(size=32)])
+
+    def run(mesh_shape):
+        loader = DataLoader(ds, batch_size=16, drop_last=True)
+        # no CLS token so the vision sequence (4 patches) divides the ring
+        encoders = {
+            "rgb": VisionTransformer(
+                img_size=16, patch_size=8, embed_dim=32, depth=2,
+                num_heads=4, use_cls_token=False, global_pool="avg",
+                proj_dim=16,
+            ),
+            "text": TextTransformer(
+                vocab_size=32, max_length=8, embed_dim=32, depth=2,
+                num_heads=4, causal=True, pooling="eos", proj_dim=16,
+            ),
+        }
+        task = ContrastivePretraining(
+            encoders=encoders,
+            optimizer=functools.partial(
+                optax.adamw, learning_rate=3e-3, weight_decay=0.01
+            ),
+        )
+        rec = LossRecorder()
+        trainer = Trainer(
+            max_steps=3, log_every_n_steps=1, callbacks=[rec], seed=0,
+            mesh_shape=mesh_shape,
+            default_root_dir="/tmp/mmlearn_test_seq",
+        )
+        state = trainer.fit(task, loader)
+        assert int(state.step) == 3
+        return rec.losses
+
+    plain = run({"data": 1, "fsdp": 1, "model": 1})
+    ring = run({"data": 2, "fsdp": 1, "seq": 2, "model": 2})
+    assert np.isfinite(ring).all()
+    np.testing.assert_allclose(plain, ring, rtol=5e-3)
