@@ -68,10 +68,6 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def profile():
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(
@@ -95,6 +91,8 @@ def profile():
         float(jnp.sum(out))
 
 
-if __name__ == "__main__" and os.environ.get("MMLEARN_PROFILE") == "1":
-    profile()
-    sys.exit(0)
+if __name__ == "__main__":
+    if os.environ.get("MMLEARN_PROFILE") == "1":
+        profile()
+    else:
+        main()

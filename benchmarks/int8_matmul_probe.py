@@ -47,11 +47,15 @@ def bench(m, k, n, dtype):
             y = jax.lax.dot_general(
                 x, w, (((1,), (0,)), ((), ())), preferred_element_type=acc
             )
-            # cheap dependence: fold y back into x's dtype/shape
+            # cheap dependence: fold y back into x's (m, k) shape — tile
+            # when n < k (e.g. the 3072->768 fc2 shape)
+            if y.shape[1] < k:
+                y = jnp.tile(y, (1, (k + y.shape[1] - 1) // y.shape[1]))
+            yk = y[:, :k]
             if dtype == jnp.int8:
-                x = (x + (y[:, :k] >> 8).astype(jnp.int8)).astype(jnp.int8)
+                x = (x + (yk >> 8).astype(jnp.int8)).astype(jnp.int8)
             else:
-                x = x + y[:, :k].astype(dtype) * dtype(1e-3)
+                x = x + yk.astype(dtype) * dtype(1e-3)
             return x, None
 
         x, _ = jax.lax.scan(body, x, None, length=CHAIN)

@@ -276,6 +276,28 @@ def _bwd_kernel(
             u += 1
 
 
+def _bwd_unit_bytes(seq: int, head_dim: int) -> int:
+    """Estimated scoped-VMEM bytes per (sample, head) unit in the backward.
+
+    ~3 live f32 ``(N, N)`` score-sized temporaries plus ~6 f32 ``(N, D)``
+    operand/gradient rows, with Mosaic's (8, 128) tile padding. Calibrated
+    against two measured points: ViT-B (U=16, N=197, D=64) compiles at
+    ~19.7 MB est.; the I-JEPA predictor (U=64, N=118, D=32) overflowed at
+    39.7 MB measured vs 35.4 MB est.
+    """
+    sub = _pad_to8(seq)
+    lane = ((seq + _LANES - 1) // _LANES) * _LANES
+    dlane = max(((head_dim + _LANES - 1) // _LANES) * _LANES, _LANES)
+    return (3 * sub * lane + 6 * sub * dlane) * 4
+
+
+def _pad_to8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+_BWD_VMEM_LIMIT = 20 * 1024 * 1024  # ViT-B's proven working point ≈ 19.7 MB
+
+
 def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
     """Largest sample group with a comfortable VMEM footprint."""
     import os
@@ -284,11 +306,15 @@ def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
     budget = 3 * 1024 * 1024  # qkv+out+do blocks per program
     per_sample = seq * head_group * head_dim * 2 * (3 + 2)
     g = max(1, min(32, budget // max(per_sample, 1)))
+    # the backward's f32 temporaries must fit the 16 MB scoped-VMEM stack:
+    # bound the unit count by the byte model (see _bwd_unit_bytes)
+    unit = _bwd_unit_bytes(seq, head_dim)
+    while g > 1 and g * head_group * unit > _BWD_VMEM_LIMIT:
+        g -= 1
     if head_group > 2:
-        # small head dims (D<64) pack many heads per program; the backward's
-        # f32 (U, N, N) temporaries then overflow the 16 MB scoped-VMEM stack
-        # (measured: U=64 at N=118/D=32 peaks at 39.7 MB — the I-JEPA
-        # predictor). Cap units at the compile-proven U=16.
+        # small head dims additionally measured tighter in practice (the
+        # predictor's 39.7 MB at U=64 vs the 35.4 MB estimate): keep the
+        # compile-proven U=16 ceiling
         g = min(g, max(1, 16 // head_group))
     if override:
         g = int(override)
@@ -309,7 +335,12 @@ def supports_fused(num_heads: int, head_dim: int, seq: int) -> bool:
     """Static dispatch predicate for the fused short-seq kernel."""
     if seq > 2048:  # scores (N, N) f32 must fit comfortably in VMEM
         return False
-    return num_heads % _head_group(head_dim) == 0
+    hg = _head_group(head_dim)
+    if num_heads % hg:
+        return False
+    # even a single-sample program must fit the backward's scoped VMEM
+    # (long-but-<=2048 sequences route to XLA/flash instead)
+    return hg * _bwd_unit_bytes(seq, head_dim) <= _BWD_VMEM_LIMIT
 
 
 def _common_specs(b, n, d, hg, g, has_mask):

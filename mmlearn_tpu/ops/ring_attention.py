@@ -68,10 +68,9 @@ def _use_flash_blocks(nq: int, nk: int, d: int, causal: bool) -> bool:
         return False
     if d % 128 and d != 64:  # lane-tile friendly head dims only
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from mmlearn_tpu.ops.flash_attention import _use_pallas
+
+    return _use_pallas()
 
 
 def _block_scores(q, k, scale, causal, q_pos, k_pos):

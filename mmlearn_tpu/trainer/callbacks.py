@@ -89,6 +89,10 @@ class ModelCheckpoint(Callback):
         import orbax.checkpoint as ocp
 
         manager = self._ensure_manager(trainer)
+        if step in (manager.all_steps() or []):
+            # idempotent: resuming a completed run re-fires the end-of-train
+            # save for a step that is already on disk
+            return
         manager.save(
             step, args=ocp.args.StandardSave(trainer.state), force=True
         )

@@ -169,17 +169,23 @@ class Trainer:
         self._val_loss_step = None
 
     # -- setup -----------------------------------------------------------------
+    def _batches_per_epoch(self, train_loader: Any) -> Optional[int]:
+        """len(loader) clipped by limit_train_batches; None if unsized."""
+        try:
+            per_epoch = len(train_loader)
+        except TypeError:
+            return None
+        if self.limit_train_batches:
+            per_epoch = min(per_epoch, self.limit_train_batches)
+        return per_epoch
+
     def _resolve_max_steps(self, train_loader: Any) -> int:
         if self.max_steps is not None:
             return self.max_steps
         if self.max_epochs is not None:
-            try:
-                per_epoch = len(train_loader)
-                if self.limit_train_batches:
-                    per_epoch = min(per_epoch, self.limit_train_batches)
+            per_epoch = self._batches_per_epoch(train_loader)
+            if per_epoch is not None:
                 return self.max_epochs * per_epoch
-            except TypeError:
-                pass
         return 1000
 
     def _build_tx(self, task: Any, max_steps: int) -> optax.GradientTransformation:
@@ -376,13 +382,10 @@ class Trainer:
         epoch = 0
         skip_batches = 0
         if step > 0:
-            try:
-                per_epoch = len(train_loader)
-                if self.limit_train_batches:
-                    per_epoch = min(per_epoch, self.limit_train_batches)
+            per_epoch = self._batches_per_epoch(train_loader)
+            if per_epoch is not None:
+                # iterable loaders: epoch position is not recoverable
                 epoch, skip_batches = divmod(step, per_epoch)
-            except TypeError:
-                pass  # iterable loader: epoch position is not recoverable
             if epoch > 0 or skip_batches > 0:
                 # the shape probe consumed epoch-0 batches; start clean
                 probe_iter = None
@@ -390,7 +393,8 @@ class Trainer:
                     "Resuming at step %d → epoch %d, skipping %d batches",
                     step, epoch, skip_batches,
                 )
-        done = False
+        # resuming a completed run must not train extra steps
+        done = step >= max_steps
         t_log = time.perf_counter()
         examples_since_log = 0
 

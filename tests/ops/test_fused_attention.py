@@ -127,3 +127,32 @@ def test_fused_mha_dispatches_xla_on_cpu_with_grad():
         lambda x: jnp.sum(_mha_reference_xla(x, None, h, d**-0.5, False) ** 2)
     )(qkv)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(want), atol=1e-5)
+
+
+def test_supports_fused_rejects_vmem_overflow_shapes():
+    """Shapes whose backward temporaries cannot fit scoped VMEM even at one
+    sample per program must route to XLA/flash instead of failing at
+    compile time (e.g. D=64 at N=1024: ~31 MB of f32 temps vs the 16 MB
+    stack)."""
+    from mmlearn_tpu.ops.fused_attention import supports_fused
+
+    assert supports_fused(12, 64, 197)     # ViT-B/16
+    assert supports_fused(8, 64, 77)       # CLIP text
+    assert supports_fused(12, 32, 118)     # I-JEPA predictor
+    assert not supports_fused(12, 64, 1024)
+    assert not supports_fused(12, 64, 2048)
+
+
+def test_pick_group_respects_bwd_vmem_model():
+    from mmlearn_tpu.ops.fused_attention import (
+        _bwd_unit_bytes,
+        _head_group,
+        _pick_group,
+    )
+
+    for batch, seq, d in [(256, 197, 64), (256, 77, 64), (1024, 118, 32),
+                          (64, 512, 64)]:
+        hg = _head_group(d)
+        g = _pick_group(batch, seq, d, hg)
+        assert g * hg * _bwd_unit_bytes(seq, d) <= 20 * 1024 * 1024
+        assert batch % g == 0

@@ -242,3 +242,25 @@ def test_resume_restores_epoch_position_with_shuffled_loader(tmp_path):
     assert epochs == [0, 0, 1]
     for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.integration_test
+def test_resume_of_completed_run_trains_no_extra_steps(tmp_path):
+    """Relaunching a finished job with ckpt_path='last' (preemptible-job
+    pattern) must not advance past max_steps."""
+    ds = CombinedDataset([PairedDataset(size=48)])
+    ckpt_dir = str(tmp_path / "done_ckpts")
+
+    def run():
+        loader = DataLoader(ds, batch_size=16, drop_last=True)
+        task = _tiny_task()
+        cb = ModelCheckpoint(dirpath=ckpt_dir, every_n_epochs=None,
+                             save_last=True)
+        trainer = Trainer(max_steps=3, log_every_n_steps=1, seed=0,
+                          callbacks=[cb], default_root_dir=str(tmp_path))
+        return trainer.fit(task, loader, ckpt_path="last")
+
+    state = run()
+    assert int(state.step) == 3
+    state2 = run()  # resume of the completed run
+    assert int(state2.step) == 3
