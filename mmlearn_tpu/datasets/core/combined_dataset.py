@@ -40,6 +40,11 @@ class CombinedDataset:
                     f"Dataset {ds!r} is neither map-style nor iterable"
                 )
         self._iterators: dict[int, Iterator] = {}
+        # per-stream consumption counters: iterable datasets have no stable
+        # per-example index, so examples are stamped with the order this
+        # process consumed them (monotonic across iterator resets, so
+        # create_ids() never collides)
+        self._consumed: dict[int, int] = {}
         self._cumulative_sizes = np.cumsum(
             [self._dataset_len(ds) for ds in self.datasets]
         ).tolist()
@@ -85,8 +90,11 @@ class CombinedDataset:
         dataset = self.datasets[dataset_idx]
         if _is_map_style(dataset):
             example = dataset[sample_idx]
+            fallback_index = sample_idx
         else:
             example = self._next_from_iterable(dataset_idx)
+            fallback_index = self._consumed.get(dataset_idx, 0)
+            self._consumed[dataset_idx] = fallback_index + 1
 
         if not isinstance(example, Example):
             raise TypeError(
@@ -97,6 +105,6 @@ class CombinedDataset:
         if EXAMPLE_INDEX_KEY not in example:
             # streaming sources can't know a global index — use the position
             # in this process's consumption order
-            example[EXAMPLE_INDEX_KEY] = sample_idx
+            example[EXAMPLE_INDEX_KEY] = fallback_index
         example.create_ids()
         return example

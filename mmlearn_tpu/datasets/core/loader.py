@@ -28,6 +28,17 @@ from mmlearn_tpu.datasets.core.samplers import RandomSampler, SequentialSampler
 _BATCH_VALIDITY_KEY = "batch_validity"
 
 
+def _propagate_set_epoch(dataset: Any, epoch: int) -> None:
+    """Recursively call ``set_epoch`` on a dataset and its sub-datasets."""
+    if dataset is None:
+        return
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)
+        return  # container that owns set_epoch handles its own children
+    for sub in getattr(dataset, "datasets", []):
+        _propagate_set_epoch(sub, epoch)
+
+
 class DataLoader:
     """Iterate a map-style dataset in collated, fixed-size numpy batches."""
 
@@ -63,10 +74,10 @@ class DataLoader:
             self.sampler.set_epoch(epoch)
         # streaming/iterable sub-datasets reshuffle their shard order per
         # epoch (the ratio sampler propagates this itself; plain samplers
-        # don't, so cover the direct path here)
-        for ds in getattr(self.dataset, "datasets", []):
-            if hasattr(ds, "set_epoch"):
-                ds.set_epoch(epoch)
+        # don't, so cover the direct path here) — including a streaming
+        # dataset passed directly as the loader's dataset, and nested
+        # CombinedDatasets
+        _propagate_set_epoch(self.dataset, epoch)
 
     def __len__(self) -> int:
         n = len(self.sampler)

@@ -168,6 +168,7 @@ def _flash_forward_pallas(
     block_q: int,
     block_k: int,
     interpret: bool,
+    out_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     b, h, n_q, d = q.shape
     n_k = k.shape[2]
@@ -230,7 +231,7 @@ def _flash_forward_pallas(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, pq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, pq, d), out_dtype or q.dtype),
             jax.ShapeDtypeStruct((b * h, 1, pq), jnp.float32),
         ],
         scratch_shapes=[

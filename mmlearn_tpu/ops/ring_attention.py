@@ -53,24 +53,33 @@ from jax import lax
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _use_flash_blocks(nq: int, nk: int, d: int, causal: bool) -> bool:
+def _flash_block_mode(
+    nq: int, nk: int, d: int, causal: bool
+) -> Optional[bool]:
     """Route per-hop block attention to the Pallas flash kernels.
 
-    Non-causal only (ring causality is global-position based; the flash
-    kernels index block-locally). Threshold is per-shard: the flash path
-    wins once the (nq, nk) f32 score block stops fitting comfortably on
-    chip — default 2048 local tokens, tunable for pod runs.
+    Returns ``None`` for the XLA block backend, else the ``interpret`` flag
+    for the flash backend. Non-causal only (ring causality is global-position
+    based; the flash kernels index block-locally). Threshold is per-shard:
+    the flash path wins once the (nq, nk) f32 score block stops fitting
+    comfortably on chip — default 2048 local tokens, tunable for pod runs.
+
+    ``MMLEARN_RING_FLASH_INTERPRET=1`` forces the flash backend in Pallas
+    interpret mode regardless of backend/size — this is how CPU tests
+    exercise the exact fwd/bwd merge path a pod run executes.
     """
     if causal:
-        return False
+        return None
+    if os.environ.get("MMLEARN_RING_FLASH_INTERPRET") == "1":
+        return True
     min_block = int(os.environ.get("MMLEARN_RING_FLASH_MIN_BLOCK", "2048"))
     if nq < min_block or nk < min_block:
-        return False
+        return None
     if d % 128 and d != 64:  # lane-tile friendly head dims only
-        return False
+        return None
     from mmlearn_tpu.ops.flash_attention import _use_pallas
 
-    return _use_pallas()
+    return False if _use_pallas() else None
 
 
 def _block_scores(q, k, scale, causal, q_pos, k_pos):
@@ -114,7 +123,12 @@ def _block_attn_xla(q, k_blk, v_blk, scale, causal, q_pos, k_pos):
 
 
 def _block_attn_flash(q, k_blk, v_blk, scale, interpret=False):
-    """Flash-kernel block attention (non-causal): returns (o f32, lse)."""
+    """Flash-kernel block attention (non-causal): returns (o f32, lse).
+
+    The kernel emits its partial output in f32 (``out_dtype``) so the
+    log-sum-exp merge runs at the same precision as the XLA block backend —
+    no per-hop bf16 round-trip, no backend-dependent drift with ring size.
+    """
     from mmlearn_tpu.ops.flash_attention import _flash_forward_pallas
 
     b, h, nk, _ = k_blk.shape
@@ -122,10 +136,11 @@ def _block_attn_flash(q, k_blk, v_blk, scale, interpret=False):
     o, lse = _flash_forward_pallas(
         q, k_blk, v_blk, mask, scale, causal=False,
         block_q=512, block_k=512, interpret=interpret,
+        out_dtype=jnp.float32,
     )
     nq = q.shape[2]
     lse = lse.reshape(b, h, 1, -1)[:, :, 0, :nq, None]  # (B,H,nq,1) f32
-    return o.astype(jnp.float32), lse
+    return o, lse
 
 
 def _block_attn_bwd_xla(
@@ -245,7 +260,7 @@ def _ring_fwd_loop(q, k, v, scale, causal, axis_name, axis_size):
     nk = k.shape[2]
     q_pos = _positions(idx, nq, axis_size)
     perm = _ring_perm(axis_size)
-    use_flash = _use_flash_blocks(nq, nk, d, causal)
+    flash_mode = _flash_block_mode(nq, nk, d, causal)
 
     # accumulators derived from q so their varying-manual-axes type matches
     # the shard_map inputs (lax.cond requires branch outputs to agree)
@@ -259,8 +274,10 @@ def _ring_fwd_loop(q, k, v, scale, causal, axis_name, axis_size):
 
         def _visit(args, k_blk=k_blk, v_blk=v_blk, k_pos=k_pos):
             acc, lse = args
-            if use_flash:
-                o_i, lse_i = _block_attn_flash(q, k_blk, v_blk, scale)
+            if flash_mode is not None:
+                o_i, lse_i = _block_attn_flash(
+                    q, k_blk, v_blk, scale, interpret=flash_mode
+                )
             else:
                 o_i, lse_i = _block_attn_xla(
                     q, k_blk, v_blk, scale, causal, q_pos, k_pos
@@ -296,7 +313,7 @@ def _ring_bwd(scale, causal, axis_name, axis_size, residuals, g):
     nk = k.shape[2]
     q_pos = _positions(idx, nq, axis_size)
     perm = _ring_perm(axis_size)
-    use_flash = _use_flash_blocks(nq, nk, d, causal)
+    flash_mode = _flash_block_mode(nq, nk, d, causal)
 
     do = g.astype(jnp.float32)
     delta = jnp.sum(
@@ -314,9 +331,10 @@ def _ring_bwd(scale, causal, axis_name, axis_size, residuals, g):
 
         def _visit(args, k_blk=k_blk, v_blk=v_blk, k_pos=k_pos):
             dq, dk_blk, dv_blk = args
-            if use_flash:
+            if flash_mode is not None:
                 dq_i, dk_i, dv_i = _block_attn_bwd_flash(
-                    q, k_blk, v_blk, do, out, lse, scale
+                    q, k_blk, v_blk, do, out, lse, scale,
+                    interpret=flash_mode,
                 )
             else:
                 dq_i, dk_i, dv_i = _block_attn_bwd_xla(

@@ -89,9 +89,13 @@ class ModelCheckpoint(Callback):
         import orbax.checkpoint as ocp
 
         manager = self._ensure_manager(trainer)
-        if step in (manager.all_steps() or []):
+        if step == getattr(trainer, "restored_step", None) and step in (
+            manager.all_steps() or []
+        ):
             # idempotent: resuming a completed run re-fires the end-of-train
-            # save for a step that is already on disk
+            # save for the step it restored from. Only that exact step is
+            # skipped — a fresh run writing into a dirpath holding another
+            # run's checkpoints must overwrite, not keep stale state.
             return
         manager.save(
             step, args=ocp.args.StandardSave(trainer.state), force=True
@@ -267,10 +271,11 @@ class LearningRateMonitor(Callback):
     def on_train_batch_end(self, trainer: Any, metrics: dict, step: int) -> None:
         sched = getattr(trainer, "_lr_schedule", None)
         if sched is not None:
-            try:
-                metrics["lr"] = float(sched(step))
-            except Exception:
-                pass
+            # a broken schedule must fail loudly, not log nothing.
+            # `step` is the post-increment count; the LR just applied is
+            # schedule(step - 1) (Lightning's LearningRateMonitor logs the
+            # LR used for the step, trajectory-fixture-verified)
+            metrics["lr"] = float(sched(max(0, step - 1)))
 
 
 @store(group="trainer/callbacks", name="Timer", populate_full_signature=False)

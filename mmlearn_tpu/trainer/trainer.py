@@ -164,6 +164,9 @@ class Trainer:
         # MMLEARN_FUSED_ATTN_SHARD=0 fall back to partitionable XLA math.
 
         self.state: Optional[TrainState] = None
+        #: step the run was restored from (None for fresh runs) — used by
+        #: ModelCheckpoint to make the resumed-completed-run save idempotent
+        self.restored_step: Optional[int] = None
         self._lr_schedule = None
         self._train_step = None
         self._val_loss_step = None
@@ -365,6 +368,9 @@ class Trainer:
             restored = ckpt_cb.restore_latest(self, strict=strict_loading)
             if restored is not None:
                 self.state = restored
+                # checkpoint idempotence: the end-of-train save may re-fire
+                # for this exact step on a resumed-completed run
+                self.restored_step = int(self.state.step)
 
         self._train_step = self._make_train_step(task, tx)
         if val_loader is not None and task.compute_validation_loss:

@@ -19,6 +19,7 @@ import importlib.util
 import os
 import sys
 import types
+from typing import Any
 
 import numpy as np
 
@@ -59,16 +60,46 @@ class _Store:
 
 
 def install_stubs() -> None:
+    import torch
+
+    class _LightningModule(torch.nn.Module):
+        """Minimal LightningModule: the reference tasks use only log/
+        save_hyperparameters/device from Lightning's surface (VERDICT round 2
+        established this is the full set)."""
+
+        def log(self, *a, **k):
+            pass
+
+        def log_dict(self, *a, **k):
+            pass
+
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+        @property
+        def device(self):
+            return torch.device("cpu")
+
+    _warn = lambda *a, **k: None  # noqa: E731
     stub("hydra_zen", {"store": _Store(), "builds": lambda *a, **k: dict,
                        "MISSING": "???"})
-    stub("lightning", {})
-    stub("lightning.fabric", {})
-    stub("lightning.fabric.utilities",
-         {"rank_zero_warn": lambda *a, **k: None})
+    L = stub("lightning", {"LightningModule": _LightningModule}, package=True)
+    stub("lightning.pytorch", {"LightningModule": _LightningModule},
+         package=True)
+    sys.modules["lightning"].pytorch = sys.modules["lightning.pytorch"]
+    stub("lightning.pytorch.utilities", package=True)
+    stub("lightning.pytorch.utilities.types", {"OptimizerLRScheduler": Any})
+    stub("lightning.pytorch.utilities.rank_zero", {"rank_zero_warn": _warn})
+    stub("lightning.fabric", package=True)
+    stub("lightning.fabric.utilities", {"rank_zero_warn": _warn})
+    stub("lightning_utilities", package=True)
+    stub("lightning_utilities.core", package=True)
+    stub("lightning_utilities.core.rank_zero", {"rank_zero_warn": _warn})
     stub("torchmetrics", {})
     stub("torchmetrics.utilities", {})
     stub("torchmetrics.utilities.compute",
          {"_safe_matmul": lambda a, b: a @ b.T})
+    return L
 
 
 def record_contrastive() -> None:
@@ -244,6 +275,176 @@ def record_ijepa_targets() -> None:
     print("ijepa targets recorded")
 
 
+def load_reference_tasks():
+    """Load the reference's real task classes (base + contrastive) with the
+    package namespace wired so intra-package imports resolve."""
+    example = load_file(
+        "mmlearn.datasets.core.example",
+        f"{REFERENCE}/mmlearn/datasets/core/example.py",
+    )
+    modalities = load_file(
+        "mmlearn.datasets.core.modalities",
+        f"{REFERENCE}/mmlearn/datasets/core/modalities.py",
+    )
+    stub("mmlearn", package=True)
+    stub("mmlearn.datasets", package=True)
+    stub(
+        "mmlearn.datasets.core",
+        {
+            "Modalities": modalities.Modalities,
+            "find_matching_indices": example.find_matching_indices,
+            "Example": example.Example,
+        },
+        package=True,
+    )
+    sys.modules["mmlearn.datasets.core.example"] = example
+    sys.modules["mmlearn.datasets.core.modalities"] = modalities
+    stub("mmlearn.tasks", package=True)
+    base = load_file("mmlearn.tasks.base", f"{REFERENCE}/mmlearn/tasks/base.py")
+    hooks = load_file(
+        "mmlearn.tasks.hooks", f"{REFERENCE}/mmlearn/tasks/hooks.py"
+    )
+    cp = load_file(
+        "mmlearn.tasks.contrastive_pretraining",
+        f"{REFERENCE}/mmlearn/tasks/contrastive_pretraining.py",
+    )
+    stub("mmlearn.modules", package=True)
+    stub("mmlearn.modules.losses", package=True)
+    loss = load_file(
+        "mmlearn.modules.losses.contrastive",
+        f"{REFERENCE}/mmlearn/modules/losses/contrastive.py",
+    )
+    sched = load_file(
+        "mmlearn.modules.lr_schedulers.linear_warmup_cosine_lr",
+        f"{REFERENCE}/mmlearn/modules/lr_schedulers/linear_warmup_cosine_lr.py",
+    )
+    return types.SimpleNamespace(
+        base=base, hooks=hooks, cp=cp, loss=loss, sched=sched,
+        modalities=modalities,
+    )
+
+
+# trajectory hyperparameters shared by recorder and test
+TRAJ = dict(
+    d_rgb=32, d_txt=24, hid=48, emb=16, batch=16, n_batches=8, steps=50,
+    lr=1e-3, betas=(0.9, 0.98), eps=1e-8, weight_decay=0.1,
+    warmup_steps=5, start_factor=1.0 / 3.0, eta_min=0.0,
+)
+
+
+def make_trajectory_data():
+    """Fixed synthetic two-modality batches, identical for both frameworks."""
+    rng = np.random.default_rng(1234)
+    c = TRAJ
+    rgb = rng.standard_normal(
+        (c["n_batches"], c["batch"], c["d_rgb"])
+    ).astype(np.float32)
+    txt = rng.standard_normal(
+        (c["n_batches"], c["batch"], c["d_txt"])
+    ).astype(np.float32)
+    probe_rgb = rng.standard_normal((c["batch"], c["d_rgb"])).astype(np.float32)
+    probe_txt = rng.standard_normal((c["batch"], c["d_txt"])).astype(np.float32)
+    ids = np.stack(
+        [np.zeros(c["batch"], np.int64), np.arange(c["batch"], dtype=np.int64)],
+        axis=1,
+    )
+    return rgb, txt, probe_rgb, probe_txt, ids
+
+
+def record_contrastive_trajectory() -> None:
+    """50-step end-to-end training trajectory of the reference's real
+    ContrastivePretraining task (training_step at reference
+    contrastive_pretraining.py:471-505, configure_optimizers at base.py:72-157,
+    driven with Lightning's loop semantics: step → backward → optimizer →
+    scheduler)."""
+    import torch
+    from functools import partial
+
+    mods = load_reference_tasks()
+    c = TRAJ
+
+    class MLPEncoder(torch.nn.Module):
+        def __init__(self, key: str, din: int):
+            super().__init__()
+            self.key = key
+            self.fc1 = torch.nn.Linear(din, c["hid"])
+            self.fc2 = torch.nn.Linear(c["hid"], c["emb"])
+
+        def forward(self, inputs):
+            x = inputs[self.key]
+            h = torch.nn.functional.gelu(self.fc1(x))  # exact (erf) gelu
+            return (self.fc2(h),)
+
+    torch.manual_seed(7)
+    enc_rgb = MLPEncoder("rgb", c["d_rgb"])
+    enc_txt = MLPEncoder("text", c["d_txt"])
+    init_weights = {
+        f"{name}.{k}": v.detach().numpy().copy()
+        for name, enc in [("rgb", enc_rgb), ("text", enc_txt)]
+        for k, v in enc.state_dict().items()
+    }
+
+    task = mods.cp.ContrastivePretraining(
+        encoders={"rgb": enc_rgb, "text": enc_txt},
+        optimizer=partial(
+            torch.optim.AdamW, lr=c["lr"], betas=c["betas"], eps=c["eps"],
+            weight_decay=c["weight_decay"],
+        ),
+        lr_scheduler={
+            "scheduler": partial(
+                mods.sched.linear_warmup_cosine_annealing_lr,
+                warmup_steps=c["warmup_steps"], max_steps=c["steps"],
+                start_factor=c["start_factor"], eta_min=c["eta_min"],
+            ),
+            "extras": {"interval": "step"},
+        },
+        loss=mods.loss.ContrastiveLoss(),
+    )
+
+    conf = task.configure_optimizers()
+    opt = conf["optimizer"]
+    sched = conf["lr_scheduler"]["scheduler"]
+
+    rgb, txt, probe_rgb, probe_txt, ids = make_trajectory_data()
+    losses, scales, lrs = [], [], []
+    for step in range(c["steps"]):
+        i = step % c["n_batches"]
+        batch = {
+            "rgb": torch.tensor(rgb[i]),
+            "text": torch.tensor(txt[i]),
+            "example_ids": {
+                "rgb": torch.tensor(ids), "text": torch.tensor(ids)
+            },
+        }
+        lrs.append(opt.param_groups[0]["lr"])
+        loss = task.training_step(batch, step)
+        losses.append(float(loss.detach()))
+        scales.append(float(task.log_logit_scale.detach()))
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+        sched.step()
+
+    with torch.no_grad():
+        probe = {
+            "rgb": torch.tensor(probe_rgb), "text": torch.tensor(probe_txt)
+        }
+        final = task(probe)
+
+    np.savez(
+        os.path.join(OUT_DIR, "reference_contrastive_trajectory.npz"),
+        losses=np.asarray(losses, np.float64),
+        log_scales=np.asarray(scales, np.float64),
+        lrs=np.asarray(lrs, np.float64),
+        final_rgb=final["rgb_embedding"].numpy(),
+        final_text=final["text_embedding"].numpy(),
+        **{f"w_{k}": v for k, v in init_weights.items()},
+    )
+    print("contrastive trajectory recorded:",
+          [round(x, 4) for x in losses[:5]], "...",
+          [round(x, 4) for x in losses[-3:]])
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     install_stubs()
@@ -251,3 +452,4 @@ if __name__ == "__main__":
     record_lr_schedule()
     record_d2v_ema()
     record_ijepa_targets()
+    record_contrastive_trajectory()

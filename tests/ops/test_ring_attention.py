@@ -109,22 +109,10 @@ def test_ring_flash_block_backend_matches_full_attention(monkeypatch):
     """Force the Pallas flash block backend (interpret mode) inside the ring
     and check fwd + grads against full attention — validates that passing
     the merged global (out, lse) into the flash bwd kernels per hop yields
-    the exact full-softmax gradients."""
-    import functools
-
-    from mmlearn_tpu.ops import ring_attention as ra
-
-    monkeypatch.setattr(ra, "_use_flash_blocks", lambda *a, **k: True)
-    monkeypatch.setattr(
-        ra, "_block_attn_flash",
-        functools.partial(ra._block_attn_flash.__wrapped__, interpret=True)
-        if hasattr(ra._block_attn_flash, "__wrapped__")
-        else functools.partial(ra._block_attn_flash, interpret=True),
-    )
-    monkeypatch.setattr(
-        ra, "_block_attn_bwd_flash",
-        functools.partial(ra._block_attn_bwd_flash, interpret=True),
-    )
+    the exact full-softmax gradients. Uses the shipping env switch
+    (MMLEARN_RING_FLASH_INTERPRET), so the exact dispatch a pod run takes
+    through _flash_block_mode is what runs here."""
+    monkeypatch.setenv("MMLEARN_RING_FLASH_INTERPRET", "1")
 
     b, h, n, d = 2, 2, 64, 16
     q, k, v = _qkv(b, h, n, d, seed=3)
@@ -147,3 +135,28 @@ def test_ring_flash_block_backend_matches_full_attention(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2), atol=3e-5
         )
+
+
+def test_ring_flash_and_xla_block_backends_agree_at_bf16(monkeypatch):
+    """The flash block backend now emits f32 per-hop partials (out_dtype),
+    so both backends merge at identical precision — bf16 inputs must give
+    near-identical outputs regardless of backend or ring size."""
+    b, h, n, d = 2, 2, 128, 16
+    q, k, v = _qkv(b, h, n, d, seed=5)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mesh = create_mesh(data=1, fsdp=1, seq=8, model=1)
+
+    monkeypatch.delenv("MMLEARN_RING_FLASH_INTERPRET", raising=False)
+    xla_out = np.asarray(
+        sequence_sharded_attention(qb, kb, vb, mesh, causal=False),
+        dtype=np.float32,
+    )
+    monkeypatch.setenv("MMLEARN_RING_FLASH_INTERPRET", "1")
+    flash_out = np.asarray(
+        sequence_sharded_attention(qb, kb, vb, mesh, causal=False),
+        dtype=np.float32,
+    )
+    # only the score matmul differs (kernel vs einsum rounding); the merge
+    # path is f32 in both backends, so outputs agree to one bf16 ulp of the
+    # final cast
+    np.testing.assert_allclose(flash_out, xla_out, rtol=1e-2, atol=1e-3)
