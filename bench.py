@@ -72,24 +72,109 @@ def main() -> None:
         params, opt_state, loss = step(params, opt_state, batch, rng)
     float(loss)
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, batch, rng)
-    float(loss)
-    elapsed = time.perf_counter() - t0
+    # three steady-state windows: the median is the number of record and the
+    # spread makes round-over-round deltas attributable (VERDICT r2 item 8)
+    n_steps, n_windows = 10, 3
+    windows = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            params, opt_state, loss = step(params, opt_state, batch, rng)
+        float(loss)
+        windows.append(batch_size * n_steps / (time.perf_counter() - t0))
 
-    pairs_per_sec = batch_size * n_steps / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "clip_vitb16_contrastive_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 2),
-                "unit": "pairs/sec/chip",
-                "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
-            }
-        )
+    import statistics
+
+    pairs_per_sec = statistics.median(windows)
+    spread_pct = (
+        100.0 * (max(windows) - min(windows)) / pairs_per_sec
+        if pairs_per_sec
+        else 0.0
     )
+    result = {
+        "metric": "clip_vitb16_contrastive_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3),
+        "windows": [round(w, 2) for w in windows],
+        "spread_pct": round(spread_pct, 2),
+    }
+
+    if os.environ.get("MMLEARN_BENCH_INPUT_FED", "1") != "0":
+        try:
+            fed = _input_fed_pairs_per_sec(step, params, opt_state, batch_size, rng)
+            result["input_fed_pairs_per_sec"] = round(fed, 2)
+            result["input_fed_ratio"] = round(fed / pairs_per_sec, 3)
+            result["host_cores"] = os.cpu_count()
+        except Exception as err:  # noqa: BLE001 - input-fed is best-effort
+            result["input_fed_error"] = f"{type(err).__name__}: {err}"
+
+    print(json.dumps(result))
+
+
+def _input_fed_pairs_per_sec(step, params, opt_state, batch_size, rng) -> float:
+    """Input-fed throughput: JPEG corpus → native fastloader train decode →
+    uint8 host→device → device-side normalization, with a background
+    prefetch thread overlapping the async device step (VERDICT r2 item 5;
+    full methodology in benchmarks/input_pipeline_bench.py). NOTE: this dev
+    host has 1 CPU core — production TPU hosts have 28+ vCPU/chip, so the
+    synthetic number is the compute capability and this is the 1-core
+    input-bound floor."""
+    import io
+    import threading
+    from queue import Queue
+
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmlearn_tpu import native
+
+    rng_np = np.random.default_rng(0)
+    jpegs = []
+    for _ in range(256):
+        img = (rng_np.random((375, 500, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85)
+        jpegs.append(buf.getvalue())
+
+    mean = jnp.asarray((0.48145466, 0.4578275, 0.40821073), jnp.float32)
+    std = jnp.asarray((0.26862954, 0.26130258, 0.27577711), jnp.float32)
+    text_rng = np.random.default_rng(2)
+
+    def host_batch(step_idx):
+        idx = np.arange(batch_size) * 2 % len(jpegs)
+        seeds = step_idx * batch_size + np.arange(batch_size)
+        imgs = native.decode_jpeg_batch_train(
+            [jpegs[i] for i in idx], 224, seeds=seeds
+        )  # uint8 NHWC; 4x less host→device traffic than f32
+        ids = text_rng.integers(2, 49407, (batch_size, 77)).astype(np.int32)
+        ids[:, -1] = 49407
+        return {"rgb": jnp.asarray(imgs), "text": jnp.asarray(ids)}
+
+    def normalize(b):
+        rgb = (b["rgb"].astype(jnp.float32) / 255.0 - mean) / std
+        return {"rgb": rgb.astype(jnp.bfloat16), "text": b["text"]}
+
+    norm = jax.jit(normalize)
+    n_steps = 10
+    q: Queue = Queue(maxsize=2)
+
+    def producer():
+        for i in range(n_steps + 2):
+            q.put(host_batch(i))
+
+    threading.Thread(target=producer, daemon=True).start()
+    p, o = params, opt_state
+    p, o, loss = step(p, o, norm(q.get()), rng)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        p, o, loss = step(p, o, norm(q.get()), rng)
+    float(loss)
+    return batch_size * n_steps / (time.perf_counter() - t0)
 
 
 def main_with_retries(attempts: int = 4) -> None:

@@ -430,3 +430,84 @@ def convert_timm_vit(
             },
         }
     return params
+
+
+def _ijepa_block(sd: Mapping[str, Any], lp: str, num_heads: int) -> dict:
+    """One reference I-JEPA transformer block → our Block params.
+
+    The reference MLP is an ``nn.Sequential`` (Linear, GELU, Dropout, Linear,
+    Dropout — reference mlp.py:109-127), so its linear layers are keyed
+    ``mlp.0`` / ``mlp.3``.
+    """
+    from mmlearn_tpu.ops.fused_attention import interleave_qkv_heads
+
+    qkv = {
+        "kernel": interleave_qkv_heads(
+            _np(sd[f"{lp}.attn.qkv.weight"]).T, num_heads
+        )
+    }
+    if f"{lp}.attn.qkv.bias" in sd:
+        qkv["bias"] = interleave_qkv_heads(
+            _np(sd[f"{lp}.attn.qkv.bias"]), num_heads
+        )
+    return {
+        "norm1": _layernorm(sd, f"{lp}.norm1"),
+        "attn": {"qkv": qkv, "proj": _linear(sd, f"{lp}.attn.proj")},
+        "norm2": _layernorm(sd, f"{lp}.norm2"),
+        "mlp": {
+            "fc1": _linear(sd, f"{lp}.mlp.0"),
+            "fc2": _linear(sd, f"{lp}.mlp.3"),
+        },
+    }
+
+
+def convert_ijepa_vit(
+    state_dict: Mapping[str, Any], depth: int, num_heads: int
+) -> dict:
+    """Reference I-JEPA ``VisionTransformer`` state dict → our params.
+
+    Source format: /root/reference/mmlearn/modules/encoders/vision.py:179-394
+    (``patch_embed.proj``, ``blocks.{i}.*`` with Sequential MLPs, final
+    ``norm``; the sincos ``pos_embed`` buffer is dropped — ours is computed in
+    forward). Target module config: ``use_cls_token=False,
+    learned_pos_embed=False, final_norm=True, norm_eps=1e-5``.
+    """
+    sd = state_dict
+    params: dict[str, Any] = {
+        "patch_embed": {
+            "proj": {
+                "kernel": _np(sd["patch_embed.proj.weight"]).transpose(
+                    2, 3, 1, 0
+                ),
+                "bias": _np(sd["patch_embed.proj.bias"]),
+            }
+        },
+        "norm": _layernorm(sd, "norm"),
+    }
+    for i in range(depth):
+        params[f"blocks_{i}"] = _ijepa_block(sd, f"blocks.{i}", num_heads)
+    return params
+
+
+def convert_ijepa_predictor(
+    state_dict: Mapping[str, Any], depth: int, num_heads: int
+) -> dict:
+    """Reference ``VisionTransformerPredictor`` state dict → our params.
+
+    Source format: reference vision.py:397-569 (``predictor_embed``,
+    ``mask_token``, ``predictor_blocks.{i}.*``, ``predictor_norm``,
+    ``predictor_proj``; the sincos ``predictor_pos_embed`` buffer is
+    dropped).
+    """
+    sd = state_dict
+    params: dict[str, Any] = {
+        "predictor_embed": _linear(sd, "predictor_embed"),
+        "mask_token": _np(sd["mask_token"]),
+        "norm": _layernorm(sd, "predictor_norm"),
+        "predictor_proj": _linear(sd, "predictor_proj"),
+    }
+    for i in range(depth):
+        params[f"blocks_{i}"] = _ijepa_block(
+            sd, f"predictor_blocks.{i}", num_heads
+        )
+    return params

@@ -7,6 +7,12 @@ from ``ema_decay`` to ``ema_end_decay`` over ``ema_anneal_end_step`` updates
 a ``jax.tree.map``; the EMA tree lives inside the TrainState so it is
 checkpointed/restored with everything else.
 
+Note: the reference's ``_update_weights`` is a no-op copy in practice — it
+branches on ``param.requires_grad`` over ``state_dict()`` tensors, which are
+always detached (reference ema.py:147-148), so its teacher always equals the
+student. This module implements the *documented* EMA; see PARITY.md
+("Reference bugs not reproduced") and the trajectory parity test.
+
 ``skip_keys``: parameter subtrees matched by these path substrings copy the
 student value instead of the moving average (reference ``skip_keys``).
 """

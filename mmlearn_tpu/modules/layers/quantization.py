@@ -125,9 +125,81 @@ def _int8_bwd_vjp(residuals, g):
 int8_matmul_ste.defvjp(_int8_fwd_vjp, _int8_bwd_vjp)
 
 
-class Int8Dense(nn.Module):
-    """Drop-in ``nn.Dense`` with an int8 forward matmul (STE backward).
+def _quantize(a: jax.Array, axis: int) -> tuple[jax.Array, jax.Array]:
+    """Symmetric absmax int8 quantization along ``axis`` (scale keeps dims)."""
+    af = a.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(af), axis=axis, keepdims=True), 1e-6) / 127.0
+    q = jnp.round(af / s).astype(jnp.int8)
+    return q, s
 
+
+@jax.custom_vjp
+def int8_matmul_full(x: jax.Array, w: jax.Array) -> jax.Array:
+    """``x @ w`` with int8 forward AND int8 dgrad/wgrad (full int8 training).
+
+    All three matmuls of the layer run on the MXU's int8 path (measured
+    2.1-3.0x bf16 on v5e, ``benchmarks/int8_matmul_probe.py``). Scales are
+    dynamic symmetric absmax, always placed on **non-contracted** dims so
+    they factor out of the int32 accumulation exactly:
+
+    - fwd   ``y[t,n]  = Σ_k x[t,k] w[k,n]``: x per-row (t), w per-col (n);
+    - dgrad ``dx[t,k] = Σ_n g[t,n] w[k,n]``: g per-row (t), w per-row (k);
+    - wgrad ``dw[k,n] = Σ_t x[t,k] g[t,n]``: x per-col (k), g per-col (n).
+
+    Unlike :func:`int8_matmul_ste` (forward-only quantization, exact STE
+    backward), the gradients here carry quantization error — gated by the
+    loss-trajectory parity test
+    (tests/modules/test_quantization.py::test_int8_full_training_loss_parity).
+    The reference has no quantization support (its knobs are TF32/fp16-mixed,
+    /root/reference/mmlearn/cli/run.py:46-49).
+    """
+    return _int8_fwd(x, w)
+
+
+def _int8_full_fwd_vjp(x, w):
+    return _int8_fwd(x, w), (x, w)
+
+
+def _int8_full_bwd_vjp(residuals, g):
+    from jax.ad_checkpoint import checkpoint_name
+
+    x, w = residuals
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = w.shape[-1]
+    x2 = x.reshape(-1, k)
+    g2 = g.reshape(-1, n)
+
+    # dgrad: dx = g @ w.T — g per-row, w per-row(k)
+    qg_r, sg_r = _quantize(g2, axis=-1)  # (T,N), (T,1)
+    qw_r, sw_r = _quantize(w, axis=1)  # (K,N), (K,1)
+    dx_acc = jax.lax.dot_general(
+        qg_r, qw_r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (T, K)
+    dx = (dx_acc.astype(jnp.float32) * (sg_r * sw_r.T)).astype(x.dtype)
+
+    # wgrad: dw = x.T @ g — x per-col(k), g per-col(n)
+    qx_c, sx_c = _quantize(x2, axis=0)  # (T,K), (1,K)
+    qg_c, sg_c = _quantize(g2, axis=0)  # (T,N), (1,N)
+    dw_acc = jax.lax.dot_general(
+        qx_c, qg_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (K, N)
+    dw = (dw_acc.astype(jnp.float32) * (sx_c.T * sg_c)).astype(w.dtype)
+
+    dx = checkpoint_name(dx.reshape(*lead, k), "int8_dx")
+    return dx, dw
+
+
+int8_matmul_full.defvjp(_int8_full_fwd_vjp, _int8_full_bwd_vjp)
+
+
+class Int8Dense(nn.Module):
+    """Drop-in ``nn.Dense`` with an int8 forward matmul.
+
+    ``full=False``: STE backward (exact bf16 gradients of the unquantized
+    matmul). ``full=True``: int8 dgrad/wgrad as well (full int8 training).
     Same parameter names/shapes as ``nn.Dense``.
     """
 
@@ -137,6 +209,7 @@ class Int8Dense(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Callable = initializers.lecun_normal()
     bias_init: Callable = initializers.zeros_init()
+    full: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -155,7 +228,8 @@ class Int8Dense(nn.Module):
         x, kernel, bias = dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        y = int8_matmul_ste(x, kernel)
+        matmul = int8_matmul_full if self.full else int8_matmul_ste
+        y = matmul(x, kernel)
         if bias is not None:
             y = y + bias
         return y
@@ -175,6 +249,9 @@ def dense(*, features: int, use_bias: bool = True, dtype: Any = None,
         kw["kernel_init"] = kernel_init
     if bias_init is not None:
         kw["bias_init"] = bias_init
-    if quant_mode() == "int8_fwd":
+    mode = quant_mode()
+    if mode == "int8_fwd":
         return Int8Dense(**kw)
+    if mode == "int8":
+        return Int8Dense(full=True, **kw)
     return nn.Dense(**kw)

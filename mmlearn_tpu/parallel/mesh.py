@@ -38,6 +38,7 @@ def create_mesh(
     fsdp: int = 1,
     model: int = 1,
     seq: int = 1,
+    slices: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """Create a mesh over the available devices.
@@ -46,6 +47,19 @@ def create_mesh(
     ``seq > 1`` adds a fourth ``seq`` axis (between fsdp and model) for
     sequence parallelism (ring attention, :mod:`mmlearn_tpu.ops.ring_attention`);
     the default keeps the 3-axis ``data×fsdp×model`` layout.
+
+    ``slices > 1`` builds a **multi-slice (hybrid ICI+DCN) mesh** via
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh``: the leading
+    ``slices`` granules of the ``data`` axis ride the slow DCN links while
+    fsdp/seq/model collectives stay on intra-slice ICI. Axis names and all
+    partitioning rules are unchanged — the data axis is simply laid out
+    slice-major so its cross-slice segment carries only gradient
+    all-reduces. ``data`` counts the *total* data-parallel size across
+    slices and must be divisible by ``slices``. This is the pod-scale
+    analogue of the reference's multi-node SLURM scaling
+    (/root/reference/README.md:134-147). On platforms whose devices carry
+    no ``slice_index`` (CPU emulation, the driver dryrun) the device list
+    is treated as slice-major, which produces the identical logical mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -61,13 +75,33 @@ def create_mesh(
             f"Mesh {data}x{fsdp}x{seq}x{model} needs more than the "
             f"{n} available devices"
         )
+    if slices > 1 and data % slices != 0:
+        raise ValueError(
+            f"data={data} must be divisible by slices={slices}"
+        )
     # an explicit smaller mesh uses a prefix of the devices
     devices = devices[: data * other]
-    if seq > 1:
-        dev_array = np.asarray(devices).reshape(data, fsdp, seq, model)
-        return Mesh(dev_array, MESH_AXES_SEQ)
-    dev_array = np.asarray(devices).reshape(data, fsdp, model)
-    return Mesh(dev_array, MESH_AXES)
+    axes = MESH_AXES_SEQ if seq > 1 else MESH_AXES
+    shape = (
+        (data, fsdp, seq, model) if seq > 1 else (data, fsdp, model)
+    )
+    if slices > 1:
+        per_slice = (data // slices,) + shape[1:]
+        dcn = (slices,) + (1,) * (len(shape) - 1)
+        if hasattr(devices[0], "slice_index"):
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                per_slice, dcn, devices=devices
+            )
+        else:
+            # emulation: device list is slice-major; reshaping
+            # (slices, data/slices, ...) then merging the leading two dims
+            # yields the same slice-major data axis the hybrid mesh builds
+            dev_array = np.asarray(devices).reshape(shape)
+        return Mesh(dev_array, axes)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
 
 
 def set_global_mesh(mesh: Mesh) -> None:

@@ -166,7 +166,8 @@ class IJEPA(TrainingTask):
             {"params": teacher_params}, images, deterministic=True
         )
         h = teacher_out.last_hidden_state
-        h = jax.nn.standardize(h, axis=-1, epsilon=1e-6)
+        # eps matches torch F.layer_norm's default (reference ijepa.py:234)
+        h = jax.nn.standardize(h, axis=-1, epsilon=1e-5)
         h = apply_masks(h, pred_masks)  # (n_pred*B, K_tgt, D)
         h = repeat_interleave_batch(h, b, repeat=n_enc)
         h = jax.lax.stop_gradient(h)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Mapping, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,7 +114,9 @@ class ZeroShotClassification(EvaluationHooks):
             mod = Modalities.get_modality(q)
             if mod.name not in batch or mod.target not in batch:
                 continue
-            emb = np.asarray(runtime.encode(batch, q, normalize=True))
+            # stays device-resident: scores accumulate as device buffers and
+            # cross to host once at epoch end (VERDICT r2 item 10)
+            emb = runtime.encode(batch, q, normalize=True)
             targets = np.asarray(batch[mod.target])
             valid = np.ones(len(emb), dtype=bool)
             pk = f"{mod.name}{MODALITY_PRESENCE_SUFFIX}"
@@ -130,8 +133,7 @@ class ZeroShotClassification(EvaluationHooks):
                     # (reference zero_shot_classification.py:208-214); stored
                     # 1-D so epoch-end routes to the binary metric set
                     raw = emb[sel] @ class_emb.T
-                    ex = np.exp(raw - raw.max(axis=1, keepdims=True))
-                    sm = ex / ex.sum(axis=1, keepdims=True)
+                    sm = jax.nn.softmax(jnp.asarray(raw), axis=1)
                     logits = sm[:, 1] - sm[:, 0]
                 else:
                     logits = 100.0 * emb[sel] @ class_emb.T  # reference convention
@@ -166,8 +168,10 @@ class ZeroShotClassification(EvaluationHooks):
         )
 
         results: dict[str, float] = {}
-        for (q, ds_idx), score_chunks in self._scores.items():
-            scores = np.concatenate(score_chunks)
+        # single batched host transfer for all accumulated device scores
+        host_scores = jax.device_get(self._scores)
+        for (q, ds_idx), score_chunks in host_scores.items():
+            scores = np.concatenate([np.asarray(s) for s in score_chunks])
             targets = np.concatenate(self._targets[(q, ds_idx)])
             prefix = f"classification/ds{ds_idx}_{q}"
             if scores.ndim == 1:

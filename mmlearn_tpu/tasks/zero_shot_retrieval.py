@@ -53,7 +53,7 @@ class ZeroShotCrossModalRetrieval(EvaluationHooks):
     def evaluation_step(
         self, runtime: EvalRuntime, batch: Mapping[str, Any], batch_idx: int
     ) -> None:
-        cache: dict[str, np.ndarray] = {}
+        cache: dict[str, Any] = {}
         for (q, t, k), metric in self.metrics.items():
             q_key = Modalities.get_modality(q).name
             t_key = Modalities.get_modality(t).name
@@ -61,9 +61,9 @@ class ZeroShotCrossModalRetrieval(EvaluationHooks):
                 continue
             for mod in (q, t):
                 if mod not in cache:
-                    cache[mod] = np.asarray(
-                        runtime.encode(batch, mod, normalize=False)
-                    )
+                    # stays device-resident: the metric accumulates device
+                    # buffers and transfers once at epoch end
+                    cache[mod] = runtime.encode(batch, mod, normalize=False)
             valid = np.ones(len(cache[q]), dtype=bool)
             for key in (q_key, t_key):
                 pk = f"{key}{MODALITY_PRESENCE_SUFFIX}"

@@ -100,11 +100,45 @@ class ModelCheckpoint(Callback):
         manager.save(
             step, args=ocp.args.StandardSave(trainer.state), force=True
         )
+        self._save_loop_position(trainer, step)
         # async by default: training continues while Orbax serializes in the
         # background; waits only at train end (and before restores)
         if wait or not self.async_save:
             manager.wait_until_finished()
         logger.info("Saved checkpoint at step %d", step)
+
+    def _save_loop_position(self, trainer: Any, step: int) -> None:
+        """Persist the fit-loop position (epoch, batch-within-epoch) beside
+        the checkpoint so *unsized* (iterable/streaming) loaders can resume
+        mid-epoch — their position is not derivable from the step count
+        (trainer.py derives it via len(loader) for sized loaders only)."""
+        pos = getattr(trainer, "loop_position", None)
+        if pos is None:
+            return
+        import json
+
+        path = os.path.abspath(
+            self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
+        )
+        payload = {"step": int(step), **{k: int(v) for k, v in pos.items()}}
+        try:
+            with open(os.path.join(path, "loop_position.json"), "w") as f:
+                json.dump(payload, f)
+        except OSError as err:  # non-fatal: resume falls back to derivation
+            logger.warning("Could not persist loop position: %s", err)
+
+    def read_loop_position(self, trainer: Any) -> Optional[dict]:
+        """The persisted loop position, if any (used by Trainer.fit resume)."""
+        import json
+
+        path = os.path.abspath(
+            self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
+        )
+        try:
+            with open(os.path.join(path, "loop_position.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     def _ensure_best_manager(self, trainer: Any):
         if self._best_manager is None:

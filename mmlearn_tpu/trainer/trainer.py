@@ -107,12 +107,14 @@ class Trainer:
         max_steps: Optional[int] = None,
         limit_train_batches: Optional[int] = None,
         limit_val_batches: Optional[int] = None,
+        limit_test_batches: Optional[int] = None,
         check_val_every_n_epoch: int = 1,
         val_check_interval: Optional[int] = None,
         log_every_n_steps: int = 50,
         precision: Optional[str] = None,
         accumulate_grad_batches: int = 1,
         gradient_clip_val: Optional[float] = None,
+        gradient_clip_algorithm: str = "norm",
         mesh_shape: Optional[Mapping[str, int]] = None,
         callbacks: Optional[Sequence[Any]] = None,
         loggers: Optional[Sequence[Any]] = None,
@@ -122,17 +124,52 @@ class Trainer:
         enable_profiling: bool = False,
         donate_state: bool = True,
         device_normalize: Optional[Mapping[str, Mapping[str, Any]]] = None,
+        fast_dev_run: Any = False,
+        detect_anomaly: bool = False,
     ) -> None:
+        # Lightning-surface parity (reference exposes the full Trainer
+        # signature as config, /root/reference/mmlearn/conf/__init__.py:
+        # 120-129; intentional omissions are documented in PARITY.md)
+        if fast_dev_run:
+            # Lightning semantics: run N (default 1) train/val batches,
+            # no checkpointing/logging artifacts — a wiring smoke test
+            n = 1 if fast_dev_run is True else int(fast_dev_run)
+            max_epochs, max_steps = 1, n
+            limit_train_batches = n
+            limit_val_batches = n
+            limit_test_batches = n
+            callbacks = [
+                c for c in (callbacks or [])
+                if not hasattr(c, "restore_latest")  # drop ModelCheckpoint
+            ]
+        if detect_anomaly:
+            # nearest JAX analogue of torch.autograd.set_detect_anomaly:
+            # jitted code raises on the first NaN it produces
+            jax.config.update("jax_debug_nans", True)
+        if precision in ("fp16", "16-mixed", "16"):
+            # TPUs have no fp16 units; the fp16-mixed config alias maps to
+            # bf16-mixed (same dynamic-range intent, no loss scaling needed)
+            logger.info(
+                "precision=%r maps to 'bf16-mixed' on TPU", precision
+            )
+            precision = "bf16-mixed"
+        if gradient_clip_algorithm not in ("norm", "value"):
+            raise ValueError(
+                "gradient_clip_algorithm must be 'norm' or 'value', got "
+                f"{gradient_clip_algorithm!r}"
+            )
         self.max_epochs = max_epochs
         self.max_steps = max_steps
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.val_check_interval = val_check_interval
         self.log_every_n_steps = log_every_n_steps
         self.precision = precision
         self.accumulate_grad_batches = accumulate_grad_batches
         self.gradient_clip_val = gradient_clip_val
+        self.gradient_clip_algorithm = gradient_clip_algorithm
         self.callbacks = list(callbacks or [])
         self.loggers = list(loggers or [])
         self.default_root_dir = default_root_dir
@@ -156,6 +193,7 @@ class Trainer:
             fsdp=shape.get("fsdp", 1),
             model=shape.get("model", 1),
             seq=shape.get("seq", 1),
+            slices=shape.get("slices", 1),
         )
         set_global_mesh(self.mesh)
         # multi-device meshes run the fused MHA kernel per-shard via the
@@ -167,6 +205,9 @@ class Trainer:
         #: step the run was restored from (None for fresh runs) — used by
         #: ModelCheckpoint to make the resumed-completed-run save idempotent
         self.restored_step: Optional[int] = None
+        #: (epoch, batch_in_epoch) of the next batch to consume — persisted
+        #: by ModelCheckpoint for streaming/iterable mid-epoch resume
+        self.loop_position: Optional[dict] = None
         self._lr_schedule = None
         self._train_step = None
         self._val_loss_step = None
@@ -196,7 +237,12 @@ class Trainer:
         self._lr_schedule = getattr(task, "_resolved_schedule", None)
         chain = []
         if self.gradient_clip_val:
-            chain.append(optax.clip_by_global_norm(self.gradient_clip_val))
+            # Lightning gradient_clip_algorithm parity: "norm" (global L2
+            # norm, the default) or "value" (elementwise clamp)
+            if self.gradient_clip_algorithm == "value":
+                chain.append(optax.clip(self.gradient_clip_val))
+            else:
+                chain.append(optax.clip_by_global_norm(self.gradient_clip_val))
         chain.append(tx)
         tx = optax.chain(*chain) if len(chain) > 1 else tx
         if self.accumulate_grad_batches > 1:
@@ -371,6 +417,8 @@ class Trainer:
                 # checkpoint idempotence: the end-of-train save may re-fire
                 # for this exact step on a resumed-completed run
                 self.restored_step = int(self.state.step)
+                if hasattr(ckpt_cb, "read_loop_position"):
+                    self._restored_position = ckpt_cb.read_loop_position(self)
 
         self._train_step = self._make_train_step(task, tx)
         if val_loader is not None and task.compute_validation_loss:
@@ -389,9 +437,27 @@ class Trainer:
         skip_batches = 0
         if step > 0:
             per_epoch = self._batches_per_epoch(train_loader)
+            pos = getattr(self, "_restored_position", None)
             if per_epoch is not None:
-                # iterable loaders: epoch position is not recoverable
                 epoch, skip_batches = divmod(step, per_epoch)
+            elif pos is not None and pos.get("step") == step:
+                # unsized (iterable/streaming) loader: position is not
+                # derivable from the step count — use the persisted
+                # (epoch, batch_in_epoch) saved beside the checkpoint; the
+                # stream is a pure function of (seed, epoch, rank), so
+                # set_epoch(epoch) + skipping the consumed batches
+                # fast-forwards it exactly
+                epoch = int(pos.get("epoch", 0))
+                skip_batches = int(pos.get("batch_in_epoch", 0))
+            else:
+                logger.warning(
+                    "Resuming at step %d with an unsized loader and no "
+                    "persisted loop position — the stream RESTARTS from "
+                    "epoch 0 and already-seen data will repeat. Use "
+                    "ModelCheckpoint (which persists loop_position.json) "
+                    "to resume streams mid-epoch.",
+                    step,
+                )
             if epoch > 0 or skip_batches > 0:
                 # the shape probe consumed epoch-0 batches; start clean
                 probe_iter = None
@@ -458,6 +524,12 @@ class Trainer:
                         self.default_root_dir,
                     )
                 step += 1
+                # fit-loop position for streaming resume: the next batch to
+                # consume is batch_idx+1 of this epoch (persisted by
+                # ModelCheckpoint beside every save)
+                self.loop_position = {
+                    "epoch": epoch, "batch_in_epoch": batch_idx + 1
+                }
                 examples_since_log += self._batch_size_of(batch)
 
                 if step % self.log_every_n_steps == 0 or step >= max_steps:
@@ -499,6 +571,8 @@ class Trainer:
                 and (epoch + 1) % self.check_val_every_n_epoch == 0
             ):
                 self._run_evaluation(task, val_loader, "validation", step=step)
+            if not done:
+                self.loop_position = {"epoch": epoch + 1, "batch_in_epoch": 0}
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self, epoch)
             epoch += 1
@@ -599,7 +673,10 @@ class Trainer:
             self._val_loss_step = self._make_val_step(task)
 
         losses = []
-        limit = limit_batches or self.limit_val_batches
+        phase_limit = (
+            self.limit_test_batches if phase == "test" else self.limit_val_batches
+        )
+        limit = limit_batches or phase_limit
         rng = jax.random.key(self.seed + 2)
         for batch_idx, batch in enumerate(loader):
             if limit and batch_idx >= limit:

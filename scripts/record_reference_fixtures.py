@@ -445,6 +445,187 @@ def record_contrastive_trajectory() -> None:
           [round(x, 4) for x in losses[-3:]])
 
 
+# I-JEPA trajectory hyperparameters shared by recorder and test
+IJEPA_TRAJ = dict(
+    img=64, patch=16, embed_dim=32, depth=2, num_heads=4,
+    pred_embed_dim=16, pred_depth=1, batch=8, n_batches=6, steps=30,
+    lr=1e-3, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.05,
+    warmup_steps=5, start_factor=1.0 / 3.0, eta_min=0.0,
+    ema_decay=0.996, ema_decay_end=1.0, ema_anneal_end_step=100,
+)
+
+
+def make_ijepa_data():
+    """Fixed synthetic image batches (NCHW for torch; transpose for JAX)."""
+    rng = np.random.default_rng(4321)
+    c = IJEPA_TRAJ
+    return rng.standard_normal(
+        (c["n_batches"], c["batch"], 3, c["img"], c["img"])
+    ).astype(np.float32)
+
+
+def load_reference_vision():
+    """Load the reference vision/ema/masking modules (timm stubbed)."""
+    # transformers probes timm availability via find_spec at import time,
+    # which chokes on a stub module with __spec__=None — import it first
+    import transformers  # noqa: F401
+
+    class _TimmViT:  # only referenced by TimmViT, which we don't build
+        pass
+
+    stub("timm", package=True)
+    stub("timm.models", package=True)
+    stub(
+        "timm.models.vision_transformer",
+        {"VisionTransformer": _TimmViT, "global_pool_nlc":
+         lambda x, pool_type="": x},
+    )
+    sys.modules["timm"].models = sys.modules["timm.models"]
+    stub("mmlearn.hf_utils", {"load_huggingface_model": None})
+    stub("mmlearn.modules", package=True)
+    stub("mmlearn.modules.layers", package=True)
+    masking = load_file(
+        "mmlearn.datasets.processors.masking",
+        f"{REFERENCE}/mmlearn/datasets/processors/masking.py",
+    )
+    transforms = load_file(
+        "mmlearn.datasets.processors.transforms",
+        f"{REFERENCE}/mmlearn/datasets/processors/transforms.py",
+    )
+    stub("mmlearn.datasets.processors", package=True)
+    sys.modules["mmlearn.datasets.processors.masking"] = masking
+    sys.modules["mmlearn.datasets.processors.transforms"] = transforms
+    load_file(
+        "mmlearn.modules.layers.attention",
+        f"{REFERENCE}/mmlearn/modules/layers/attention.py",
+    )
+    load_file(
+        "mmlearn.modules.layers.mlp", f"{REFERENCE}/mmlearn/modules/layers/mlp.py"
+    )
+    load_file(
+        "mmlearn.modules.layers.embedding",
+        f"{REFERENCE}/mmlearn/modules/layers/embedding.py",
+    )
+    load_file(
+        "mmlearn.modules.layers.transformer_block",
+        f"{REFERENCE}/mmlearn/modules/layers/transformer_block.py",
+    )
+    ema = load_file("mmlearn.modules.ema", f"{REFERENCE}/mmlearn/modules/ema.py")
+    vision = load_file(
+        "mmlearn.modules.encoders.vision",
+        f"{REFERENCE}/mmlearn/modules/encoders/vision.py",
+    )
+    ijepa = load_file(
+        "mmlearn.tasks.ijepa", f"{REFERENCE}/mmlearn/tasks/ijepa.py"
+    )
+    return types.SimpleNamespace(
+        masking=masking, vision=vision, ijepa=ijepa, ema=ema
+    )
+
+
+def record_ijepa_trajectory() -> None:
+    """30-step end-to-end trajectory of the reference's real IJEPA task
+    (reference ijepa.py:217-261 _shared_step + EMA in on_before_zero_grad,
+    ijepa.py:108-115), with per-step masks recorded for replay."""
+    import torch
+    from functools import partial
+
+    mods = load_reference_tasks()
+    vis = load_reference_vision()
+    c = IJEPA_TRAJ
+
+    torch.manual_seed(11)
+    encoder = vis.vision.VisionTransformer(
+        img_size=[c["img"], c["img"]], patch_size=c["patch"],
+        embed_dim=c["embed_dim"], depth=c["depth"], num_heads=c["num_heads"],
+    )
+    predictor = vis.vision.VisionTransformerPredictor(
+        num_patches=(c["img"] // c["patch"]) ** 2, embed_dim=c["embed_dim"],
+        predictor_embed_dim=c["pred_embed_dim"], depth=c["pred_depth"],
+        num_heads=c["num_heads"],
+    )
+    enc_sd = {k: v.detach().numpy().copy() for k, v in encoder.state_dict().items()}
+    pred_sd = {
+        k: v.detach().numpy().copy() for k, v in predictor.state_dict().items()
+    }
+
+    task = vis.ijepa.IJEPA(
+        encoder=encoder,
+        predictor=predictor,
+        optimizer=partial(
+            torch.optim.AdamW, lr=c["lr"], betas=c["betas"], eps=c["eps"],
+            weight_decay=c["weight_decay"],
+        ),
+        lr_scheduler={
+            "scheduler": partial(
+                mods.sched.linear_warmup_cosine_annealing_lr,
+                warmup_steps=c["warmup_steps"], max_steps=c["steps"],
+                start_factor=c["start_factor"], eta_min=c["eta_min"],
+            ),
+            "extras": {"interval": "step"},
+        },
+        ema_decay=c["ema_decay"], ema_decay_end=c["ema_decay_end"],
+        ema_anneal_end_step=c["ema_anneal_end_step"],
+    )
+    task.configure_model()
+
+    # record the real generator's masks per step for cross-framework replay
+    real_gen = vis.masking.IJEPAMaskGenerator(
+        input_size=(c["img"], c["img"]), patch_size=c["patch"]
+    )
+    recorded_masks = []
+
+    class RecordingGen:
+        def __call__(self, batch_size=1):
+            out = real_gen(batch_size=batch_size)
+            recorded_masks.append(
+                {
+                    "enc": np.stack(
+                        [m[0].numpy() for m in out["encoder_masks"]]
+                    ),  # (nenc, N) binary; identical across batch rows
+                    "pred": np.stack(
+                        [m[0].numpy() for m in out["predictor_masks"]]
+                    ),
+                }
+            )
+            return out
+
+    task.mask_generator = RecordingGen()
+
+    conf = task.configure_optimizers()
+    opt = conf["optimizer"]
+    sched = conf["lr_scheduler"]["scheduler"]
+
+    images = make_ijepa_data()
+    losses = []
+    for step in range(c["steps"]):
+        batch = {"rgb": torch.tensor(images[step % c["n_batches"]])}
+        loss = task.training_step(batch, step)
+        losses.append(float(loss.detach()))
+        loss.backward()
+        opt.step()
+        task.on_before_zero_grad(opt)
+        opt.zero_grad()
+        sched.step()
+
+    mask_arrays = {}
+    for s, rec in enumerate(recorded_masks):
+        mask_arrays[f"enc_masks_{s}"] = rec["enc"]
+        mask_arrays[f"pred_masks_{s}"] = rec["pred"]
+
+    np.savez(
+        os.path.join(OUT_DIR, "reference_ijepa_trajectory.npz"),
+        losses=np.asarray(losses, np.float64),
+        n_mask_steps=np.asarray(len(recorded_masks)),
+        **{f"enc_{k}": v for k, v in enc_sd.items()},
+        **{f"pred_{k}": v for k, v in pred_sd.items()},
+        **mask_arrays,
+    )
+    print("ijepa trajectory recorded:",
+          [round(x, 5) for x in losses[:5]], "...",
+          [round(x, 5) for x in losses[-3:]])
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     install_stubs()
@@ -453,3 +634,4 @@ if __name__ == "__main__":
     record_d2v_ema()
     record_ijepa_targets()
     record_contrastive_trajectory()
+    record_ijepa_trajectory()

@@ -146,3 +146,137 @@ def test_int8_training_smoke(monkeypatch):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_int8_full_gradients_close_to_exact():
+    """Full-int8 dgrad/wgrad: per-channel scales on non-contracted dims give
+    gradients within quantization error of the exact matmul's."""
+    from mmlearn_tpu.modules.layers.quantization import int8_matmul_full
+
+    x, w = _data(seed=2)
+
+    def loss_q(x, w):
+        return jnp.sum(jnp.sin(int8_matmul_full(x, w) * 0.1))
+
+    gx_q, gw_q = jax.grad(loss_q, argnums=(0, 1))(x, w)
+
+    y_q = int8_matmul_full(x, w)
+    g = jnp.cos(y_q * 0.1) * 0.1
+    gx_exact = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    batch = tuple(range(x.ndim - 1))
+    gw_exact = jax.lax.dot_general(
+        x, g, ((batch, batch), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for got, want in [(gx_q, gx_exact), (gw_q, gw_exact)]:
+        err = jnp.linalg.norm(got - want) / jnp.linalg.norm(want)
+        assert float(err) < 0.02, float(err)
+        cos = float(
+            jnp.vdot(got, want) / (jnp.linalg.norm(got) * jnp.linalg.norm(want))
+        )
+        assert cos > 0.999, cos
+
+
+def test_int8_full_exact_on_integer_operands():
+    """With integer-valued operands whose absmax is 127, quantization is
+    lossless — fwd and both gradients must be bit-exact vs f32 math."""
+    from mmlearn_tpu.modules.layers.quantization import int8_matmul_full
+
+    rng = np.random.default_rng(3)
+
+    def mk(shape):
+        # every row and column's absmax is exactly 127 so all per-row AND
+        # per-column scales are 1.0 → round() is lossless in every direction
+        a = rng.integers(-127, 128, shape).astype(np.float32)
+        a[:, 0] = 127.0
+        a[0, :] = 127.0
+        return jnp.asarray(a)
+
+    x = mk((16, 24))
+    w = mk((24, 32))
+    c = mk((16, 32))
+
+    def loss_q(x, w):
+        return jnp.sum(int8_matmul_full(x, w) * c)
+
+    def loss_f(x, w):
+        return jnp.sum((x @ w) * c)
+
+    np.testing.assert_array_equal(
+        np.asarray(int8_matmul_full(x, w)), np.asarray(x @ w)
+    )
+    gq = jax.grad(loss_q, argnums=(0, 1))(x, w)
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    for a, b in zip(gq, gf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.integration_test
+def test_int8_full_training_loss_parity(monkeypatch):
+    """Loss-trajectory parity gate for MMLEARN_QUANT=int8 (full int8
+    training): the quantized run must track the bf16/f32 run's loss curve
+    and reach a comparable final loss. This is the accuracy gate VERDICT
+    round 2 required before int8 becomes a benchmark configuration."""
+    import functools
+
+    import optax
+
+    from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+    from mmlearn_tpu.tasks import ContrastivePretraining
+
+    def run(n_steps=25):
+        vision = VisionTransformer(
+            img_size=16, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+            use_cls_token=True, global_pool="cls", proj_dim=32,
+        )
+        text = TextTransformer(
+            vocab_size=64, max_length=12, embed_dim=64, depth=2, num_heads=4,
+            pooling="eos", proj_dim=32,
+        )
+        task = ContrastivePretraining(
+            encoders={"rgb": vision, "text": text},
+            optimizer=functools.partial(optax.adam, learning_rate=2e-3),
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "rgb": jnp.asarray(
+                rng.standard_normal((8, 16, 16, 3)), jnp.float32
+            ),
+            "text": jnp.asarray(rng.integers(2, 63, (8, 12)), jnp.int32),
+        }
+        params = task.init_params(jax.random.key(0), batch)
+        tx = task.configure_optimizers(max_steps=100)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                loss, _ = task.loss_fn(
+                    p, batch, jax.random.key(1), {}, deterministic=True
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(n_steps):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        return np.asarray(losses)
+
+    monkeypatch.delenv("MMLEARN_QUANT", raising=False)
+    base = run()
+    monkeypatch.setenv("MMLEARN_QUANT", "int8")
+    quant = run()
+
+    assert quant[-1] < quant[0], quant  # trains
+    # trajectory tracks the unquantized run
+    assert float(np.max(np.abs(quant - base) / np.abs(base))) < 0.15, (
+        base, quant,
+    )
+    assert abs(quant[-1] - base[-1]) / base[-1] < 0.10, (base[-1], quant[-1])

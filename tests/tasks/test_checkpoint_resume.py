@@ -264,3 +264,88 @@ def test_resume_of_completed_run_trains_no_extra_steps(tmp_path):
     assert int(state.step) == 3
     state2 = run()  # resume of the completed run
     assert int(state2.step) == 3
+
+
+@pytest.mark.integration_test
+def test_streaming_mid_epoch_resume_matches_uninterrupted(tmp_path):
+    """Unsized (streaming) loaders resume mid-epoch via the loop position
+    ModelCheckpoint persists beside the checkpoint (VERDICT r2 item 6): a
+    run interrupted at step 6 (epoch 1, batch 2 of 4) and resumed must see
+    the same remaining batches — and produce the same losses/params — as an
+    uninterrupted run. The stream is a pure function of (seed, epoch, rank),
+    so set_epoch + skip replays it exactly."""
+    import itertools
+
+    import numpy as np
+
+    from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+    from mmlearn_tpu.datasets.core import DefaultDataCollator, Example
+    from mmlearn_tpu.datasets.core.streaming import StreamingDataset
+
+    def open_shard(s):
+        rng = np.random.default_rng(1000 + s)
+        for i in range(8):
+            ids = np.full((8,), int(rng.integers(2, 29)), dtype=np.int32)
+            ids[0], ids[-1] = 1, 30
+            yield Example({
+                "rgb": rng.standard_normal((16, 16, 3)).astype(np.float32),
+                "text": ids,
+                "text_attention_mask": np.ones(8, np.int32),
+                EXAMPLE_INDEX_KEY: s * 8 + i,
+            })
+
+    class StreamLoader:
+        """Batches from a stream; deliberately UNSIZED (no __len__)."""
+
+        def __init__(self):
+            self.stream = StreamingDataset(
+                shards=list(range(4)), open_shard=open_shard,
+                shuffle_shards=True, seed=3, rank=0, world_size=1,
+            )
+            self.collate = DefaultDataCollator()
+
+        def set_epoch(self, epoch):
+            self.stream.set_epoch(epoch)
+
+        def __iter__(self):
+            it = iter(self.stream)
+            while True:
+                items = list(itertools.islice(it, 8))
+                if len(items) < 8:
+                    return
+                for ex in items:
+                    ex["dataset_index"] = 0
+                    ex.create_ids()
+                yield self.collate(items)
+
+    def run(max_steps, ckpt, resume=False):
+        task = _tiny_task()
+        rec = LossRecorder()
+        cbs = [rec] + ([ckpt] if ckpt else [])
+        trainer = Trainer(
+            max_steps=max_steps, log_every_n_steps=1, seed=0, callbacks=cbs,
+            mesh_shape={"data": 1}, default_root_dir=str(tmp_path),
+        )
+        state = trainer.fit(
+            task, StreamLoader(), ckpt_path="last" if resume else None
+        )
+        return rec.losses, state
+
+    # uninterrupted 8-step run (4 batches/epoch -> 2 epochs)
+    losses_full, state_full = run(8, None)
+
+    # interrupted at step 6 (mid-epoch-1), then resumed to 8
+    ckpt_dir = str(tmp_path / "ckpts")
+    ck1 = ModelCheckpoint(dirpath=ckpt_dir, every_n_epochs=None, save_last=True)
+    losses_a, _ = run(6, ck1)
+    np.testing.assert_allclose(losses_a, losses_full[:6], rtol=1e-5)
+
+    ck2 = ModelCheckpoint(dirpath=ckpt_dir, every_n_epochs=None, save_last=True)
+    losses_b, state_b = run(8, ck2, resume=True)
+    # the resumed run sees exactly the remaining epoch-1 batches
+    np.testing.assert_allclose(losses_b, losses_full[6:], rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state_full.params)),
+        jax.tree.leaves(jax.device_get(state_b.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -92,3 +92,48 @@ def test_validate_batch_shapes_errors():
     # aux arrays with non-batch leading dims are fine
     ok = {"rgb": np.zeros((4, 2)), "ijepa_encoder_masks": np.zeros((1, 4, 5))}
     assert validate_batch_shapes(ok) == 4
+
+
+@pytest.mark.integration_test
+def test_fast_dev_run_and_flag_aliases(tmp_path):
+    """Lightning-surface flags added in round 3 (PARITY.md trainer table):
+    fast_dev_run runs exactly N batches with checkpointing disabled;
+    fp16 precision aliases to bf16-mixed; gradient_clip_algorithm='value'
+    clips elementwise."""
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    ds = CombinedDataset([PairedDataset(size=32)])
+    train = DataLoader(ds, batch_size=16, drop_last=True)
+    val = DataLoader(ds, batch_size=16, drop_last=True)
+    task = _tiny_task()
+    rec = LossRecorder()
+    trainer = Trainer(
+        fast_dev_run=True, log_every_n_steps=1, seed=0,
+        callbacks=[ModelCheckpoint(dirpath=str(tmp_path)), rec],
+        default_root_dir=str(tmp_path),
+    )
+    state = trainer.fit(task, train, val)
+    assert int(state.step) == 1
+    assert len(rec.losses) == 1
+    # ModelCheckpoint was dropped: nothing written
+    import os
+
+    assert not any(
+        name.isdigit() for name in os.listdir(tmp_path)
+    ), os.listdir(tmp_path)
+
+    t2 = Trainer(precision="16-mixed", default_root_dir=str(tmp_path))
+    assert t2.precision == "bf16-mixed"
+
+    with pytest.raises(ValueError, match="gradient_clip_algorithm"):
+        Trainer(gradient_clip_algorithm="nope")
+
+    task3 = _tiny_task()
+    t3 = Trainer(
+        max_steps=2, log_every_n_steps=1, seed=0,
+        gradient_clip_val=1e-7, gradient_clip_algorithm="value",
+        callbacks=[rec], default_root_dir=str(tmp_path),
+    )
+    # value-clip path compiles and trains
+    state3 = t3.fit(task3, train)
+    assert int(state3.step) == 2
