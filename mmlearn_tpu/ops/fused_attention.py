@@ -422,33 +422,50 @@ def _bwd_pallas(qkv, mask, out, g_out, num_heads, scale, causal,
     return dqkv
 
 
-def _use_pallas(num_heads: int, head_dim: int, seq: int) -> bool:
+def _attn_kernel_mode(num_heads: int, head_dim: int, seq: int):
+    """``None`` (XLA math) | ``'pallas'`` | ``'interpret'``.
+
+    ``MMLEARN_FUSED_ATTN_INTERPRET=1`` forces the Pallas kernels in
+    interpreter mode regardless of backend — CPU tests then execute the
+    exact kernel path (including inside the shard_map plan with
+    ``check_vma=False``) that a multi-chip TPU job runs.
+    """
     import os
 
     if os.environ.get("MMLEARN_FUSED_ATTN", "1") == "0":
-        return False
+        return None
     if not supports_fused(num_heads, head_dim, seq):
-        return False
+        return None
+    if os.environ.get("MMLEARN_FUSED_ATTN_INTERPRET") == "1":
+        return "interpret"
     try:
-        return jax.default_backend() == "tpu"
+        return "pallas" if jax.default_backend() == "tpu" else None
     except Exception:  # pragma: no cover
-        return False
+        return None
+
+
+def _use_pallas(num_heads: int, head_dim: int, seq: int) -> bool:
+    return _attn_kernel_mode(num_heads, head_dim, seq) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _fused_mha_nomask(qkv, num_heads, scale, causal):
-    if not _use_pallas(num_heads, qkv.shape[-1] // (3 * num_heads),
-                       qkv.shape[1]):
+    mode = _attn_kernel_mode(num_heads, qkv.shape[-1] // (3 * num_heads),
+                             qkv.shape[1])
+    if mode is None:
         return _mha_reference_xla(qkv, None, num_heads, scale, causal)
-    return _fwd_pallas(qkv, None, num_heads, scale, causal)
+    return _fwd_pallas(qkv, None, num_heads, scale, causal,
+                       interpret=mode == "interpret")
 
 
 def _fused_mha_nomask_fwd(qkv, num_heads, scale, causal):
     d = qkv.shape[-1] // (3 * num_heads)
-    if not _use_pallas(num_heads, d, qkv.shape[1]):
+    mode = _attn_kernel_mode(num_heads, d, qkv.shape[1])
+    if mode is None:
         out = _mha_reference_xla(qkv, None, num_heads, scale, causal)
         return out, (qkv, None)
-    out = _fwd_pallas(qkv, None, num_heads, scale, causal)
+    out = _fwd_pallas(qkv, None, num_heads, scale, causal,
+                      interpret=mode == "interpret")
     out = checkpoint_name(out, "attn_out")
     return out, (qkv, out)
 
@@ -462,7 +479,10 @@ def _fused_mha_nomask_bwd(num_heads, scale, causal, residuals, g):
         _, vjp = jax.vjp(_ref, qkv)
         (dqkv,) = vjp(g)
         return (dqkv,)
-    return (_bwd_pallas(qkv, None, out, g, num_heads, scale, causal),)
+    mode = _attn_kernel_mode(num_heads, qkv.shape[-1] // (3 * num_heads),
+                             qkv.shape[1])
+    return (_bwd_pallas(qkv, None, out, g, num_heads, scale, causal,
+                        interpret=mode == "interpret"),)
 
 
 _fused_mha_nomask.defvjp(_fused_mha_nomask_fwd, _fused_mha_nomask_bwd)
@@ -470,18 +490,22 @@ _fused_mha_nomask.defvjp(_fused_mha_nomask_fwd, _fused_mha_nomask_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _fused_mha_masked(qkv, mask, num_heads, scale, causal):
-    if not _use_pallas(num_heads, qkv.shape[-1] // (3 * num_heads),
-                       qkv.shape[1]):
+    mode = _attn_kernel_mode(num_heads, qkv.shape[-1] // (3 * num_heads),
+                             qkv.shape[1])
+    if mode is None:
         return _mha_reference_xla(qkv, mask, num_heads, scale, causal)
-    return _fwd_pallas(qkv, mask, num_heads, scale, causal)
+    return _fwd_pallas(qkv, mask, num_heads, scale, causal,
+                       interpret=mode == "interpret")
 
 
 def _fused_mha_masked_fwd(qkv, mask, num_heads, scale, causal):
     d = qkv.shape[-1] // (3 * num_heads)
-    if not _use_pallas(num_heads, d, qkv.shape[1]):
+    mode = _attn_kernel_mode(num_heads, d, qkv.shape[1])
+    if mode is None:
         out = _mha_reference_xla(qkv, mask, num_heads, scale, causal)
         return out, (qkv, mask, None)
-    out = _fwd_pallas(qkv, mask, num_heads, scale, causal)
+    out = _fwd_pallas(qkv, mask, num_heads, scale, causal,
+                      interpret=mode == "interpret")
     out = checkpoint_name(out, "attn_out")
     return out, (qkv, mask, out)
 
@@ -495,7 +519,10 @@ def _fused_mha_masked_bwd(num_heads, scale, causal, residuals, g):
         _, vjp = jax.vjp(_ref, qkv)
         (dqkv,) = vjp(g)
         return dqkv, None
-    dqkv = _bwd_pallas(qkv, mask, out, g, num_heads, scale, causal)
+    mode = _attn_kernel_mode(num_heads, qkv.shape[-1] // (3 * num_heads),
+                             qkv.shape[1])
+    dqkv = _bwd_pallas(qkv, mask, out, g, num_heads, scale, causal,
+                       interpret=mode == "interpret")
     return dqkv, None
 
 
