@@ -16,12 +16,22 @@ dynamic symmetric quantization:
 Param layout is identical to ``nn.Dense`` (``kernel``/``bias``), so
 checkpoints are interchangeable and the flag can be flipped mid-training.
 
-Enable with ``MMLEARN_QUANT=int8_fwd`` (read at trace time, like
-``MMLEARN_ATTN_LOGITS``); the transformer-block projections (attention
-qkv/out, MLP fc layers) switch to ``Int8Dense``. Off by default — the
-reference has no quantization support at all (its perf tuning surface is
-TF32/fp16-mixed, /root/reference/mmlearn/cli/run.py:46-49); this is a
-TPU-native capability addition.
+Modes (``MMLEARN_QUANT``, read at trace time like ``MMLEARN_ATTN_LOGITS``;
+the transformer-block projections — attention qkv/out, MLP fc layers —
+switch to ``Int8Dense``):
+
+- ``int8_fwd``: int8 forward, exact STE backward (this module);
+- ``int8``: full int8 training — int8 dgrad/wgrad with factorizable
+  per-channel scales (this module). Measured 521 pairs/s vs 769 bf16 on the
+  v5e flagship: the XLA-composed quantize/relayout stages cost more than
+  the int8 MXU saves (round-3 trace);
+- ``int8_sb``: switchback — fwd + dgrad through the **fused Pallas
+  quantizing matmul** (:mod:`mmlearn_tpu.ops.int8_matmul`; scales/s8 copies
+  never touch HBM), exact wgrad.
+
+Off by default — the reference has no quantization support at all (its perf
+tuning surface is TF32/fp16-mixed, /root/reference/mmlearn/cli/run.py:46-49);
+this is a TPU-native capability addition.
 
 Measured on the flagship CLIP ViT-B/16 step (one v5e, b256): **748 pairs/s
 vs 770 bf16** — a net loss despite the 2x raw int8 matmul throughput,
@@ -210,6 +220,8 @@ class Int8Dense(nn.Module):
     kernel_init: Callable = initializers.lecun_normal()
     bias_init: Callable = initializers.zeros_init()
     full: bool = False
+    #: "" (STE) | "int8_sb" (fused switchback kernel) — overrides ``full``
+    mode: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -228,8 +240,14 @@ class Int8Dense(nn.Module):
         x, kernel, bias = dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
-        matmul = int8_matmul_full if self.full else int8_matmul_ste
-        y = matmul(x, kernel)
+        if self.mode == "int8_sb":
+            from mmlearn_tpu.ops.int8_matmul import switchback_matmul
+
+            y = switchback_matmul(x, kernel)
+        elif self.full:
+            y = int8_matmul_full(x, kernel)
+        else:
+            y = int8_matmul_ste(x, kernel)
         if bias is not None:
             y = y + bias
         return y
@@ -254,4 +272,8 @@ def dense(*, features: int, use_bias: bool = True, dtype: Any = None,
         return Int8Dense(**kw)
     if mode == "int8":
         return Int8Dense(full=True, **kw)
+    if mode == "int8_sb":
+        # switchback: fused Pallas quantizing matmuls for fwd+dgrad, exact
+        # wgrad (ops/int8_matmul.py) — the measured-fast int8 configuration
+        return Int8Dense(mode="int8_sb", **kw)
     return nn.Dense(**kw)

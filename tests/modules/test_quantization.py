@@ -280,3 +280,113 @@ def test_int8_full_training_loss_parity(monkeypatch):
         base, quant,
     )
     assert abs(quant[-1] - base[-1]) / base[-1] < 0.10, (base[-1], quant[-1])
+
+
+def test_int8_qmm_kernel_matches_xla_int8(monkeypatch):
+    """The Pallas quantizing matmul (interpret mode) must match the
+    XLA-composed dynamic-int8 forward bit-for-bit in scheme (same per-row /
+    per-column absmax) — small f32 tolerance for op-order."""
+    from mmlearn_tpu.modules.layers.quantization import _int8_fwd
+    from mmlearn_tpu.ops.int8_matmul import int8_qmm
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 40, 96)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((96, 160)) * 0.05, jnp.float32)
+    from mmlearn_tpu.ops.int8_matmul import quantize_weight
+
+    want = _int8_fwd(x, w)
+    qw, sw = quantize_weight(w, axis=0)
+    got = int8_qmm(x, qw, sw, block_m=16, block_n=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_switchback_matmul_grads(monkeypatch):
+    """Switchback: int8 fwd + int8 dgrad (kernel in interpret mode), exact
+    wgrad — dgrad matches the quantized composition, wgrad the exact one."""
+    monkeypatch.setenv("MMLEARN_INT8_QMM_INTERPRET", "1")
+    from mmlearn_tpu.modules.layers.quantization import _int8_fwd
+    from mmlearn_tpu.ops.int8_matmul import switchback_matmul
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((24, 96)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((96, 160)) * 0.05, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((24, 160)), jnp.float32)
+
+    def loss(x, w):
+        return jnp.sum(switchback_matmul(x, w) * c)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    # wgrad exact: x^T @ c
+    np.testing.assert_allclose(
+        np.asarray(gw), np.asarray(x.T @ c), rtol=1e-5, atol=1e-6
+    )
+    # dgrad = quantized c @ w.T (same scheme as the XLA composition)
+    want_gx = _int8_fwd(c, jnp.swapaxes(w, 0, 1))
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(want_gx), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.integration_test
+def test_int8_sb_training_loss_parity(monkeypatch):
+    """MMLEARN_QUANT=int8_sb loss-parity gate (same protocol as the full
+    int8 gate)."""
+    monkeypatch.setenv("MMLEARN_INT8_QMM_INTERPRET", "1")
+    import functools
+
+    import optax
+
+    from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+    from mmlearn_tpu.tasks import ContrastivePretraining
+
+    def run(n_steps=20):
+        vision = VisionTransformer(
+            img_size=16, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+            use_cls_token=True, global_pool="cls", proj_dim=32,
+        )
+        text = TextTransformer(
+            vocab_size=64, max_length=12, embed_dim=64, depth=2, num_heads=4,
+            pooling="eos", proj_dim=32,
+        )
+        task = ContrastivePretraining(
+            encoders={"rgb": vision, "text": text},
+            optimizer=functools.partial(optax.adam, learning_rate=2e-3),
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "rgb": jnp.asarray(
+                rng.standard_normal((8, 16, 16, 3)), jnp.float32
+            ),
+            "text": jnp.asarray(rng.integers(2, 63, (8, 12)), jnp.int32),
+        }
+        params = task.init_params(jax.random.key(0), batch)
+        tx = task.configure_optimizers(max_steps=100)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                loss, _ = task.loss_fn(
+                    p, batch, jax.random.key(1), {}, deterministic=True
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(n_steps):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        return np.asarray(losses)
+
+    monkeypatch.delenv("MMLEARN_QUANT", raising=False)
+    base = run()
+    monkeypatch.setenv("MMLEARN_QUANT", "int8_sb")
+    quant = run()
+    assert quant[-1] < quant[0], quant
+    assert float(np.max(np.abs(quant - base) / np.abs(base))) < 0.15
+    assert abs(quant[-1] - base[-1]) / base[-1] < 0.10
