@@ -287,29 +287,57 @@ def _packed_enabled(head_dim: int) -> bool:
     computes every head's scores (cross-head terms hit structural zeros).
     This lifts the VMEM-model unit cap the per-head layout suffered (the
     I-JEPA predictor's D=32 ran at U=16 — VERDICT r2 item 7).
+
+    Status: numerically verified (interpret-mode fwd/bwd tests at D=32/16,
+    masked + causal) but **opt-in** (``MMLEARN_FUSED_ATTN_PACKED=1``): the
+    Mosaic compile of the backward body sat in remote compilation for 25+
+    minutes at predictor shapes on this rig, even at group=1-2 — likely
+    the non-lane-aligned (N=118) block boundaries inside the (P·N, 128)
+    operands. Follow-up: pad each head block to a 128-row multiple so every
+    slice lands on tile boundaries, then re-measure against the regular
+    kernel's 9.0 ms predictor fwd+bwd.
     """
     import os
 
-    if os.environ.get("MMLEARN_FUSED_ATTN_PACKED", "1") == "0":
+    if os.environ.get("MMLEARN_FUSED_ATTN_PACKED", "0") != "1":
         return False
     return head_dim < 64 and 128 % head_dim == 0
 
 
-def _blockdiag_kv(qkv_ref, i, p, d, n, offset):
-    """Build a block-diagonal ``(P·N, P·D)`` operand from head slices.
+def _packed_np(n: int) -> int:
+    """Per-head block stride in the packed layout: N padded to a full
+    (8, 128) tile boundary so every block slice is lane- AND
+    sublane-aligned (Mosaic compiles misaligned 118-offset slices
+    pathologically slowly — see `_packed_enabled`)."""
+    return ((n + _LANES - 1) // _LANES) * _LANES
 
-    Row block ``h`` holds head ``h``'s ``(N, D)`` slice in lane block ``h``;
-    everything else is zero — matmuls against it select per-head terms.
-    ``offset`` picks q(0)/k(1)/v(2) from the head-major packing.
+
+def _blockdiag_kv(qkv_ref, i, p, d, n, offset):
+    """Build a block-diagonal ``(P·Np, P·D)`` operand from head slices.
+
+    Row block ``h`` holds head ``h``'s ``(N, D)`` slice (zero-padded to
+    ``Np`` rows) in lane block ``h``; everything else is zero — matmuls
+    against it select per-head terms, and the padding rows contribute
+    nothing.
     """
     w = p * d
+    np_ = _packed_np(n)
     rows = []
     for hh in range(p):
         sl = qkv_ref[i, :, hh * 3 * d + offset * d : hh * 3 * d + (offset + 1) * d]
-        left = jnp.zeros((n, hh * d), sl.dtype)
-        right = jnp.zeros((n, w - (hh + 1) * d), sl.dtype)
-        rows.append(jnp.concatenate([left, sl, right], axis=1))
-    return jnp.concatenate(rows, axis=0)  # (P*N, W)
+        parts = []  # Mosaic rejects zero-width operands: skip empty pads
+        if hh > 0:
+            parts.append(jnp.zeros((n, hh * d), sl.dtype))
+        parts.append(sl)
+        if (p - hh - 1) > 0:
+            parts.append(jnp.zeros((n, w - (hh + 1) * d), sl.dtype))
+        blk = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        if np_ != n:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((np_ - n, w), sl.dtype)], axis=0
+            )
+        rows.append(blk)
+    return jnp.concatenate(rows, axis=0)  # (P*Np, W)
 
 
 def _cat_heads(ref, i, p, d, n, stride, offset):
@@ -324,27 +352,39 @@ def _cat_heads(ref, i, p, d, n, stride, offset):
 
 
 def _packed_scores(q_cat, k_blk, mask_vec, scale, causal, p, n):
-    """Per-head scores, lane-packed: ``(N, P·N)`` with block h = head h."""
+    """Per-head scores, lane-packed: ``(N, P·Np)`` with block h = head h.
+
+    The ``Np - N`` padding columns of every block (zero rows in the
+    block-diagonal K) are masked to -inf so the blockwise softmax ignores
+    them.
+    """
+    np_ = _packed_np(n)
     s = jax.lax.dot_general(
         q_cat, k_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (N, P*N)
+    ) * scale  # (N, P*Np)
+    # one (Np,) template per block, tiled: valid key positions < n
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, np_), 1)
+    keep = col < n
     if mask_vec is not None:
-        kvt = jnp.concatenate([mask_vec] * p)  # (P*N,)
-        s = jnp.where(kvt[None, :], s, _NEG)
+        pad = jnp.zeros((np_ - n,), dtype=bool) if np_ != n else None
+        kv = (
+            jnp.concatenate([mask_vec, pad]) if pad is not None else mask_vec
+        )  # (Np,)
+        keep = keep & kv[None, :]
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        cm = row >= col
-        s = jnp.where(jnp.concatenate([cm] * p, axis=1), s, _NEG)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, np_), 0)
+        keep = keep & (row >= col)
+    s = jnp.where(jnp.concatenate([keep] * p, axis=1), s, _NEG)
     return s
 
 
 def _packed_softmax(s, p, n):
-    """Blockwise softmax over each head's N-lane block of (N, P·N)."""
+    """Blockwise softmax over each head's Np-lane block of (N, P·Np)."""
+    np_ = _packed_np(n)
     blocks = []
     for hh in range(p):
-        sb = s[:, hh * n : (hh + 1) * n]
+        sb = s[:, hh * np_ : (hh + 1) * np_]
         m = jnp.max(sb, axis=-1, keepdims=True)
         e = jnp.exp(sb - m)
         blocks.append(e / jnp.sum(e, axis=-1, keepdims=True))
@@ -402,6 +442,7 @@ def _bwd_kernel_packed(
         )  # (N, P*N)
 
         # ds per block: p * (dp - delta_h) * scale, delta_h from head lanes
+        np_ = _packed_np(n)
         dof = do_cat.astype(jnp.float32)
         outf = out_cat.astype(jnp.float32)
         ds_blocks = []
@@ -411,10 +452,10 @@ def _bwd_kernel_packed(
                 axis=-1, keepdims=True,
             )  # (N, 1)
             ds_blocks.append(
-                p_cat[:, hh * n : (hh + 1) * n]
-                * (dp[:, hh * n : (hh + 1) * n] - delta_h) * scale
+                p_cat[:, hh * np_ : (hh + 1) * np_]
+                * (dp[:, hh * np_ : (hh + 1) * np_] - delta_h) * scale
             )
-        ds = jnp.concatenate(ds_blocks, axis=1)  # (N, P*N) f32
+        ds = jnp.concatenate(ds_blocks, axis=1)  # (N, P*Np) f32
         dsc = ds.astype(q_cat.dtype)
 
         # dq: (N, P*N) @ (P*N, 128) — full width, zeros select per-head K
@@ -442,10 +483,10 @@ def _bwd_kernel_packed(
                 :, hh * d : (hh + 1) * d
             ].astype(dqkv_ref.dtype)
             dqkv_ref[i, :, base + d : base + 2 * d] = dk_all[
-                hh * n : (hh + 1) * n, hh * d : (hh + 1) * d
+                hh * np_ : hh * np_ + n, hh * d : (hh + 1) * d
             ].astype(dqkv_ref.dtype)
             dqkv_ref[i, :, base + 2 * d : base + 3 * d] = dv_all[
-                hh * n : (hh + 1) * n, hh * d : (hh + 1) * d
+                hh * np_ : hh * np_ + n, hh * d : (hh + 1) * d
             ].astype(dqkv_ref.dtype)
 
 
@@ -455,10 +496,8 @@ def _packed_sample_bytes(seq: int, head_dim: int) -> int:
     2 (P·N, 128) f32 outputs + ~6 (N, 128) rows."""
     p = 128 // head_dim
     sub = _pad_to8(seq)
-    pn = ((p * seq + _LANES - 1) // _LANES) * _LANES
-    pn_sub = _pad_to8(p * seq)
-    return (3 * sub * pn + 2 * pn_sub * 128 + 2 * pn_sub * 128
-            + 6 * sub * 128) * 4
+    pn = p * _packed_np(seq)  # packed lane stride per block is Np
+    return (3 * sub * pn + 4 * pn * 128 + 6 * sub * 128) * 4
 
 
 def _bwd_unit_bytes(seq: int, head_dim: int) -> int:
@@ -494,7 +533,12 @@ def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
     # the backward's f32 temporaries must fit the 16 MB scoped-VMEM stack:
     # bound the unit count by the byte model (see _bwd_unit_bytes)
     if _packed_enabled(head_dim):
-        # lane-packed kernel: VMEM scales per sample (all heads together)
+        # lane-packed kernel: VMEM scales per sample (all heads together).
+        # The sample loop is python-unrolled in the kernel body; Mosaic
+        # compile time grows steeply with the unroll (a g=8 predictor body
+        # sat in remote compile for 25+ min), so keep the group small —
+        # the packed matmuls are already full-width/full-depth per sample.
+        g = min(g, int(os.environ.get("MMLEARN_FUSED_ATTN_PACKED_GROUP", "2")))
         unit = _packed_sample_bytes(seq, head_dim)
         while g > 1 and g * unit > _BWD_VMEM_LIMIT:
             g -= 1

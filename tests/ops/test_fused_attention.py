@@ -160,9 +160,11 @@ def test_pick_group_respects_bwd_vmem_model():
 
 @pytest.mark.parametrize("h,d", [(4, 32), (8, 16)])
 @pytest.mark.parametrize("causal", [False, True])
-def test_packed_small_head_dim_fwd_matches_reference(h, d, causal):
+def test_packed_small_head_dim_fwd_matches_reference(h, d, causal, monkeypatch):
     """Lane-packed small-D kernel (block-diagonal K/V, full 128-lane
-    matmuls — VERDICT r2 item 7): interpret-mode fwd vs XLA reference."""
+    matmuls — VERDICT r2 item 7): interpret-mode fwd vs XLA reference.
+    The packed bodies are opt-in (MMLEARN_FUSED_ATTN_PACKED=1)."""
+    monkeypatch.setenv("MMLEARN_FUSED_ATTN_PACKED", "1")
     from mmlearn_tpu.ops.fused_attention import _kernel_config, _packed_enabled
 
     assert _packed_enabled(d)
@@ -176,7 +178,8 @@ def test_packed_small_head_dim_fwd_matches_reference(h, d, causal):
 
 
 @pytest.mark.parametrize("h,d", [(4, 32), (8, 16)])
-def test_packed_small_head_dim_fwd_key_mask(h, d):
+def test_packed_small_head_dim_fwd_key_mask(h, d, monkeypatch):
+    monkeypatch.setenv("MMLEARN_FUSED_ATTN_PACKED", "1")
     b, n = 2, 19
     qkv = interleave_qkv_heads(_qkv(b, n, h, d, seed=7 + d), h)
     mask = jnp.asarray(np.random.default_rng(1).random((b, n)) > 0.3)
@@ -188,7 +191,8 @@ def test_packed_small_head_dim_fwd_key_mask(h, d):
 
 @pytest.mark.parametrize("h,d", [(4, 32), (8, 16)])
 @pytest.mark.parametrize("causal", [False, True])
-def test_packed_small_head_dim_bwd_matches_autodiff(h, d, causal):
+def test_packed_small_head_dim_bwd_matches_autodiff(h, d, causal, monkeypatch):
+    monkeypatch.setenv("MMLEARN_FUSED_ATTN_PACKED", "1")
     b, n = 2, 23
     qkv = interleave_qkv_heads(_qkv(b, n, h, d, seed=11 + d), h)
     mask = jnp.asarray(np.random.default_rng(2).random((b, n)) > 0.2)
