@@ -68,6 +68,8 @@ class ModelCheckpoint(Callback):
         self.async_save = async_save
         self._manager = None
         self._best_manager = None
+        #: scores currently in the best/ manager (host-side top-k tracker)
+        self._best_scores: list[float] = []
 
     def _ensure_manager(self, trainer: Any):
         if self._manager is None:
@@ -160,6 +162,19 @@ class ModelCheckpoint(Callback):
             )
         return self._best_manager
 
+    def _improves_top_k(self, score: float) -> bool:
+        """Would this score enter the current top-k? Saves that wouldn't are
+        skipped entirely — a naive save-then-let-Orbax-delete writes (and
+        briefly stores) a full checkpoint per validation (2x bytes at large
+        model sizes)."""
+        k = max(1, self.save_top_k)
+        if len(self._best_scores) < k:
+            return True
+        worst = max(self._best_scores) if self.mode == "min" else min(
+            self._best_scores
+        )
+        return score < worst if self.mode == "min" else score > worst
+
     def on_validation_end(self, trainer: Any, metrics: dict, step: int) -> None:
         if not self.monitor:
             return
@@ -171,13 +186,21 @@ class ModelCheckpoint(Callback):
             return
         import orbax.checkpoint as ocp
 
+        score = float(metrics[self.monitor])
+        if not self._improves_top_k(score):
+            return
         manager = self._ensure_best_manager(trainer)
         manager.save(
             step,
             args=ocp.args.StandardSave(trainer.state),
-            metrics={self.monitor: float(metrics[self.monitor])},
+            metrics={self.monitor: score},
             force=True,
         )
+        self._best_scores.append(score)
+        k = max(1, self.save_top_k)
+        self._best_scores = sorted(self._best_scores)[
+            :k
+        ] if self.mode == "min" else sorted(self._best_scores)[-k:]
         if not self.async_save:
             manager.wait_until_finished()
         logger.info(

@@ -189,6 +189,10 @@ def test_monitor_best_k_checkpointing(tmp_path):
     assert restored is not None
     assert int(restored.step) == int(trainer.state.step)
 
+    # non-improving validations never write (no save-then-delete churn):
+    # only 5.0 (first) and 1.5 (improvement) hit the manager; 4.0 skipped
+    assert ckpt._best_scores == [1.5]
+
     # missing monitor key is a warning, not a crash
     ckpt.on_validation_end(trainer, {"other_metric": 1.0}, 4)
 
