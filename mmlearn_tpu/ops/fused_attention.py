@@ -289,13 +289,15 @@ def _packed_enabled(head_dim: int) -> bool:
     I-JEPA predictor's D=32 ran at U=16 — VERDICT r2 item 7).
 
     Status: numerically verified (interpret-mode fwd/bwd tests at D=32/16,
-    masked + causal) but **opt-in** (``MMLEARN_FUSED_ATTN_PACKED=1``): the
-    Mosaic compile of the backward body sat in remote compilation for 25+
-    minutes at predictor shapes on this rig, even at group=1-2 — likely
-    the non-lane-aligned (N=118) block boundaries inside the (P·N, 128)
-    operands. Follow-up: pad each head block to a 128-row multiple so every
-    slice lands on tile boundaries, then re-measure against the regular
-    kernel's 9.0 ms predictor fwd+bwd.
+    masked + causal) and, after lane-aligning the per-head blocks (the
+    first cut's N=118 boundaries caused 25+-minute Mosaic compiles),
+    measured on v5e at the predictor shape: **9.2 ms fwd+bwd vs 9.0 ms for
+    the capped per-head default** (group sweep 2-6; both ~1.9x XLA).
+    Scores/dq/dp get the 4x width/depth win but dk/dv pay the P× extra
+    block-diagonal MACs, and the backward holds 5 of the 7 matmul units —
+    the effects cancel. Kept **opt-in** (``MMLEARN_FUSED_ATTN_PACKED=1``)
+    as the better layout for fwd-heavy small-D attention (inference /
+    no-grad teachers); the training default stays the capped kernel.
     """
     import os
 

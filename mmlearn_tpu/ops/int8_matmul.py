@@ -14,8 +14,9 @@ re-ran once per M-block and lost 0.5-0.8x):
 - **activations** are quantized inside the kernel: the ``(bm, K)`` block is
   read once (bf16), row-absmax'ed, scaled and rounded in registers, then
   fed to one s8×s8→s32 MXU matmul — scales and s8 copies never touch HBM;
-- the grid iterates ``(n, m)`` with ``m`` innermost so the weight block
-  stays VMEM-resident across the whole m sweep.
+- the grid iterates ``(m, n)`` with ``n`` innermost so the quantized
+  activation block (s8 + scales, VMEM scratch) is reused across the whole
+  n sweep.
 
 Numerics are identical to
 :func:`mmlearn_tpu.modules.layers.quantization.int8_matmul_ste`'s forward
