@@ -38,6 +38,7 @@ def main() -> None:
 
     backend = jax.default_backend()
     batch_size = 256 if backend == "tpu" else 16
+    batch_size = int(os.environ.get("MMLEARN_BENCH_BATCH", batch_size))
 
     import jax.numpy as jnp
     import optax
@@ -106,6 +107,10 @@ def main() -> None:
             result["input_fed_pairs_per_sec"] = round(fed, 2)
             result["input_fed_ratio"] = round(fed / pairs_per_sec, 3)
             result["host_cores"] = os.cpu_count()
+            # the input-fed path is host-decode-bound on this 1-core dev
+            # host; concurrent host load (e.g. a test run) collapses it.
+            # Record the load average so the number is interpretable.
+            result["host_load_1m"] = round(os.getloadavg()[0], 2)
         except Exception as err:  # noqa: BLE001 - input-fed is best-effort
             result["input_fed_error"] = f"{type(err).__name__}: {err}"
 
@@ -163,7 +168,9 @@ def _input_fed_pairs_per_sec(step, params, opt_state, batch_size, rng) -> float:
     q: Queue = Queue(maxsize=2)
 
     def producer():
-        for i in range(n_steps + 2):
+        # exactly the consumed count (1 warmup + n_steps): overproducing
+        # leaves the thread blocked on a full queue at interpreter teardown
+        for i in range(n_steps + 1):
             q.put(host_batch(i))
 
     threading.Thread(target=producer, daemon=True).start()

@@ -553,6 +553,15 @@ def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
             # predictor's 39.7 MB at U=64 vs the 35.4 MB estimate): keep the
             # compile-proven U=16 ceiling
             g = min(g, max(1, 16 // head_group))
+        else:
+            # D=64 shapes: cap at 32 units, the largest compile-proven
+            # count. The byte model is not shape-uniform — at N=77 it
+            # *under*-counts real scoped usage (b384 text tower picked 48
+            # units = 22.97 MB measured vs the 16 MB hardware limit; 32
+            # units ≈ 15.3 MB fits) while at N=197 it over-counts (16
+            # units proven). b256 only avoided the overflow because the
+            # batch-divisor fallback happened to land on 16.
+            g = min(g, max(1, 32 // head_group))
     if override:
         g = int(override)
     while batch % g:

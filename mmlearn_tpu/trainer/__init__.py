@@ -6,7 +6,13 @@ from mmlearn_tpu.trainer.callbacks import (
     ModelCheckpoint,
     Timer,
 )
-from mmlearn_tpu.trainer.loggers import ConsoleLogger, JSONLLogger, Logger, WandbLogger
+from mmlearn_tpu.trainer.loggers import (
+    ConsoleLogger,
+    JSONLLogger,
+    Logger,
+    TensorBoardLogger,
+    WandbLogger,
+)
 from mmlearn_tpu.trainer.state import TrainState
 from mmlearn_tpu.trainer.trainer import Trainer
 
@@ -18,6 +24,7 @@ __all__ = [
     "Logger",
     "ModelCheckpoint",
     "Timer",
+    "TensorBoardLogger",
     "TrainState",
     "Trainer",
     "WandbLogger",

@@ -70,6 +70,10 @@ class ModelCheckpoint(Callback):
         self._best_manager = None
         #: scores currently in the best/ manager (host-side top-k tracker)
         self._best_scores: list[float] = []
+        #: last step THIS run saved — epoch-end and train-end (or an
+        #: every_n_train_steps boundary) can legitimately fire for the same
+        #: step; the second save is a no-op
+        self._last_saved_step: Optional[int] = None
 
     def _ensure_manager(self, trainer: Any):
         if self._manager is None:
@@ -91,17 +95,26 @@ class ModelCheckpoint(Callback):
         import orbax.checkpoint as ocp
 
         manager = self._ensure_manager(trainer)
-        if step == getattr(trainer, "restored_step", None) and step in (
-            manager.all_steps() or []
-        ):
-            # idempotent: resuming a completed run re-fires the end-of-train
-            # save for the step it restored from. Only that exact step is
-            # skipped — a fresh run writing into a dirpath holding another
-            # run's checkpoints must overwrite, not keep stale state.
+        if step == self._last_saved_step:
+            # epoch-end + train-end (or an every_n_train_steps boundary)
+            # firing for the same step: the state is already on disk
             return
+        if step in (manager.all_steps() or []):
+            if step == getattr(trainer, "restored_step", None):
+                # resuming a completed run re-fires the end-of-train save
+                # for the exact step it restored from — identical state
+                return
+            # stale checkpoint from an *earlier run* at the same step: a
+            # fresh run must overwrite it, not silently keep old state
+            logger.warning(
+                "Overwriting stale checkpoint at step %d from a previous "
+                "run in %s", step, self.dirpath,
+            )
+            manager.delete(step)
         manager.save(
             step, args=ocp.args.StandardSave(trainer.state), force=True
         )
+        self._last_saved_step = step
         self._save_loop_position(trainer, step)
         # async by default: training continues while Orbax serializes in the
         # background; waits only at train end (and before restores)

@@ -124,3 +124,72 @@ class WandbLogger(Logger):
     def finalize(self) -> None:
         if self._run is not None:
             self._run.finish()
+
+
+@store(group="trainer/logger", name="TensorBoardLogger", populate_full_signature=False)
+class TensorBoardLogger(Logger):
+    """TensorBoard event-file logger (Lightning's *default* logger — the
+    reference gets it implicitly from ``Trainer(logger=True)``; wired
+    explicitly here). Uses ``torch.utils.tensorboard`` (the CPU torch wheel
+    ships it); a no-op with a warning if tensorboard isn't importable.
+
+    Event files land in ``<save_dir>/<name>/version_<n>/`` mirroring
+    Lightning's directory convention, so existing TensorBoard workflows
+    (``tensorboard --logdir outputs``) work unchanged.
+    """
+
+    def __init__(
+        self,
+        save_dir: str = "outputs",
+        name: str = "lightning_logs",
+        version: Optional[int] = None,
+    ) -> None:
+        self._writer = None
+        self._log_dir = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except Exception as err:  # pragma: no cover - tensorboard missing
+            logger.warning(
+                "tensorboard unavailable (%s); TensorBoardLogger is a no-op",
+                err,
+            )
+            return
+        root = os.path.join(save_dir, name)
+        if version is None:
+            version = 0
+            if os.path.isdir(root):
+                taken = [
+                    int(d.split("_", 1)[1])
+                    for d in os.listdir(root)
+                    if d.startswith("version_") and d.split("_", 1)[1].isdigit()
+                ]
+                version = max(taken) + 1 if taken else 0
+        self._log_dir = os.path.join(root, f"version_{version}")
+        self._writer = SummaryWriter(log_dir=self._log_dir)
+
+    @property
+    def log_dir(self) -> Optional[str]:
+        return self._log_dir
+
+    def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
+        if self._writer is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self._writer.add_scalar(k, float(v), global_step=step)
+            except (TypeError, ValueError):
+                continue  # non-scalar (strings etc.) — scalars only
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        if self._writer is None:
+            return
+        flat = {
+            k: v if isinstance(v, (int, float, bool, str)) else str(v)
+            for k, v in params.items()
+        }
+        self._writer.add_hparams(flat, metric_dict={}, run_name=".")
+
+    def finalize(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+            self._writer.close()

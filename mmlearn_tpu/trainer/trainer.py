@@ -205,6 +205,10 @@ class Trainer:
         #: step the run was restored from (None for fresh runs) — used by
         #: ModelCheckpoint to make the resumed-completed-run save idempotent
         self.restored_step: Optional[int] = None
+        #: Lightning parity: set True (by a callback, a task, or the
+        #: SIGTERM/SIGUSR1 preemption handler installed during fit) to end
+        #: training cleanly after the in-flight step
+        self.should_stop = False
         #: (epoch, batch_in_epoch) of the next batch to consume — persisted
         #: by ModelCheckpoint for streaming/iterable mid-epoch resume
         self.loop_position: Optional[dict] = None
@@ -374,6 +378,42 @@ class Trainer:
         return jax.jit(val_fn)
 
     # -- public API --------------------------------------------------------------
+    def _install_stop_handlers(self):
+        """Route SIGTERM/SIGUSR1 to a clean stop request.
+
+        SLURM preemption sends SIGTERM (or SIGUSR1 with ``--signal``); the
+        handler sets ``should_stop`` so the fit loop exits after the
+        in-flight step and writes the end-of-train checkpoint. Returns the
+        previous handlers for restoration; no-ops outside the main thread
+        (where ``signal.signal`` raises) and never fails training setup.
+        """
+        import signal
+
+        def _request_stop(signum, frame):
+            logger.warning(
+                "Received signal %d — requesting clean stop (checkpoint + "
+                "exit after the current step)", signum,
+            )
+            self.should_stop = True
+
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                prev[sig] = signal.signal(sig, _request_stop)
+            except (ValueError, OSError):  # non-main thread / unsupported
+                pass
+        return prev
+
+    @staticmethod
+    def _restore_stop_handlers(prev) -> None:
+        import signal
+
+        for sig, handler in prev.items():
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+
     def fit(
         self,
         task: Any,
@@ -427,6 +467,15 @@ class Trainer:
         for cb in self.callbacks:
             cb.on_train_start(self)
 
+        # graceful preemption (Lightning parity: trainer.should_stop + its
+        # SIGTERM handling). SIGTERM/SIGUSR1 (SLURM's preemption warning)
+        # request a clean stop after the in-flight step; the normal
+        # end-of-train path then writes a resumable checkpoint via
+        # ModelCheckpoint.on_train_end. Callbacks/tasks may also set
+        # ``trainer.should_stop = True`` directly.
+        self.should_stop = False
+        prev_handlers = self._install_stop_handlers()
+
         rng_root = jax.random.key(self.seed + 1)
         step = int(self.state.step)
         # resume mid-training at the right epoch: the epoch-seeded sampler
@@ -478,6 +527,20 @@ class Trainer:
 
         import itertools
 
+        try:
+            return self._fit_loop(
+                task, train_loader, val_loader, itertools, done, epoch,
+                probe_iter, first_raw, skip_batches, step, max_steps,
+                rng_root, t_log, examples_since_log,
+            )
+        finally:
+            self._restore_stop_handlers(prev_handlers)
+
+    def _fit_loop(
+        self, task, train_loader, val_loader, itertools, done, epoch,
+        probe_iter, first_raw, skip_batches, step, max_steps, rng_root,
+        t_log, examples_since_log,
+    ) -> TrainState:
         while not done:
             if self.max_epochs is not None and epoch >= self.max_epochs:
                 break
@@ -561,6 +624,15 @@ class Trainer:
                     self._run_evaluation(task, val_loader, "validation", step=step)
 
                 if step >= max_steps:
+                    done = True
+                    break
+                if self.should_stop:
+                    logger.warning(
+                        "Stop requested at step %d (signal or "
+                        "trainer.should_stop) — ending training cleanly; "
+                        "the end-of-train checkpoint makes this resumable.",
+                        step,
+                    )
                     done = True
                     break
 

@@ -137,3 +137,127 @@ def test_fast_dev_run_and_flag_aliases(tmp_path):
     # value-clip path compiles and trains
     state3 = t3.fit(task3, train)
     assert int(state3.step) == 2
+
+
+@pytest.mark.integration_test
+def test_sigterm_graceful_stop_and_resume(tmp_path):
+    """Preemption handling (Lightning parity: Trainer.should_stop + signal
+    handling): SIGTERM mid-training ends the run cleanly after the in-flight
+    step, the end-of-train checkpoint is written, and resuming completes the
+    run with the same final state as an uninterrupted one."""
+    import os
+    import signal
+
+    import jax
+
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    def loaders():
+        ds = CombinedDataset([PairedDataset(size=64)])
+        return DataLoader(ds, batch_size=16, drop_last=True)
+
+    class KillAt(LossRecorder):
+        def __init__(self, at_step):
+            super().__init__()
+            self.at_step = at_step
+
+        def on_train_batch_end(self, trainer, metrics, step):
+            super().on_train_batch_end(trainer, metrics, step)
+            if step == self.at_step:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    # uninterrupted reference run
+    ref_rec = LossRecorder()
+    ref_state = Trainer(
+        max_steps=6, log_every_n_steps=1, seed=0, callbacks=[ref_rec],
+        default_root_dir=str(tmp_path / "ref"),
+    ).fit(_tiny_task(), loaders())
+
+    # interrupted at step 3 — handler must stop the loop cleanly
+    ck = tmp_path / "ckpt"
+    rec1 = KillAt(3)
+    t1 = Trainer(
+        max_steps=6, log_every_n_steps=1, seed=0,
+        callbacks=[ModelCheckpoint(dirpath=str(ck), async_save=False), rec1],
+        default_root_dir=str(tmp_path / "run"),
+    )
+    state1 = t1.fit(_tiny_task(), loaders())
+    assert int(state1.step) == 3
+    assert len(rec1.losses) == 3
+    # fit restored the previous SIGTERM disposition on exit
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler,
+    )
+
+    # resume completes the run and matches the uninterrupted trajectory
+    rec2 = LossRecorder()
+    t2 = Trainer(
+        max_steps=6, log_every_n_steps=1, seed=0,
+        callbacks=[ModelCheckpoint(dirpath=str(ck), async_save=False), rec2],
+        default_root_dir=str(tmp_path / "run2"),
+    )
+    state2 = t2.fit(_tiny_task(), loaders(), ckpt_path="last")
+    assert int(state2.step) == 6
+    np.testing.assert_allclose(
+        np.asarray(rec1.losses + rec2.losses), np.asarray(ref_rec.losses),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree.leaves(state2.params), jax.tree.leaves(ref_state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+@pytest.mark.integration_test
+def test_should_stop_flag_stops_training(tmp_path):
+    class StopAt(LossRecorder):
+        def on_train_batch_end(self, trainer, metrics, step):
+            super().on_train_batch_end(trainer, metrics, step)
+            if step == 2:
+                trainer.should_stop = True
+
+    ds = CombinedDataset([PairedDataset(size=64)])
+    loader = DataLoader(ds, batch_size=16, drop_last=True)
+    rec = StopAt()
+    state = Trainer(
+        max_steps=10, log_every_n_steps=1, seed=0, callbacks=[rec],
+        default_root_dir=str(tmp_path),
+    ).fit(_tiny_task(), loader)
+    assert int(state.step) == 2
+    assert len(rec.losses) == 2
+
+
+@pytest.mark.integration_test
+def test_tensorboard_logger_writes_events(tmp_path):
+    """TensorBoardLogger (Lightning's default logger) writes scalar events
+    under the Lightning directory convention save_dir/name/version_n."""
+    from mmlearn_tpu.trainer import TensorBoardLogger
+
+    ds = CombinedDataset([PairedDataset(size=32)])
+    loader = DataLoader(ds, batch_size=16, drop_last=True)
+    tb = TensorBoardLogger(save_dir=str(tmp_path), name="tb")
+    trainer = Trainer(
+        max_steps=3, log_every_n_steps=1, seed=0, loggers=[tb],
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(_tiny_task(), loader)
+
+    assert tb.log_dir is not None and tb.log_dir.endswith("version_0")
+    import glob
+
+    events = glob.glob(tb.log_dir + "/events.out.tfevents.*")
+    assert events, "no event file written"
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(tb.log_dir)
+    acc.Reload()
+    assert "train/loss" in acc.Tags()["scalars"]
+    assert len(acc.Scalars("train/loss")) == 3
+
+    # a second run gets version_1
+    tb2 = TensorBoardLogger(save_dir=str(tmp_path), name="tb")
+    assert tb2.log_dir.endswith("version_1")
+    tb2.finalize()
