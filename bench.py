@@ -170,16 +170,27 @@ def _input_fed_pairs_per_sec(step, params, opt_state, batch_size, rng) -> float:
     def producer():
         # exactly the consumed count (1 warmup + n_steps): overproducing
         # leaves the thread blocked on a full queue at interpreter teardown
-        for i in range(n_steps + 1):
-            q.put(host_batch(i))
+        try:
+            for i in range(n_steps + 1):
+                q.put(host_batch(i))
+        except Exception as err:  # noqa: BLE001 - surface in the main thread
+            q.put(err)
+
+    def get_batch():
+        # bounded wait: a silently-dead producer must fail the input-fed
+        # measurement (caught by main()), not hang the whole benchmark
+        item = q.get(timeout=300)
+        if isinstance(item, Exception):
+            raise item
+        return item
 
     threading.Thread(target=producer, daemon=True).start()
     p, o = params, opt_state
-    p, o, loss = step(p, o, norm(q.get()), rng)
+    p, o, loss = step(p, o, norm(get_batch()), rng)
     float(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        p, o, loss = step(p, o, norm(q.get()), rng)
+        p, o, loss = step(p, o, norm(get_batch()), rng)
     float(loss)
     return batch_size * n_steps / (time.perf_counter() - t0)
 

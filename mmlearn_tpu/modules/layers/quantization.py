@@ -91,16 +91,8 @@ def int8_matmul_ste(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def _int8_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    sx = jnp.maximum(
-        jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6
-    ) / 127.0  # per-row
-    qx = jnp.round(xf / sx).astype(jnp.int8)
-    wf = w.astype(jnp.float32)
-    sw = jnp.maximum(
-        jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-6
-    ) / 127.0  # per-out-channel
-    qw = jnp.round(wf / sw).astype(jnp.int8)
+    qx, sx = _quantize(x, axis=-1)  # per-row
+    qw, sw = _quantize(w, axis=0)  # per-out-channel
     acc = jax.lax.dot_general(
         qx, qw, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -136,7 +128,12 @@ int8_matmul_ste.defvjp(_int8_fwd_vjp, _int8_bwd_vjp)
 
 
 def _quantize(a: jax.Array, axis: int) -> tuple[jax.Array, jax.Array]:
-    """Symmetric absmax int8 quantization along ``axis`` (scale keeps dims)."""
+    """Symmetric absmax int8 quantization along ``axis`` (scale keeps dims).
+
+    THE canonical quantizer: ``_int8_fwd``, the full-int8 vjp, and
+    ``ops.int8_matmul.quantize_weight`` all route through this function so
+    the documented "numerics identical" parity between the XLA-composed and
+    fused kernel paths cannot drift."""
     af = a.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(af), axis=axis, keepdims=True), 1e-6) / 127.0
     q = jnp.round(af / s).astype(jnp.int8)

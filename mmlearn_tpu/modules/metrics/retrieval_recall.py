@@ -99,14 +99,19 @@ class RetrievalRecallAtK:
         ``jax.device_get`` at :meth:`compute` (pod-scale eval would
         otherwise serialize on per-batch transfers — VERDICT r2 item 10).
         """
-        if indexes is None:
-            indexes = np.arange(queries.shape[0]) + self._num_targets
         if valid is not None:
             valid = np.asarray(valid).astype(bool)
             # boolean gather runs where the array lives (device or host)
             queries = queries[valid]
             targets = targets[valid]
-            indexes = np.asarray(indexes)[valid]
+            if indexes is not None:
+                indexes = np.asarray(indexes)[valid]
+        if indexes is None:
+            # positive row = the query's position among the *stored*
+            # (compacted) targets — computed after the valid filter, else an
+            # invalid row before a valid one shifts every later index off
+            # its target
+            indexes = np.arange(queries.shape[0]) + self._num_targets
         self._queries.append(queries)
         self._targets.append(targets)
         self._indexes.append(indexes)

@@ -276,7 +276,7 @@ def _bwd_kernel(
             u += 1
 
 
-def _packed_enabled(head_dim: int) -> bool:
+def _packed_enabled(head_dim: int, seq: Optional[int] = None) -> bool:
     """Lane-packed variant for small head dims (D < 64, 128 % D == 0).
 
     At D=32/16 the per-unit matmuls contract only D of the MXU's 128-deep
@@ -303,7 +303,14 @@ def _packed_enabled(head_dim: int) -> bool:
 
     if os.environ.get("MMLEARN_FUSED_ATTN_PACKED", "0") != "1":
         return False
-    return head_dim < 64 and 128 % head_dim == 0
+    if not (head_dim < 64 and 128 % head_dim == 0):
+        return False
+    if seq is not None and _packed_sample_bytes(seq, head_dim) > _BWD_VMEM_LIMIT:
+        # even a single-sample packed program would exceed the scoped-VMEM
+        # stack (all P heads live together) — fall back to the per-head
+        # kernel, whose per-unit footprint is P× smaller
+        return False
+    return True
 
 
 def _packed_np(n: int) -> int:
@@ -534,7 +541,7 @@ def _pick_group(batch: int, seq: int, head_dim: int, head_group: int) -> int:
     g = max(1, min(32, budget // max(per_sample, 1)))
     # the backward's f32 temporaries must fit the 16 MB scoped-VMEM stack:
     # bound the unit count by the byte model (see _bwd_unit_bytes)
-    if _packed_enabled(head_dim):
+    if _packed_enabled(head_dim, seq):
         # lane-packed kernel: VMEM scales per sample (all heads together).
         # The sample loop is python-unrolled in the kernel body; Mosaic
         # compile time grows steeply with the unroll (a g=8 predictor body
@@ -576,7 +583,7 @@ def _kernel_config(qkv, num_heads, interpret):
         # interpret mode normally drops head grouping (hg=1) for simplicity,
         # but the packed small-D variant *is* the head grouping — keep it so
         # CPU tests execute the packed kernel bodies
-        packed = _packed_enabled(d) and num_heads % _head_group(d) == 0
+        packed = _packed_enabled(d, n) and num_heads % _head_group(d) == 0
         hg = _head_group(d) if packed else 1
     else:
         hg = _head_group(d)
@@ -629,7 +636,7 @@ def _fwd_pallas(qkv, mask, num_heads, scale, causal, interpret=False):
     grid = (b // g, num_heads // hg)
     body = (
         _fwd_kernel_packed
-        if _packed_enabled(d) and hg == 128 // d
+        if _packed_enabled(d, n) and hg == 128 // d
         else _fwd_kernel
     )
     kernel = functools.partial(
@@ -658,7 +665,7 @@ def _bwd_pallas(qkv, mask, out, g_out, num_heads, scale, causal,
     grid = (b // g, num_heads // hg)
     body = (
         _bwd_kernel_packed
-        if _packed_enabled(d) and hg == 128 // d
+        if _packed_enabled(d, n) and hg == 128 // d
         else _bwd_kernel
     )
     kernel = functools.partial(

@@ -51,14 +51,13 @@ def quantize_weight(w: jax.Array, axis: int = 0):
     """Symmetric absmax int8 quantization of a weight matrix.
 
     ``axis=0`` (per-column, over the contraction dim) for the forward;
-    call on ``w.T`` for the dgrad operand.
+    call on ``w.T`` for the dgrad operand. Delegates to the canonical
+    quantizer so the kernel path and the XLA-composed path
+    (``modules/layers/quantization.py``) stay numerically identical.
     """
-    wf = w.astype(jnp.float32)
-    sw = jnp.maximum(
-        jnp.max(jnp.abs(wf), axis=axis, keepdims=True), 1e-6
-    ) / 127.0
-    qw = jnp.round(wf / sw).astype(jnp.int8)
-    return qw, sw
+    from mmlearn_tpu.modules.layers.quantization import _quantize
+
+    return _quantize(w, axis)
 
 
 def _qmm_kernel(x_ref, qw_ref, sw_ref, o_ref, qx_ref, sx_ref):

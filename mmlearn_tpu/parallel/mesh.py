@@ -79,8 +79,32 @@ def create_mesh(
         raise ValueError(
             f"data={data} must be divisible by slices={slices}"
         )
-    # an explicit smaller mesh uses a prefix of the devices
-    devices = devices[: data * other]
+    # an explicit smaller mesh uses a prefix of the devices — taken
+    # *per slice* when slices>1, else a plain prefix covers only the first
+    # slice(s) and the hybrid mesh builder finds fewer slice granules than
+    # requested (real devices: group by slice_index; emulation: the list is
+    # slice-major by convention)
+    total = data * other
+    if slices > 1 and total < n:
+        need = total // slices
+        if hasattr(devices[0], "slice_index"):
+            by_slice: dict = {}
+            for d in devices:
+                by_slice.setdefault(d.slice_index, []).append(d)
+            groups = [by_slice[k] for k in sorted(by_slice)]
+        else:
+            per = n // slices
+            groups = [
+                devices[s * per : (s + 1) * per] for s in range(slices)
+            ]
+        if len(groups) < slices or any(len(g) < need for g in groups):
+            raise ValueError(
+                f"Cannot carve {slices} slices x {need} devices out of "
+                f"{n} available devices"
+            )
+        devices = [d for g in groups[:slices] for d in g[:need]]
+    else:
+        devices = devices[:total]
     axes = MESH_AXES_SEQ if seq > 1 else MESH_AXES
     shape = (
         (data, fsdp, seq, model) if seq > 1 else (data, fsdp, model)

@@ -126,7 +126,12 @@ class ModelCheckpoint(Callback):
         """Persist the fit-loop position (epoch, batch-within-epoch) beside
         the checkpoint so *unsized* (iterable/streaming) loaders can resume
         mid-epoch — their position is not derivable from the step count
-        (trainer.py derives it via len(loader) for sized loaders only)."""
+        (trainer.py derives it via len(loader) for sized loaders only).
+
+        One file *per step* (``loop_position-<step>.json``): the Orbax save
+        is async, so a single mutable file could point at a step whose
+        serialization never finished (crash mid-write) — resume then reads
+        the position matching the checkpoint it actually restored."""
         pos = getattr(trainer, "loop_position", None)
         if pos is None:
             return
@@ -137,23 +142,43 @@ class ModelCheckpoint(Callback):
         )
         payload = {"step": int(step), **{k: int(v) for k, v in pos.items()}}
         try:
-            with open(os.path.join(path, "loop_position.json"), "w") as f:
+            with open(
+                os.path.join(path, f"loop_position-{int(step)}.json"), "w"
+            ) as f:
                 json.dump(payload, f)
+            # prune positions for steps Orbax has already garbage-collected
+            keep = {int(step)} | {
+                int(s) for s in (self._manager.all_steps() or [])
+            }
+            for name in os.listdir(path):
+                if name.startswith("loop_position-") and name.endswith(".json"):
+                    s = name[len("loop_position-"):-len(".json")]
+                    if s.isdigit() and int(s) not in keep:
+                        os.unlink(os.path.join(path, name))
         except OSError as err:  # non-fatal: resume falls back to derivation
             logger.warning("Could not persist loop position: %s", err)
 
     def read_loop_position(self, trainer: Any) -> Optional[dict]:
-        """The persisted loop position, if any (used by Trainer.fit resume)."""
+        """The persisted loop position for the step the run restored from
+        (used by Trainer.fit resume); falls back to the legacy single-file
+        layout."""
         import json
 
         path = os.path.abspath(
             self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
         )
-        try:
-            with open(os.path.join(path, "loop_position.json")) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+        step = getattr(trainer, "restored_step", None)
+        candidates = []
+        if step is not None:
+            candidates.append(os.path.join(path, f"loop_position-{step}.json"))
+        candidates.append(os.path.join(path, "loop_position.json"))
+        for cand in candidates:
+            try:
+                with open(cand) as f:
+                    return json.load(f)
+            except (OSError, ValueError):
+                continue
+        return None
 
     def _ensure_best_manager(self, trainer: Any):
         if self._best_manager is None:
@@ -172,6 +197,24 @@ class ModelCheckpoint(Callback):
                     best_mode=self.mode,
                     create=True,
                 ),
+            )
+            # rehydrate the host-side top-k tracker from checkpoints already
+            # on disk (resume): without this a resumed run re-admits
+            # non-improving scores and the write-then-delete churn the
+            # tracker exists to prevent comes back
+            import math
+
+            for s in self._best_manager.all_steps() or []:
+                m = self._best_manager.metrics(s)
+                if m and self.monitor in m:
+                    v = float(m[self.monitor])
+                    if math.isfinite(v):
+                        self._best_scores.append(v)
+            k = max(1, self.save_top_k)
+            self._best_scores = (
+                sorted(self._best_scores)[:k]
+                if self.mode == "min"
+                else sorted(self._best_scores)[-k:]
             )
         return self._best_manager
 
@@ -199,10 +242,22 @@ class ModelCheckpoint(Callback):
             return
         import orbax.checkpoint as ocp
 
+        import math
+
         score = float(metrics[self.monitor])
+        if not math.isfinite(score):
+            # a NaN/inf score must not enter _best_scores: comparisons
+            # against NaN are all-False, which would permanently gate every
+            # later (genuinely better) save
+            logger.warning(
+                "Monitored metric %s is %s at step %d — skipping "
+                "best-checkpoint save", self.monitor, score, step,
+            )
+            return
+        # ensure first (it rehydrates _best_scores from disk on resume)
+        manager = self._ensure_best_manager(trainer)
         if not self._improves_top_k(score):
             return
-        manager = self._ensure_best_manager(trainer)
         manager.save(
             step,
             args=ocp.args.StandardSave(trainer.state),
@@ -342,10 +397,13 @@ class LearningRateMonitor(Callback):
         sched = getattr(trainer, "_lr_schedule", None)
         if sched is not None:
             # a broken schedule must fail loudly, not log nothing.
-            # `step` is the post-increment count; the LR just applied is
-            # schedule(step - 1) (Lightning's LearningRateMonitor logs the
-            # LR used for the step, trajectory-fixture-verified)
-            metrics["lr"] = float(sched(max(0, step - 1)))
+            # `step` is the post-increment micro-batch count; under
+            # accumulate_grad_batches=k the schedule only advances once per
+            # k batches (optax.MultiSteps), so the LR applied by the most
+            # recent optimizer update is schedule(step // k - 1)
+            # (= schedule(step - 1) at k=1, trajectory-fixture-verified)
+            k = max(1, int(getattr(trainer, "accumulate_grad_batches", 1)))
+            metrics["lr"] = float(sched(max(0, step // k - 1)))
 
 
 @store(group="trainer/callbacks", name="Timer", populate_full_signature=False)

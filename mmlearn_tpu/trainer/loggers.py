@@ -147,6 +147,16 @@ class TensorBoardLogger(Logger):
         self._writer = None
         self._log_dir = None
         try:
+            import jax
+
+            if jax.process_index() != 0:
+                # rank-0 only (Lightning behavior): every process scanning
+                # for version_<n> at once races on a shared filesystem and
+                # interleaves event streams into one directory
+                return
+        except Exception:  # pragma: no cover - jax not initialized
+            pass
+        try:
             from torch.utils.tensorboard import SummaryWriter
         except Exception as err:  # pragma: no cover - tensorboard missing
             logger.warning(

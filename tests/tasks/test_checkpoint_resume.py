@@ -353,3 +353,48 @@ def test_streaming_mid_epoch_resume_matches_uninterrupted(tmp_path):
         jax.tree.leaves(jax.device_get(state_b.params)),
     ):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_best_k_tracker_nan_guard_and_resume_rehydration(tmp_path):
+    """Two best-k gate hardening cases: a NaN monitored metric is skipped
+    (it would otherwise poison every later top-k comparison), and a fresh
+    callback instance rehydrates the tracker from the best/ checkpoints on
+    disk so post-resume validations don't re-admit non-improving scores."""
+    import math
+
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    task = _tiny_task()
+    loader = DataLoader(PairedDataset(size=32), batch_size=16, drop_last=True)
+
+    def make_ckpt():
+        return ModelCheckpoint(
+            dirpath=str(tmp_path / "ckpts"), monitor="validation/loss",
+            mode="min", save_top_k=1, every_n_epochs=None, save_last=False,
+            async_save=False,
+        )
+
+    ckpt = make_ckpt()
+    trainer = Trainer(
+        max_steps=2, log_every_n_steps=10, callbacks=[ckpt],
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(task, loader)
+
+    # NaN first: must not be saved nor enter the tracker
+    ckpt.on_validation_end(trainer, {"validation/loss": math.nan}, 1)
+    assert ckpt._best_scores == []
+    ckpt.on_validation_end(trainer, {"validation/loss": 2.0}, 2)
+    assert ckpt._best_scores == [2.0]
+    ckpt.on_train_end(trainer)
+
+    # a fresh instance (resume) rehydrates [2.0] from disk: a worse score
+    # is gated without writing
+    ckpt2 = make_ckpt()
+    ckpt2.on_validation_end(trainer, {"validation/loss": 3.5}, 3)
+    assert ckpt2._best_scores == [2.0]
+    assert ckpt2.best_model_path.endswith("2")
+    ckpt2.on_validation_end(trainer, {"validation/loss": 1.0}, 4)
+    ckpt2.on_train_end(trainer)
+    assert ckpt2._best_scores == [1.0]
+    assert ckpt2.best_model_path.endswith("4")

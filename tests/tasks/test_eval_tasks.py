@@ -254,3 +254,23 @@ def test_merge_gathered_shards_offsets_indexes():
     np.testing.assert_array_equal(idx, [0, 2, 4])
     # padding rows dropped
     assert (t[3:] == 4.0).all() and (t[:3] == 3.0).all()
+
+
+def test_recall_at_k_mid_batch_invalid_rows():
+    """Auto-generated positive indexes must be positions among the *stored*
+    (valid-compacted) targets: an invalid row BEFORE a valid one must not
+    shift later queries off their positives."""
+    q = np.eye(4, dtype=np.float32)
+    m = RetrievalRecallAtK(top_k=1)
+    valid = np.asarray([False, True, False, True])
+    m.update(q, q, valid=valid)
+    # queries 1 and 3 kept; each matches its own (compacted) target row
+    assert m.compute() == 1.0
+
+    # across batches: the offset counts stored targets, not raw rows
+    # (disjoint rows per batch — duplicate targets would tie the top-1)
+    q8 = np.eye(8, dtype=np.float32)
+    m2 = RetrievalRecallAtK(top_k=1)
+    m2.update(q8[:4], q8[:4], valid=np.asarray([False, True, True, True]))
+    m2.update(q8[4:], q8[4:], valid=np.asarray([True, False, True, False]))
+    assert m2.compute() == 1.0

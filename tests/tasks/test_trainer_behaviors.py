@@ -261,3 +261,34 @@ def test_tensorboard_logger_writes_events(tmp_path):
     tb2 = TensorBoardLogger(save_dir=str(tmp_path), name="tb")
     assert tb2.log_dir.endswith("version_1")
     tb2.finalize()
+
+
+@pytest.mark.integration_test
+def test_lr_monitor_under_grad_accumulation(tmp_path):
+    """Under accumulate_grad_batches=k the schedule advances once per k
+    micro-batches (optax.MultiSteps); the monitor must log the LR the most
+    recent optimizer update actually applied, schedule(step//k - 1)."""
+    ds = CombinedDataset([PairedDataset(size=64)])
+    loader = DataLoader(ds, batch_size=16, drop_last=True)
+    task = _tiny_task()
+    lrs = {}
+
+    class Capture(LossRecorder):
+        def on_train_batch_end(self, trainer, metrics, step):
+            super().on_train_batch_end(trainer, metrics, step)
+            if "lr" in metrics:
+                lrs[step] = metrics["lr"]
+
+    trainer = Trainer(
+        max_steps=6, accumulate_grad_batches=2, log_every_n_steps=1, seed=0,
+        callbacks=[LearningRateMonitor(), Capture()],
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(task, loader)
+    sched = trainer._lr_schedule
+    assert sched is not None
+    for step, got in lrs.items():
+        want = float(sched(max(0, step // 2 - 1)))
+        assert got == want, (step, got, want)
+    # mid-accumulation steps repeat the last applied LR (no k=1 off-by-one)
+    assert lrs[2] == lrs[3] and lrs[4] == lrs[5]

@@ -115,3 +115,22 @@ def test_local_loss_infonce_equivalence(mesh, rng):
 
     out = _shard_map(body, mesh, (P("data"), P("data")), P("data"))(za, zb)
     np.testing.assert_allclose(float(np.asarray(out)[0]), global_ce, rtol=1e-5)
+
+
+def test_hybrid_mesh_small_carve_takes_per_slice_prefix():
+    """A hybrid mesh smaller than the device pool must carve its devices
+    per slice (slice-major emulation): a plain prefix would hand the
+    builder devices spanning fewer slices than requested."""
+    import jax
+
+    from mmlearn_tpu.parallel.mesh import create_mesh
+
+    devs = jax.devices()
+    assert len(devs) == 8
+    mesh = create_mesh(data=2, slices=2)  # 2 devices over 2 emulated slices
+    picked = list(mesh.devices.flat)
+    # slice-major: one device from each half of the pool
+    assert picked == [devs[0], devs[4]]
+
+    with __import__("pytest").raises(ValueError, match="slices"):
+        create_mesh(data=3, slices=2)
