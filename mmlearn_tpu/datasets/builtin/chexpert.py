@@ -15,7 +15,11 @@ import numpy as np
 
 from mmlearn_tpu.conf import store
 from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
-from mmlearn_tpu.datasets.builtin.image_utils import ImageTransform, load_image
+from mmlearn_tpu.datasets.builtin.image_utils import (
+    ImageTransform,
+    load_image,
+    to_model_dtype,
+)
 from mmlearn_tpu.datasets.core.example import Example
 
 
@@ -57,7 +61,7 @@ class CheXpert:
         img = self.transform(load_image(path))
         return Example(
             {
-                "rgb": img.astype(np.float32),
+                "rgb": to_model_dtype(img),
                 "rgb_target": np.asarray(entry["label"], np.float32),
                 EXAMPLE_INDEX_KEY: idx,
             }

@@ -71,6 +71,19 @@ def decode_transform_jpeg(
         return transform(np.asarray(img.convert("RGB")), rng=rng)
 
 
+def to_model_dtype(img: np.ndarray) -> np.ndarray:
+    """float32 for host-normalized images; uint8 passes through untouched.
+
+    ``ImageTransform(device_normalize=True)`` deliberately emits uint8 so the
+    trainer's on-device ``(x/255 - mean)/std`` runs (4x smaller host->device
+    transfer); an unconditional ``astype(np.float32)`` here would skip that
+    branch (it matches dtype==uint8 only) AND the host normalization —
+    feeding raw 0-255 floats to the model."""
+    if img.dtype == np.uint8:
+        return img
+    return img.astype(np.float32)
+
+
 @store(group="datasets/transforms", name="ImageTransform", populate_full_signature=False)
 @dataclass
 class ImageTransform:

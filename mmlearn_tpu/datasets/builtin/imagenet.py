@@ -19,7 +19,11 @@ import numpy as np
 
 from mmlearn_tpu.conf import store
 from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
-from mmlearn_tpu.datasets.builtin.image_utils import ImageTransform, load_image
+from mmlearn_tpu.datasets.builtin.image_utils import (
+    ImageTransform,
+    load_image,
+    to_model_dtype,
+)
 from mmlearn_tpu.datasets.core.example import Example
 
 # The standard CLIP ImageNet prompt-template set (OpenAI CLIP; the reference
@@ -147,7 +151,7 @@ class ImageNet:
             img = self.transform(load_image(path))
         example = Example(
             {
-                "rgb": img.astype(np.float32),
+                "rgb": to_model_dtype(img),
                 "rgb_target": target,
                 EXAMPLE_INDEX_KEY: idx,
             }

@@ -17,7 +17,11 @@ import numpy as np
 
 from mmlearn_tpu.conf import store
 from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
-from mmlearn_tpu.datasets.builtin.image_utils import ImageTransform, load_image
+from mmlearn_tpu.datasets.builtin.image_utils import (
+    ImageTransform,
+    load_image,
+    to_model_dtype,
+)
 from mmlearn_tpu.datasets.core.example import Example
 
 MAX_BBOXES = 32  # fixed slots (static shapes); extra boxes are dropped
@@ -79,8 +83,8 @@ class LLVIP:
         thermal = self.transform(load_image(ir_path))
         example = Example(
             {
-                "rgb": rgb.astype(np.float32),
-                "thermal": thermal.astype(np.float32),
+                "rgb": to_model_dtype(rgb),
+                "thermal": to_model_dtype(thermal),
                 EXAMPLE_INDEX_KEY: idx,
             }
         )

@@ -17,7 +17,11 @@ import numpy as np
 
 from mmlearn_tpu.conf import store
 from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
-from mmlearn_tpu.datasets.builtin.image_utils import ImageTransform, load_image
+from mmlearn_tpu.datasets.builtin.image_utils import (
+    ImageTransform,
+    load_image,
+    to_model_dtype,
+)
 from mmlearn_tpu.datasets.core.example import Example
 
 # ImageBind's NYUv2 evaluation keeps these scene classes
@@ -87,10 +91,13 @@ class NYUv2:
             depth = depth_to_disparity(depth)
         from mmlearn_tpu.datasets.processors.transforms import center_crop, resize_image
 
-        short = min(depth.shape[:2])
-        scale = self.image_size / short
+        # aspect-preserving short-side resize + center crop, mirroring the
+        # RGB ImageTransform eval path — a square resize would stretch the
+        # short axis and spatially misalign depth with its RGB pair
+        h, w = depth.shape[:2]
+        scale = self.image_size / min(h, w)
         resized = resize_image(
-            depth, int(round(max(depth.shape[:2]) * scale))
+            depth, (int(round(h * scale)), int(round(w * scale)))
         )
         cropped = center_crop(resized, self.image_size)
         return cropped.reshape(self.image_size, self.image_size, 1)
@@ -102,7 +109,7 @@ class NYUv2:
         )
         example = Example(
             {
-                "rgb": self.rgb_transform(load_image(rgb_path)).astype(np.float32),
+                "rgb": to_model_dtype(self.rgb_transform(load_image(rgb_path))),
                 "depth": self._load_depth(depth_path).astype(np.float32),
                 EXAMPLE_INDEX_KEY: idx,
             }

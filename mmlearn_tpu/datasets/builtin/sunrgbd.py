@@ -17,7 +17,11 @@ import numpy as np
 
 from mmlearn_tpu.conf import store
 from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
-from mmlearn_tpu.datasets.builtin.image_utils import ImageTransform, load_image
+from mmlearn_tpu.datasets.builtin.image_utils import (
+    ImageTransform,
+    load_image,
+    to_model_dtype,
+)
 from mmlearn_tpu.datasets.core.example import Example
 
 BASELINE_M = 0.075  # stereo baseline used for disparity conversion
@@ -74,9 +78,13 @@ class SUNRGBD:
             out = depth_m
         from mmlearn_tpu.datasets.processors.transforms import center_crop, resize_image
 
-        short = min(out.shape[:2])
-        scale = self.image_size / short
-        resized = resize_image(out, int(round(max(out.shape[:2]) * scale)))
+        # aspect-preserving short-side resize + center crop (matches the RGB
+        # ImageTransform eval path; see nyuv2.py for the misalignment note)
+        h, w = out.shape[:2]
+        scale = self.image_size / min(h, w)
+        resized = resize_image(
+            out, (int(round(h * scale)), int(round(w * scale)))
+        )
         cropped = center_crop(resized, self.image_size)
         return cropped.reshape(self.image_size, self.image_size, 1)
 
@@ -88,7 +96,7 @@ class SUNRGBD:
         name = os.path.splitext(os.path.basename(rgb_path))[0]
         example = Example(
             {
-                "rgb": self.rgb_transform(load_image(rgb_path)).astype(np.float32),
+                "rgb": to_model_dtype(self.rgb_transform(load_image(rgb_path))),
                 "depth": self._load_depth(depth_path, name).astype(np.float32),
                 EXAMPLE_INDEX_KEY: idx,
             }

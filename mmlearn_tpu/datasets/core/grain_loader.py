@@ -75,6 +75,11 @@ class GrainDataLoader:
     def set_epoch(self, epoch: int) -> None:
         if hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        # streaming/iterable (sub-)datasets reshuffle per epoch; plain
+        # samplers don't reach them (same contract as DataLoader.set_epoch)
+        from mmlearn_tpu.datasets.core.loader import _propagate_set_epoch
+
+        _propagate_set_epoch(self.dataset, epoch)
 
     def __len__(self) -> int:
         n = len(self.sampler)

@@ -119,26 +119,56 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_factor)
         sentinel = object()
         error_box: list[BaseException] = []
+        stop = threading.Event()
 
         def producer() -> None:
             try:
                 for indices in self._index_batches():
-                    q.put(self._fetch(indices))
+                    if stop.is_set():
+                        return
+                    batch = self._fetch(indices)
+                    # bounded put so an abandoned consumer (trainer break at
+                    # limit_*_batches/max_steps) cannot block this thread on
+                    # a full queue forever — re-check the stop flag instead
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             except BaseException as err:  # propagate into consumer
                 error_box.append(err)
             finally:
-                q.put(sentinel)
+                # the sentinel must be DELIVERED whenever a consumer is
+                # still reading (a dropped sentinel deadlocks its q.get());
+                # only an abandoned consumer (stop set) may skip it
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
-        if error_box:
-            raise error_box[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            thread.join()
+            if error_box:
+                raise error_box[0]
+        finally:
+            # generator closed early (break out of the epoch): release the
+            # producer and drain so it observes the flag promptly
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
         if self.num_workers > 0 or self.prefetch_factor > 1:

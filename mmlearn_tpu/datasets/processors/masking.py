@@ -34,13 +34,19 @@ class RandomMaskGenerator:
     special_token_ids: tuple[int, ...] = (0, 101, 102, 103)
     seed: Optional[int] = None
 
+    def __post_init__(self) -> None:
+        # ONE persistent generator, advanced across calls: rebuilding
+        # default_rng(seed) per call would emit the identical mask for
+        # every example of every epoch when a seed is set
+        self._rng = np.random.default_rng(self.seed)
+
     def __call__(
         self,
         input_ids: np.ndarray,
         attention_mask: Optional[np.ndarray] = None,
         rng: Optional[np.random.Generator] = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        rng = rng or np.random.default_rng(self.seed)
+        rng = rng or self._rng
         input_ids = np.asarray(input_ids)
         special = np.isin(input_ids, np.asarray(self.special_token_ids))
         eligible = ~special
@@ -107,9 +113,11 @@ class BlockwiseImagePatchMaskGenerator:
         self.height = self.width = self.input_size
         self._max_patches = self.max_num_patches or self.num_masking_patches
         self._max_aspect = self.max_aspect or 1 / self.min_aspect
+        # persistent generator (see RandomMaskGenerator.__post_init__)
+        self._rng = np.random.default_rng(self.seed)
 
     def __call__(self, rng: Optional[np.random.Generator] = None) -> np.ndarray:
-        rng = rng or np.random.default_rng(self.seed)
+        rng = rng or self._rng
         mask = np.zeros((self.height, self.width), dtype=bool)
         count = 0
         attempts = 0

@@ -54,10 +54,15 @@ class HFTokenizer:
             **kwargs,
         )
         input_ids = np.asarray(out["input_ids"])
-        attention_mask = np.asarray(out.get("attention_mask"))
+        # guard BEFORE np.asarray: asarray(None) is a 0-d object array that
+        # defeats the None check and crashes on [0]/astype below
+        attention_mask = out.get("attention_mask")
+        if attention_mask is not None:
+            attention_mask = np.asarray(attention_mask)
         if not batched:
             input_ids = input_ids[0]
-            attention_mask = attention_mask[0]
+            if attention_mask is not None:
+                attention_mask = attention_mask[0]
         result = {str(Modalities.text): input_ids.astype(np.int32)}
         if attention_mask is not None:
             result[Modalities.text.attention_mask] = attention_mask.astype(np.int32)

@@ -39,13 +39,17 @@ def normalize_image(
     return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
-def resize_image(img: np.ndarray, size: int) -> np.ndarray:
-    """Bilinear-resize an HWC uint8/float image to (size, size) (numpy-only)."""
+def resize_image(img: np.ndarray, size) -> np.ndarray:
+    """Bilinear-resize an HWC uint8/float image (numpy-only).
+
+    ``size``: int → square ``(size, size)``; ``(h, w)`` tuple → exact target
+    shape (use for aspect-preserving resizes)."""
+    th, tw = (size, size) if isinstance(size, int) else size
     h, w = img.shape[:2]
-    if (h, w) == (size, size):
+    if (h, w) == (th, tw):
         return img
-    ys = np.linspace(0, h - 1, size)
-    xs = np.linspace(0, w - 1, size)
+    ys = np.linspace(0, h - 1, th)
+    xs = np.linspace(0, w - 1, tw)
     y0 = np.floor(ys).astype(int)
     x0 = np.floor(xs).astype(int)
     y1 = np.minimum(y0 + 1, h - 1)

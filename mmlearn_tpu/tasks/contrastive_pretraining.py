@@ -139,18 +139,35 @@ class ContrastivePretraining(TrainingTask):
             compute_validation_loss=compute_validation_loss,
             compute_test_loss=compute_test_loss,
         )
-        self.modalities = [str(m).lower() for m in encoders.keys()]
-        for m in self.modalities:
-            if not Modalities.has_modality(m):
-                raise ValueError(f"Unknown modality '{m}'")
-
-        # resolve module sharing (reference: contrastive_pretraining.py:231-325)
-        mapping = {m: ModuleKeySpec() for m in self.modalities}
+        # resolve module sharing (reference: contrastive_pretraining.py:231-325):
+        # `encoders` may be keyed by modality names OR by shared module keys
+        # referenced via modality_module_mapping[..].encoder_key (e.g. one
+        # 'shared_enc' serving both rgb and text) — the reference validates
+        # a key only when nothing maps to it (reference :255-260)
+        mapping: dict[str, ModuleKeySpec] = {}
         if modality_module_mapping:
             for m, spec in modality_module_mapping.items():
                 if isinstance(spec, Mapping):
                     spec = ModuleKeySpec(**spec)
-                mapping[str(m).lower()] = spec
+                mm = str(m).lower()
+                if not Modalities.has_modality(mm):
+                    raise ValueError(f"Unknown modality '{mm}'")
+                mapping[mm] = spec
+        referenced = {
+            str(spec.encoder_key).lower()
+            for spec in mapping.values()
+            if spec.encoder_key
+        }
+        self.modalities = list(mapping.keys())
+        for key in encoders.keys():
+            k = str(key).lower()
+            if Modalities.has_modality(k):
+                if k not in self.modalities:
+                    self.modalities.append(k)
+            elif k not in referenced:
+                raise ValueError(f"Unknown modality '{k}'")
+        for m in self.modalities:
+            mapping.setdefault(m, ModuleKeySpec())
         self.encoder_keys = {
             m: (mapping[m].encoder_key or m) for m in self.modalities
         }
@@ -159,16 +176,35 @@ class ContrastivePretraining(TrainingTask):
             m: (mapping[m].postprocessor_key or m) for m in self.modalities
         }
 
-        self.encoders = {
-            self.encoder_keys[m]: encoders[m] for m in self.modalities
-            if m in encoders
-        }
-        # also allow encoders given directly under shared (non-modality) keys
-        shared_keys = set(self.encoder_keys.values())
-        for key, module in encoders.items():
-            k = str(key).lower()
-            if k not in self.modalities and k in shared_keys:
-                self.encoders.setdefault(k, module)
+        # keep the caller's own keys (reference keeps the ModuleDict as
+        # given): re-keying by encoder_key would let a modality that *shares*
+        # another key silently overwrite that key's module
+        self.encoders = {str(k).lower(): v for k, v in encoders.items()}
+        for m in self.modalities:
+            key = self.encoder_keys[m]
+            if key in self.encoders:
+                continue
+            # the torch tied-weights idiom: the SAME module object passed
+            # under each modality name, with every such modality mapped to
+            # one shared (absent) key. torch ties by object identity
+            # (reference contrastive_pretraining.py:287-292 stores the same
+            # nn.Module twice); our functional params tie by key, so
+            # collapse the aliases into a single subtree under the shared key
+            sharers = [x for x in self.modalities if self.encoder_keys[x] == key]
+            aliases = [self.encoders.get(x) for x in sharers]
+            if aliases and all(a is not None for a in aliases) and len(
+                {id(a) for a in aliases}
+            ) == 1:
+                self.encoders[key] = aliases[0]
+                targets = set(self.encoder_keys.values())
+                for x in sharers:
+                    if x not in targets:
+                        del self.encoders[x]
+            else:
+                raise ValueError(
+                    f"Modality '{m}' maps to encoder key '{key}' but no such "
+                    f"encoder was given (available: {sorted(self.encoders)})"
+                )
         self.heads = {str(k).lower(): v for k, v in (heads or {}).items()}
         self.postprocessors = {
             str(k).lower(): v for k, v in (postprocessors or {}).items()
@@ -276,8 +312,13 @@ class ContrastivePretraining(TrainingTask):
         ridx = 0
         for key, module in self.encoders.items():
             modality = next(
-                m for m in self.modalities if self.encoder_keys[m] == key
+                (m for m in self.modalities if self.encoder_keys[m] == key),
+                None,
             )
+            if modality is None:
+                # an encoder whose key no modality maps to (its modality
+                # shares a different key): no inputs route to it, skip init
+                continue
             args, kwargs = self._encoder_inputs(sample_batch, modality)
             variables = module.init(rngs[ridx], *args, **kwargs)
             enc_params = variables["params"]

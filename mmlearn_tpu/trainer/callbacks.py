@@ -192,7 +192,11 @@ class ModelCheckpoint(Callback):
             self._best_manager = ocp.CheckpointManager(
                 self._best_dir,
                 options=ocp.CheckpointManagerOptions(
-                    max_to_keep=max(1, self.save_top_k),
+                    # Lightning semantics: -1 keeps every monitored save
+                    max_to_keep=(
+                        None if self.save_top_k == -1
+                        else max(1, self.save_top_k)
+                    ),
                     best_fn=lambda m: float(m[self.monitor]),
                     best_mode=self.mode,
                     create=True,
@@ -210,19 +214,25 @@ class ModelCheckpoint(Callback):
                     v = float(m[self.monitor])
                     if math.isfinite(v):
                         self._best_scores.append(v)
-            k = max(1, self.save_top_k)
-            self._best_scores = (
-                sorted(self._best_scores)[:k]
-                if self.mode == "min"
-                else sorted(self._best_scores)[-k:]
-            )
+            self._best_scores = self._trim_top_k(self._best_scores)
         return self._best_manager
+
+    def _trim_top_k(self, scores: list) -> list:
+        if self.save_top_k == -1:  # keep-all: every score stays relevant
+            return sorted(scores)
+        k = max(1, self.save_top_k)
+        return (
+            sorted(scores)[:k] if self.mode == "min" else sorted(scores)[-k:]
+        )
 
     def _improves_top_k(self, score: float) -> bool:
         """Would this score enter the current top-k? Saves that wouldn't are
         skipped entirely — a naive save-then-let-Orbax-delete writes (and
         briefly stores) a full checkpoint per validation (2x bytes at large
-        model sizes)."""
+        model sizes). ``save_top_k=-1`` (Lightning: save all) admits every
+        finite score."""
+        if self.save_top_k == -1:
+            return True
         k = max(1, self.save_top_k)
         if len(self._best_scores) < k:
             return True
@@ -232,7 +242,8 @@ class ModelCheckpoint(Callback):
         return score < worst if self.mode == "min" else score > worst
 
     def on_validation_end(self, trainer: Any, metrics: dict, step: int) -> None:
-        if not self.monitor:
+        if not self.monitor or self.save_top_k == 0:
+            # Lightning semantics: save_top_k=0 disables monitored saves
             return
         if self.monitor not in metrics:
             logger.warning(
@@ -265,10 +276,7 @@ class ModelCheckpoint(Callback):
             force=True,
         )
         self._best_scores.append(score)
-        k = max(1, self.save_top_k)
-        self._best_scores = sorted(self._best_scores)[
-            :k
-        ] if self.mode == "min" else sorted(self._best_scores)[-k:]
+        self._best_scores = self._trim_top_k(self._best_scores)
         if not self.async_save:
             manager.wait_until_finished()
         logger.info(
@@ -288,7 +296,7 @@ class ModelCheckpoint(Callback):
             return None
         return os.path.join(self._best_dir, str(step))
 
-    def restore_best(self, trainer: Any, strict: bool = True) -> Optional[Any]:
+    def restore_best(self, trainer: Any) -> Optional[Any]:
         """Restore the best checkpoint by the monitored metric."""
         import orbax.checkpoint as ocp
 

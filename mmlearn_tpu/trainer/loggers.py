@@ -100,6 +100,16 @@ class WandbLogger(Logger):
     ) -> None:
         self._run = None
         try:
+            import jax
+
+            if jax.process_index() != 0:
+                # rank-0 only (Lightning behavior): each pod host would
+                # otherwise open its own duplicate wandb run and fight over
+                # a configured resume id
+                return
+        except Exception:  # pragma: no cover - jax not initialized
+            pass
+        try:
             import wandb
 
             self._run = wandb.init(

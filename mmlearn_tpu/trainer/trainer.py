@@ -575,13 +575,22 @@ class Trainer:
                     jax.profiler.start_trace(
                         f"{self.default_root_dir}/profile"
                     )
+                    self._profiling_active = True
                 with self.mesh:
                     self.state, metrics = self._train_step(
                         self.state, device_batch, rng
                     )
-                if self.enable_profiling and step == 10:
+                if (
+                    self.enable_profiling
+                    and getattr(self, "_profiling_active", False)
+                    and step >= 10
+                ):
+                    # >= and the active flag: a resume past step 5 must not
+                    # stop a trace that never started, and a window cut
+                    # short (val/eval in between) still closes
                     jax.tree.leaves(self.state.params)[0].block_until_ready()
                     jax.profiler.stop_trace()
+                    self._profiling_active = False
                     logger.info(
                         "Wrote profiler trace to %s/profile",
                         self.default_root_dir,
@@ -651,6 +660,13 @@ class Trainer:
             if self.max_epochs is None and self.max_steps is None:
                 done = True
 
+        if getattr(self, "_profiling_active", False):
+            # runs shorter than the 10-step window still get their trace
+            jax.profiler.stop_trace()
+            self._profiling_active = False
+            logger.info(
+                "Wrote profiler trace to %s/profile", self.default_root_dir
+            )
         for cb in self.callbacks:
             cb.on_train_end(self)
         for lg in self.loggers:

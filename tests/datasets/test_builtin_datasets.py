@@ -109,6 +109,25 @@ def test_llvip_pairs_and_bboxes(tmp_path):
     assert (ex["bboxes"][1:] == -1).all()
 
 
+def test_builtin_datasets_preserve_uint8_contract(tmp_path):
+    """A ``device_normalize=True`` transform emits uint8 and the dataset
+    wrapper must pass it through untouched (the trainer normalizes on
+    device); a float transform still yields float32."""
+    root = tmp_path / "chexpert"
+    _write_img(str(root / "imgs" / "a.jpg"))
+    root.mkdir(exist_ok=True)
+    (root / "chexpert_train.json").write_text(
+        json.dumps([{"image_path": "imgs/a.jpg", "label": [0.0] * 14}])
+    )
+    ds_u8 = CheXpert(
+        root_dir=str(root), split="train",
+        transform=ImageTransform(size=16, device_normalize=True),
+    )
+    assert ds_u8[0]["rgb"].dtype == np.uint8
+    ds_f32 = CheXpert(root_dir=str(root), split="train", image_size=16)
+    assert ds_f32[0]["rgb"].dtype == np.float32
+
+
 def test_nyuv2(tmp_path):
     from PIL import Image
 

@@ -143,3 +143,46 @@ def test_dataloader_prefetch_matches_sync():
     assert len(sync) == len(pre)
     for a, b in zip(sync, pre):
         np.testing.assert_array_equal(a["rgb"], b["rgb"])
+
+
+def test_dataloader_prefetch_slow_consumer_terminates():
+    """Sentinel delivery regression: a consumer slower than the producer
+    leaves the bounded queue full when the producer finishes; the sentinel
+    must still be delivered (a dropped sentinel deadlocks the final
+    ``q.get()``). Run in a watchdog thread so a regression fails fast
+    instead of hanging the suite."""
+    import threading
+    import time
+
+    ds = CombinedDataset([MapDataset(16)])
+    got: list = []
+
+    def consume():
+        for batch in DataLoader(ds, batch_size=4, prefetch_factor=2,
+                                num_workers=2):
+            time.sleep(0.05)  # producer finishes + fills the queue
+            got.append(batch)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "prefetch iterator never terminated"
+    assert len(got) == 4
+
+
+def test_dataloader_prefetch_early_break_releases_producer():
+    """Breaking out of the epoch (limit_train_batches/max_steps) must stop
+    the producer thread rather than leave it blocked on a full queue."""
+    import threading
+
+    before = threading.active_count()
+    ds = CombinedDataset([MapDataset(64)])
+    for i, _ in enumerate(
+        DataLoader(ds, batch_size=4, prefetch_factor=2, num_workers=2)
+    ):
+        if i == 1:
+            break
+    deadline = __import__("time").time() + 30
+    while threading.active_count() > before and __import__("time").time() < deadline:
+        __import__("time").sleep(0.05)
+    assert threading.active_count() <= before

@@ -270,3 +270,75 @@ def test_create_mesh_slices_validation():
 
     with pytest.raises(ValueError, match="divisible by slices"):
         create_mesh(data=3, slices=2)
+
+
+def test_shared_encoder_key_module_sharing():
+    """Reference-legal module sharing (reference contrastive_pretraining.py:
+    231-260): `encoders` may be keyed by a shared non-modality key that
+    modalities reference via modality_module_mapping[..].encoder_key; and a
+    modality that shares another modality's key must not overwrite that
+    key's module."""
+    import jax
+
+    from tests.tasks.test_training_trajectory import MLPEncoder
+
+    rng = np.random.default_rng(0)
+    enc = MLPEncoder(
+        w1=rng.standard_normal((8, 6)).astype(np.float32),
+        b1=np.zeros(8, np.float32),
+        w2=rng.standard_normal((4, 8)).astype(np.float32),
+        b2=np.zeros(4, np.float32),
+    )
+    task = ContrastivePretraining(
+        encoders={"shared_enc": enc},
+        modality_module_mapping={
+            "rgb": {"encoder_key": "shared_enc"},
+            "text": {"encoder_key": "shared_enc"},
+        },
+        optimizer=functools.partial(optax.adamw, weight_decay=0.0),
+    )
+    assert sorted(task.modalities) == ["rgb", "text"]
+    batch = {
+        "rgb": rng.standard_normal((4, 6)).astype(np.float32),
+        "text": rng.standard_normal((4, 6)).astype(np.float32),
+    }
+    params = task.init_params(jax.random.key(0), batch)
+    assert set(params["encoders"]) == {"shared_enc"}
+    out = task.forward(params, batch, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_embedding"]).shape, (4, 4)
+    )
+
+    # modality sharing another modality's key: both use rgb's module; the
+    # text module (unreferenced) must NOT overwrite it
+    e_rgb = enc
+    e_text = MLPEncoder(
+        w1=rng.standard_normal((8, 6)).astype(np.float32),
+        b1=np.ones(8, np.float32),
+        w2=rng.standard_normal((4, 8)).astype(np.float32),
+        b2=np.ones(4, np.float32),
+    )
+    task2 = ContrastivePretraining(
+        encoders={"rgb": e_rgb, "text": e_text},
+        modality_module_mapping={"text": {"encoder_key": "rgb"}},
+        optimizer=functools.partial(optax.adamw, weight_decay=0.0),
+    )
+    params2 = task2.init_params(jax.random.key(0), batch)
+    out2 = task2.forward(params2, batch, deterministic=True)
+    same = {"rgb": batch["rgb"], "text": batch["rgb"]}
+    out_same = task2.forward(params2, same, deterministic=True)
+    # identical inputs through the shared encoder give identical embeddings
+    np.testing.assert_allclose(
+        np.asarray(out_same["rgb_embedding"]),
+        np.asarray(out_same["text_embedding"]),
+        atol=1e-6,
+    )
+
+    # unknown non-modality key with nothing mapping to it still raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unknown modality"):
+        ContrastivePretraining(
+            encoders={"mystery": enc},
+            optimizer=functools.partial(optax.adamw, weight_decay=0.0),
+        )
