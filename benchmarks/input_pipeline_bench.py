@@ -40,12 +40,22 @@ CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 def make_corpus(n=512, w=500, h=375, quality=85):
+    """Photo-like JPEGs (~0.57 bytes/px, the ImageNet ballpark): low-frequency
+    content + sensor-ish grain. Pure noise encodes at ~1.5 bytes/px — a
+    worst-case Huffman stream ~2.5x costlier to entropy-decode than any real
+    photograph — and was replaced as unrepresentative (round 3)."""
     from PIL import Image
 
     rng = np.random.default_rng(0)
     jpegs = []
     for _ in range(n):
-        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        base = (rng.random((h * 2 // 4, w * 2 // 4, 3)) * 255).astype(np.uint8)
+        img = np.asarray(
+            Image.fromarray(base).resize((w, h), Image.BILINEAR),
+            dtype=np.float32,
+        )
+        img += rng.normal(0.0, 8.0, img.shape)
+        img = np.clip(img, 0, 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, "JPEG", quality=quality)
         jpegs.append(buf.getvalue())

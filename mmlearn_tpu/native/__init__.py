@@ -28,16 +28,16 @@ _TRIED = False
 
 
 def _build() -> bool:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", _SRC, "-ljpeg", "-lpthread",
-        "-o", _SO,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError) as err:
-        logger.info("fastloader build failed (%s); using PIL fallback", err)
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-ljpeg", "-lpthread",
+            "-o", _SO]
+    for cmd in (base[:1] + ["-march=native"] + base[1:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError) as err:
+            last_err = err
+    logger.info("fastloader build failed (%s); using PIL fallback", last_err)
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -303,7 +303,10 @@ def _packed_enabled(head_dim: int, seq: Optional[int] = None) -> bool:
 
     if os.environ.get("MMLEARN_FUSED_ATTN_PACKED", "0") != "1":
         return False
-    if not (head_dim < 64 and 128 % head_dim == 0):
+    # D<=64: includes P=2 packing at D=64, where scores/dq/dp gain the full
+    # 128-deep contraction (2x) while dk/dv pay only 2x block-diagonal MACs
+    # — a better trade than the D=32 P=4 wash (see docstring)
+    if not (head_dim <= 64 and 128 % head_dim == 0):
         return False
     if seq is not None and _packed_sample_bytes(seq, head_dim) > _BWD_VMEM_LIMIT:
         # even a single-sample packed program would exceed the scoped-VMEM

@@ -158,7 +158,7 @@ def test_pick_group_respects_bwd_vmem_model():
         assert batch % g == 0
 
 
-@pytest.mark.parametrize("h,d", [(4, 32), (8, 16)])
+@pytest.mark.parametrize("h,d", [(4, 32), (8, 16), (4, 64)])
 @pytest.mark.parametrize("causal", [False, True])
 def test_packed_small_head_dim_fwd_matches_reference(h, d, causal, monkeypatch):
     """Lane-packed small-D kernel (block-diagonal K/V, full 128-lane
@@ -177,7 +177,7 @@ def test_packed_small_head_dim_fwd_matches_reference(h, d, causal, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-@pytest.mark.parametrize("h,d", [(4, 32), (8, 16)])
+@pytest.mark.parametrize("h,d", [(4, 32), (8, 16), (4, 64)])
 def test_packed_small_head_dim_fwd_key_mask(h, d, monkeypatch):
     monkeypatch.setenv("MMLEARN_FUSED_ATTN_PACKED", "1")
     b, n = 2, 19
@@ -189,7 +189,7 @@ def test_packed_small_head_dim_fwd_key_mask(h, d, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-@pytest.mark.parametrize("h,d", [(4, 32), (8, 16)])
+@pytest.mark.parametrize("h,d", [(4, 32), (8, 16), (4, 64)])
 @pytest.mark.parametrize("causal", [False, True])
 def test_packed_small_head_dim_bwd_matches_autodiff(h, d, causal, monkeypatch):
     monkeypatch.setenv("MMLEARN_FUSED_ATTN_PACKED", "1")

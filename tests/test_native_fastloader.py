@@ -99,6 +99,39 @@ def test_native_train_decode_seeded_and_shaped():
 
 
 @pytest.mark.integration_test
+def test_dct_scaled_decode_matches_unscaled(monkeypatch):
+    """DCT-domain scaled decode (large sources decoded at 1/2 / 1/4 / 1/8)
+    stays visually identical to the full-res decode+resample path, and the
+    train-path crop geometry is unchanged (drawn against full-res dims)."""
+    if not native.available():
+        pytest.skip("native toolchain/libjpeg unavailable")
+    from PIL import Image
+
+    # big smooth source so 1/2-scale decode actually triggers (crop short
+    # side >= 2*224)
+    h, w, size = 768, 1024, 224
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [255 * yy / h, 255 * xx / w, 128 + 60 * np.sin(xx / 37.0)], axis=-1
+    ).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+
+    monkeypatch.setenv("MMLEARN_FASTLOADER_NO_DCT_SCALE", "1")
+    ref_eval = native.decode_jpeg(data, size)
+    ref_train = native.decode_jpeg_train(data, size, seed=7)
+    monkeypatch.delenv("MMLEARN_FASTLOADER_NO_DCT_SCALE")
+    scaled_eval = native.decode_jpeg(data, size)
+    scaled_train = native.decode_jpeg_train(data, size, seed=7)
+
+    for ours, ref in ((scaled_eval, ref_eval), (scaled_train, ref_train)):
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        assert np.median(diff) <= 1
+        assert diff.mean() < 3
+
+
+@pytest.mark.integration_test
 def test_decode_transform_jpeg_train_uses_native(monkeypatch):
     """ImageTransform(train=True) rides the fused native decode and stays
     normalized like the PIL path."""
