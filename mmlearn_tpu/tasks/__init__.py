@@ -7,6 +7,7 @@ from mmlearn_tpu.tasks.contrastive_pretraining import (
     EvaluationSpec,
     ModuleKeySpec,
 )
+from mmlearn_tpu.tasks.embedding_export import EmbeddingExport
 from mmlearn_tpu.tasks.hooks import EvalRuntime, EvaluationHooks
 from mmlearn_tpu.tasks.ijepa import IJEPA
 from mmlearn_tpu.tasks.zero_shot_classification import (
@@ -25,6 +26,7 @@ __all__ = [
     "ZeroShotCrossModalRetrieval",
     "AuxiliaryTaskSpec",
     "ContrastivePretraining",
+    "EmbeddingExport",
     "EvalRuntime",
     "EvaluationHooks",
     "EvaluationSpec",
