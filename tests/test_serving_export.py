@@ -1,0 +1,78 @@
+"""Serving artifacts: exported encoders match direct encode, any batch size."""
+
+import functools
+
+import numpy as np
+import optax
+import pytest
+
+from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+from mmlearn_tpu.serving import load_encoder, save_encoder
+from mmlearn_tpu.tasks import ContrastivePretraining
+
+import jax
+
+
+def _tiny_task_and_batch():
+    task = ContrastivePretraining(
+        encoders={
+            "rgb": VisionTransformer(
+                img_size=16, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+                use_cls_token=True, global_pool="cls", proj_dim=16,
+            ),
+            "text": TextTransformer(
+                vocab_size=32, max_length=8, embed_dim=32, depth=2,
+                num_heads=4, causal=True, pooling="eos", proj_dim=16,
+            ),
+        },
+        optimizer=functools.partial(optax.adamw, learning_rate=1e-3),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb": rng.standard_normal((4, 16, 16, 3)).astype(np.float32),
+        "text": rng.integers(1, 30, (4, 8)).astype(np.int32),
+    }
+    params = task.init_params(jax.random.key(0), batch)
+    return task, params, batch
+
+
+def _batch_of(batch, key, n, seed=7):
+    rng = np.random.default_rng(seed)
+    v = batch[key]
+    if np.issubdtype(v.dtype, np.integer):
+        return {key: rng.integers(1, 30, (n,) + v.shape[1:]).astype(v.dtype)}
+    return {key: rng.standard_normal((n,) + v.shape[1:]).astype(v.dtype)}
+
+
+@pytest.mark.parametrize("modality", ["rgb", "text"])
+def test_exported_encoder_matches_direct(tmp_path, modality):
+    task, params, batch = _tiny_task_and_batch()
+    art = str(tmp_path / f"{modality}_artifact")
+    save_encoder(art, task, params, modality, batch, platforms=("cpu",))
+
+    serve = load_encoder(art)
+    assert serve.meta["modality"] == modality
+    assert serve.meta["embedding_dim"] == 16
+
+    # batch-polymorphic: one artifact, multiple batch sizes
+    for n in (3, 5):
+        sub = _batch_of(batch, modality, n, seed=n)
+        got = np.asarray(serve(sub))
+        want = np.asarray(task.encode(params, sub, modality, normalize=True))
+        assert got.shape == (n, 16)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # normalized embeddings, ready for similarity serving
+        np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, rtol=1e-4)
+
+
+def test_artifact_loads_without_model_code(tmp_path):
+    """The loader path touches only the artifact files (no task object)."""
+    task, params, batch = _tiny_task_and_batch()
+    art = str(tmp_path / "rgb_artifact")
+    save_encoder(art, task, params, "rgb", batch, platforms=("cpu",))
+    del task, params
+
+    serve = load_encoder(art)
+    out = np.asarray(serve({"rgb": batch["rgb"]}))
+    assert out.shape == (4, 16)
+    assert np.isfinite(out).all()
