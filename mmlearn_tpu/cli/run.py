@@ -132,6 +132,35 @@ def run_experiment(cfg: dict) -> Any:
             task, loaders["train"], loaders["val"], ckpt_path=ckpt_path,
             strict_loading=bool(cfg.get("strict_loading", True)),
         )
+    if job_type == "export":
+        # serving-artifact job: restore (or init) params, export each tower
+        loader = loaders["test"] or loaders["val"] or loaders["train"]
+        if loader is None:
+            raise ConfigError("job_type=export requires a dataset split")
+        state = trainer.prepare_eval_state(
+            task, loader, ckpt_path=ckpt_path,
+            strict_loading=bool(cfg.get("strict_loading", True)),
+        )
+        from mmlearn_tpu.serving import save_encoder
+
+        exp_cfg = cfg.get("export") or {}
+        batch = task.prepare_batch(dict(next(iter(loader))), step=0,
+                                   training=False)
+        mods = exp_cfg.get("modalities") or [
+            m for m in getattr(task, "modalities", []) if m in batch
+        ]
+        if not mods:
+            raise ConfigError("job_type=export found no modalities to export")
+        base = exp_cfg.get("output_dir") or os.path.join(output_dir, "artifacts")
+        paths = {}
+        for mod in mods:
+            paths[mod] = save_encoder(
+                os.path.join(base, str(mod)), task, state.params, mod, batch,
+                normalize=bool(exp_cfg.get("normalize", True)),
+                platforms=exp_cfg.get("platforms"),
+            )
+            logger.info("Exported %s artifact to %s", mod, paths[mod])
+        return paths
     if job_type == "eval":
         if loaders["test"] is None:
             raise ConfigError("job_type=eval requires datasets.test")

@@ -64,6 +64,8 @@ class JobType(str, enum.Enum):
 
     train = "train"
     eval = "eval"
+    # beyond reference: write serving artifacts (mmlearn_tpu.serving)
+    export = "export"
 
 
 def _dataloader_node() -> dict:
@@ -99,6 +101,13 @@ def base_config() -> dict:
         "tags": ["${experiment_name}"],
         "resume_from_checkpoint": None,
         "strict_loading": True,
+        # job_type=export: serving-artifact settings (see docs/user_guide.md)
+        "export": {
+            "modalities": None,  # default: every modality in the batch
+            "output_dir": "${runtime.output_dir}/artifacts",
+            "normalize": True,
+            "platforms": None,  # default: current backend
+        },
         "runtime": {
             "output_dir": "outputs/${experiment_name}",
             "start_time": time.strftime("%Y-%m-%d_%H-%M-%S"),

@@ -63,6 +63,26 @@ def test_cli_override_applies(tmp_path):
     assert int(state.step) == 3
 
 
+def test_cli_export_job(tmp_path):
+    """job_type=export writes loadable serving artifacts for both towers."""
+    out = str(tmp_path / "exp")
+    paths = main([
+        "+experiment=tiny_clip_synthetic",
+        "job_type=export",
+        f"runtime.output_dir={out}",
+    ])
+    assert set(paths) == {"rgb", "text"}
+    from mmlearn_tpu.serving import load_encoder
+    import numpy as np
+
+    serve = load_encoder(paths["rgb"])
+    emb = np.asarray(
+        serve({"rgb": np.zeros((3, 32, 32, 3), np.float32)})
+    )
+    assert emb.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
+
+
 def test_cli_error_paths():
     with pytest.raises(ConfigError, match="experiment"):
         main(["+experiment=nope_does_not_exist"])
