@@ -219,6 +219,42 @@ class IJEPA(TrainingTask):
     def init_extras(self, params: Any) -> Any:
         return {"ema_encoder": self.ema.init(params["encoder"])}
 
+    @property
+    def modalities(self) -> list[str]:
+        return [self.modality]
+
+    def encode(
+        self,
+        params: Any,
+        batch: Mapping[str, Any],
+        modality: Optional[str] = None,
+        normalize: bool = False,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Mean-pooled student features for eval/export.
+
+        Beyond reference: the torch IJEPA exposes no feature-extraction
+        API (downstream probing reloads checkpoints manually); here the
+        same ``encode`` contract as ``ContrastivePretraining`` makes
+        I-JEPA models usable with ``EmbeddingExport``, ``job_type=export``,
+        and the eval hooks. Pass ``extras['ema_encoder']`` as
+        ``params['encoder']`` to serve the EMA teacher instead.
+        """
+        mod = Modalities.get_modality(str(modality or self.modality).lower())
+        images = jnp.asarray(batch[mod.name])
+        rngs = {"dropout": rng} if (rng is not None and not deterministic) else None
+        out = self.encoder.apply(
+            {"params": params["encoder"]}, images,
+            deterministic=deterministic, rngs=rngs,
+        )
+        x = out.last_hidden_state.mean(axis=1)
+        if normalize:
+            from mmlearn_tpu.modules.layers.normalization import l2_normalize
+
+            x = l2_normalize(x)
+        return x
+
     def loss_fn(
         self,
         params: Any,

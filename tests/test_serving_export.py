@@ -65,6 +65,36 @@ def test_exported_encoder_matches_direct(tmp_path, modality):
         np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, rtol=1e-4)
 
 
+def test_ijepa_encode_and_export(tmp_path):
+    """IJEPA exposes the same encode contract → exportable like CLIP."""
+    from mmlearn_tpu.modules.encoders import VisionTransformerPredictor
+    from mmlearn_tpu.tasks import IJEPA
+
+    task = IJEPA(
+        encoder=VisionTransformer(
+            img_size=16, patch_size=8, embed_dim=32, depth=1, num_heads=4,
+        ),
+        predictor=VisionTransformerPredictor(
+            num_patches=4, embed_dim=32, predictor_embed_dim=32, depth=1,
+            num_heads=4,
+        ),
+        optimizer=functools.partial(optax.adamw, learning_rate=1e-3),
+    )
+    rng = np.random.default_rng(0)
+    batch = {"rgb": rng.standard_normal((4, 16, 16, 3)).astype(np.float32)}
+    params = task.init_params(jax.random.key(0), batch)
+
+    direct = np.asarray(task.encode(params, batch, normalize=True))
+    assert direct.shape == (4, 32)
+    np.testing.assert_allclose(np.linalg.norm(direct, axis=1), 1.0, rtol=1e-4)
+
+    art = str(tmp_path / "ijepa_artifact")
+    save_encoder(art, task, params, "rgb", batch, platforms=("cpu",))
+    serve = load_encoder(art)
+    got = np.asarray(serve({"rgb": batch["rgb"]}))
+    np.testing.assert_allclose(got, direct, atol=1e-5)
+
+
 def test_artifact_loads_without_model_code(tmp_path):
     """The loader path touches only the artifact files (no task object)."""
     task, params, batch = _tiny_task_and_batch()
