@@ -13,5 +13,6 @@ from mmlearn_tpu.serving.export import (
     load_encoder,
     save_encoder,
 )
+from mmlearn_tpu.serving.index import EmbeddingIndex
 
-__all__ = ["export_encoder", "load_encoder", "save_encoder"]
+__all__ = ["EmbeddingIndex", "export_encoder", "load_encoder", "save_encoder"]

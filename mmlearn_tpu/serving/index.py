@@ -1,0 +1,111 @@
+"""Similarity serving over exported embedding shards.
+
+Closes the serving loop: ``EmbeddingExport`` writes ``.npz`` shards +
+manifest, :class:`EmbeddingIndex` loads them and answers top-k similarity
+queries with an on-device chunked matmul + ``jax.lax.top_k`` — the same
+inner-product search FAISS ``IndexFlatIP`` performs for the reference's
+bioscan eval (/root/reference/projects/bioscan_clip/eval_task.py:232-240),
+running on the accelerator instead of a CPU library.
+
+Usage::
+
+    index = EmbeddingIndex.load("index_dir/", modality="rgb")
+    scores, ids = index.query(query_embeddings, k=5)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _topk_scores_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
+    sim = queries @ targets.T
+    return jax.lax.top_k(sim, k)
+
+
+class EmbeddingIndex:
+    """Flat inner-product index over exported embedding shards."""
+
+    def __init__(
+        self,
+        embeddings: np.ndarray,
+        example_index: Optional[np.ndarray] = None,
+        dataset_index: Optional[np.ndarray] = None,
+        normalized: bool = True,
+    ) -> None:
+        self.embeddings = jnp.asarray(np.asarray(embeddings, np.float32))
+        n = self.embeddings.shape[0]
+        self.example_index = (
+            np.arange(n) if example_index is None else np.asarray(example_index)
+        )
+        self.dataset_index = (
+            np.zeros(n, np.int64) if dataset_index is None
+            else np.asarray(dataset_index)
+        )
+        self.normalized = normalized
+
+    def __len__(self) -> int:
+        return int(self.embeddings.shape[0])
+
+    @classmethod
+    def load(cls, index_dir: str, modality: str) -> "EmbeddingIndex":
+        """Load every shard of one modality (all processes' manifests)."""
+        manifests = sorted(
+            f for f in os.listdir(index_dir)
+            if f.startswith("manifest") and f.endswith(".json")
+        )
+        if not manifests:
+            raise FileNotFoundError(f"no manifest*.json in {index_dir}")
+        embs, ex_idx, ds_idx = [], [], []
+        normalized = True
+        for mf in manifests:
+            meta = json.load(open(os.path.join(index_dir, mf)))
+            if modality not in meta:
+                continue
+            normalized = bool(meta[modality].get("normalized", True))
+            for shard in meta[modality]["shards"]:
+                z = np.load(os.path.join(index_dir, shard))
+                embs.append(z["embeddings"].astype(np.float32))
+                ex_idx.append(z["example_index"])
+                ds_idx.append(z["dataset_index"])
+        if not embs:
+            raise ValueError(f"no '{modality}' shards listed in {manifests}")
+        return cls(
+            np.concatenate(embs),
+            np.concatenate(ex_idx),
+            np.concatenate(ds_idx),
+            normalized=normalized,
+        )
+
+    def query(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        chunk_size: int = 8192,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (scores, example ids) per query row.
+
+        Queries should be L2-normalized iff the index is (cosine vs raw
+        inner product). Chunked over queries to bound device memory.
+        """
+        k = min(int(k), len(self))
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        scores, rows = [], []
+        for start in range(0, q.shape[0], chunk_size):
+            s, i = _topk_scores_chunk(
+                q[start : start + chunk_size], self.embeddings, k
+            )
+            scores.append(np.asarray(s))
+            rows.append(np.asarray(i))
+        rows_np = np.concatenate(rows)
+        return np.concatenate(scores), self.example_index[rows_np]

@@ -85,3 +85,17 @@ def test_embedding_export_shards_and_manifest(tmp_path):
         shard0["embeddings"][:4], direct.astype(shard0["embeddings"].dtype),
         atol=2e-3,
     )
+
+    # the serving index loads the exported shards and answers top-k queries:
+    # querying with the vectors themselves must return themselves first
+    from mmlearn_tpu.serving import EmbeddingIndex
+
+    index = EmbeddingIndex.load(out, modality="rgb")
+    assert len(index) == 30
+    scores, ids = index.query(direct, k=3)
+    assert scores.shape == (4, 3) and ids.shape == (4, 3)
+    # the dataset has 4 repeated class patterns, so exact-duplicate rows tie
+    # at score 1 — assert class-consistent hits instead of exact ids
+    labels = ds.datasets[0].labels
+    assert [labels[i] for i in ids[:, 0]] == [labels[i] for i in range(4)]
+    np.testing.assert_allclose(scores[:, 0], 1.0, atol=5e-3)
