@@ -95,6 +95,32 @@ def test_ijepa_encode_and_export(tmp_path):
     np.testing.assert_allclose(got, direct, atol=1e-5)
 
 
+def test_embedding_index_merges_multihost_manifests(tmp_path):
+    """Per-process manifests/shards (multi-host export) merge on load."""
+    from mmlearn_tpu.serving import EmbeddingIndex
+    import json
+
+    rng = np.random.default_rng(0)
+    for p, rows in ((0, [0, 1]), (1, [2, 3, 4])):
+        emb = np.eye(8, dtype=np.float32)[rows]
+        name = f"rgb_p{p}_00000.npz"
+        np.savez(
+            tmp_path / name,
+            embeddings=emb,
+            example_index=np.asarray(rows),
+            dataset_index=np.zeros(len(rows), np.int64),
+        )
+        manifest = {"rgb": {"shards": [name], "rows": len(rows), "dim": 8,
+                            "normalized": True}}
+        (tmp_path / f"manifest_p{p}.json").write_text(json.dumps(manifest))
+
+    index = EmbeddingIndex.load(str(tmp_path), "rgb")
+    assert len(index) == 5
+    scores, ids = index.query(np.eye(8, dtype=np.float32)[:5], k=1)
+    assert ids[:, 0].tolist() == [0, 1, 2, 3, 4]
+    np.testing.assert_allclose(scores[:, 0], 1.0)
+
+
 def test_artifact_loads_without_model_code(tmp_path):
     """The loader path touches only the artifact files (no task object)."""
     task, params, batch = _tiny_task_and_batch()
