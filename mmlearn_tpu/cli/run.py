@@ -134,7 +134,11 @@ def run_experiment(cfg: dict) -> Any:
         )
     if job_type == "export":
         # serving-artifact job: restore (or init) params, export each tower
-        loader = loaders["test"] or loaders["val"] or loaders["train"]
+        loader = next(
+            (ld for ld in (loaders["test"], loaders["val"], loaders["train"])
+             if ld is not None),
+            None,
+        )
         if loader is None:
             raise ConfigError("job_type=export requires a dataset split")
         state = trainer.prepare_eval_state(
@@ -144,14 +148,24 @@ def run_experiment(cfg: dict) -> Any:
         from mmlearn_tpu.serving import save_encoder
 
         exp_cfg = cfg.get("export") or {}
-        batch = task.prepare_batch(dict(next(iter(loader))), step=0,
-                                   training=False)
-        mods = exp_cfg.get("modalities") or [
-            m for m in getattr(task, "modalities", []) if m in batch
-        ]
+        try:
+            batch = task.prepare_batch(dict(next(iter(loader))), step=0,
+                                       training=False)
+        except StopIteration:
+            raise ConfigError(
+                "job_type=export: the dataset split is empty (check "
+                "batch_size/drop_last against the dataset size)"
+            ) from None
+        mods = exp_cfg.get("modalities")
+        if mods is None:
+            mods = [m for m in getattr(task, "modalities", []) if m in batch]
         if not mods:
             raise ConfigError("job_type=export found no modalities to export")
         base = exp_cfg.get("output_dir") or os.path.join(output_dir, "artifacts")
+        # artifacts are identical across processes (same params, same specs):
+        # only process 0 writes, mirroring the logger/hparam-upload gate
+        if jax.process_index() != 0:
+            return {}
         paths = {}
         for mod in mods:
             paths[mod] = save_encoder(

@@ -28,12 +28,21 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _topk_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
-    """Top-k target indices for a chunk of queries (cosine similarity)."""
+def _topk_scores_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
+    """Top-k (scores, target indices) for a chunk of queries (inner product).
+
+    Shared by this metric, the bioscan kNN eval, and the serving
+    EmbeddingIndex — one jitted similarity/top-k kernel, not three.
+    """
     sim = jnp.einsum(
         "qd,td->qt", queries, targets, preferred_element_type=jnp.float32
     )
-    return jax.lax.top_k(sim, k)[1]
+    return jax.lax.top_k(sim, k)
+
+
+def _topk_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
+    """Top-k target indices only (see :func:`_topk_scores_chunk`)."""
+    return _topk_scores_chunk(queries, targets, k)[1]
 
 
 def _merge_gathered_shards(

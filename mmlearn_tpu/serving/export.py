@@ -32,6 +32,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _encoder_input_keys(
+    modality: str, example_batch: Mapping[str, Any]
+) -> list[str]:
+    """The batch keys the exported artifact actually consumes."""
+    from mmlearn_tpu.datasets.core.modalities import Modalities
+
+    mod = Modalities.get_modality(str(modality).lower())
+    # the encoder consumes the modality's own keys only (input ids/pixels +
+    # attention mask); everything else in the batch is training plumbing
+    keys = [k for k in (mod.name, mod.attention_mask) if k in example_batch]
+    if not keys:
+        raise ValueError(
+            f"example_batch has no '{mod.name}' input for modality {modality}"
+        )
+    return keys
+
+
 def export_encoder(
     task: Any,
     params: Any,
@@ -56,16 +73,7 @@ def export_encoder(
         batch_polymorphic: symbolic leading dim — one artifact, any batch
             size.
     """
-    from mmlearn_tpu.datasets.core.modalities import Modalities
-
-    mod = Modalities.get_modality(str(modality).lower())
-    # the encoder consumes the modality's own keys only (input ids/pixels +
-    # attention mask); everything else in the batch is training plumbing
-    keys = [k for k in (mod.name, mod.attention_mask) if k in example_batch]
-    if not keys:
-        raise ValueError(
-            f"example_batch has no '{mod.name}' input for modality {modality}"
-        )
+    keys = _encoder_input_keys(modality, example_batch)
     sub_batch = {
         k: jax.ShapeDtypeStruct(
             tuple(example_batch[k].shape), example_batch[k].dtype
@@ -121,9 +129,14 @@ def save_encoder(
         "normalized": bool(normalize),
         "embedding_dim": int(out_shape.shape[-1]),
         "platforms": list(exported.platforms),
+        # only the keys the artifact consumes — the serving feed contract
+        # (leading batch dim is symbolic; shape[0] here is just the example's)
         "inputs": {
-            k: {"shape": list(np.shape(v)), "dtype": str(np.asarray(v).dtype)}
-            for k, v in example_batch.items()
+            k: {
+                "shape": list(np.shape(example_batch[k])),
+                "dtype": str(np.asarray(example_batch[k]).dtype),
+            }
+            for k in _encoder_input_keys(modality, example_batch)
         },
     }
     with open(os.path.join(output_dir, "meta.json"), "w") as f:

@@ -24,13 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-import functools
-
-
-@functools.partial(jax.jit, static_argnums=(2,))
-def _topk_scores_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
-    sim = queries @ targets.T
-    return jax.lax.top_k(sim, k)
+from mmlearn_tpu.modules.metrics.retrieval_recall import _topk_scores_chunk
 
 
 class EmbeddingIndex:
@@ -58,8 +52,15 @@ class EmbeddingIndex:
         return int(self.embeddings.shape[0])
 
     @classmethod
-    def load(cls, index_dir: str, modality: str) -> "EmbeddingIndex":
-        """Load every shard of one modality (all processes' manifests)."""
+    def load(
+        cls, index_dir: str, modality: str, dedup: bool = True
+    ) -> "EmbeddingIndex":
+        """Load every shard of one modality (all processes' manifests).
+
+        ``dedup`` drops repeated ``(dataset_index, example_index)`` rows —
+        the safety net for multi-host exports that ran without a
+        distributed eval sampler (every process saw the full corpus).
+        """
         manifests = sorted(
             f for f in os.listdir(index_dir)
             if f.startswith("manifest") and f.endswith(".json")
@@ -67,12 +68,12 @@ class EmbeddingIndex:
         if not manifests:
             raise FileNotFoundError(f"no manifest*.json in {index_dir}")
         embs, ex_idx, ds_idx = [], [], []
-        normalized = True
+        norm_flags = {}
         for mf in manifests:
             meta = json.load(open(os.path.join(index_dir, mf)))
             if modality not in meta:
                 continue
-            normalized = bool(meta[modality].get("normalized", True))
+            norm_flags[mf] = bool(meta[modality].get("normalized", True))
             for shard in meta[modality]["shards"]:
                 z = np.load(os.path.join(index_dir, shard))
                 embs.append(z["embeddings"].astype(np.float32))
@@ -80,12 +81,23 @@ class EmbeddingIndex:
                 ds_idx.append(z["dataset_index"])
         if not embs:
             raise ValueError(f"no '{modality}' shards listed in {manifests}")
-        return cls(
-            np.concatenate(embs),
-            np.concatenate(ex_idx),
-            np.concatenate(ds_idx),
-            normalized=normalized,
-        )
+        if len(set(norm_flags.values())) > 1:
+            raise ValueError(
+                "manifests disagree on 'normalized' — cosine and raw "
+                f"inner-product shards cannot be merged: {norm_flags}"
+            )
+        emb = np.concatenate(embs)
+        ex = np.concatenate(ex_idx)
+        ds = np.concatenate(ds_idx)
+        if dedup:
+            _, keep = np.unique(
+                np.stack([ds.astype(np.int64), ex.astype(np.int64)]),
+                axis=1, return_index=True,
+            )
+            if len(keep) < len(ex):
+                keep = np.sort(keep)
+                emb, ex, ds = emb[keep], ex[keep], ds[keep]
+        return cls(emb, ex, ds, normalized=next(iter(norm_flags.values())))
 
     def query(
         self,

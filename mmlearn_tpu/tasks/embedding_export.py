@@ -52,7 +52,9 @@ class EmbeddingExport(EvaluationHooks):
         output_dir: directory for shards + manifest (created if missing).
         normalize: L2-normalize embeddings (the similarity-serving layout).
         shard_size: rows per ``.npz`` shard; bounds peak device/host memory.
-        dtype: on-disk dtype (``float32`` or ``float16``/``bfloat16``).
+        dtype: on-disk dtype (``float32`` or ``float16``; .npz has no
+            bfloat16 — raw unnormalized features can overflow f16, so the
+            narrowing is explicit, never silent).
     """
 
     def __init__(
@@ -64,10 +66,22 @@ class EmbeddingExport(EvaluationHooks):
         dtype: str = "float32",
     ) -> None:
         self.output_dir = output_dir
-        self.modalities = [str(m).lower() for m in modalities] if modalities else None
+        if modalities is not None and not list(modalities):
+            raise ValueError(
+                "EmbeddingExport: modalities=[] exports nothing; pass None "
+                "to export every modality in the batch"
+            )
+        self.modalities = (
+            [str(m).lower() for m in modalities] if modalities is not None
+            else None
+        )
         self.normalize = bool(normalize)
         self.shard_size = int(shard_size)
-        self.dtype = np.dtype("float16" if dtype == "bfloat16" else dtype)
+        if dtype not in ("float32", "float16"):
+            raise ValueError(
+                f"EmbeddingExport dtype must be float32 or float16, got {dtype!r}"
+            )
+        self.dtype = np.dtype(dtype)
         self._buffers: dict[str, list] = {}
         self._manifest: dict[str, Any] = {}
         self._consumed: dict[str, int] = {}
@@ -83,6 +97,18 @@ class EmbeddingExport(EvaluationHooks):
             for m in mods
         }
         os.makedirs(self.output_dir, exist_ok=True)
+        import jax
+
+        if jax.process_count() > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "EmbeddingExport on %d processes: shards are per-process; "
+                "disjoint coverage requires a distributed eval sampler "
+                "(DistributedEvalSampler). EmbeddingIndex.load dedups "
+                "(dataset_index, example_index) pairs as a safety net.",
+                jax.process_count(),
+            )
 
     def evaluation_step(
         self, runtime: EvalRuntime, batch: Mapping[str, Any], batch_idx: int

@@ -121,6 +121,71 @@ def test_embedding_index_merges_multihost_manifests(tmp_path):
     np.testing.assert_allclose(scores[:, 0], 1.0)
 
 
+def test_embedding_index_dedups_replicated_export(tmp_path):
+    """Multi-host export without a distributed sampler → every process
+    wrote the full corpus; load() keeps one copy of each example."""
+    from mmlearn_tpu.serving import EmbeddingIndex
+    import json
+
+    emb = np.eye(4, dtype=np.float32)
+    for p in (0, 1):
+        name = f"rgb_p{p}_00000.npz"
+        np.savez(tmp_path / name, embeddings=emb,
+                 example_index=np.arange(4),
+                 dataset_index=np.zeros(4, np.int64))
+        (tmp_path / f"manifest_p{p}.json").write_text(json.dumps(
+            {"rgb": {"shards": [name], "rows": 4, "dim": 4,
+                     "normalized": True}}))
+
+    index = EmbeddingIndex.load(str(tmp_path), "rgb")
+    assert len(index) == 4  # 8 rows written, 4 unique
+    _, ids = index.query(emb, k=1)
+    assert ids[:, 0].tolist() == [0, 1, 2, 3]
+    assert len(EmbeddingIndex.load(str(tmp_path), "rgb", dedup=False)) == 8
+
+
+def test_embedding_index_rejects_mixed_normalization(tmp_path):
+    from mmlearn_tpu.serving import EmbeddingIndex
+    import json
+    import pytest as _pytest
+
+    for p, norm in ((0, True), (1, False)):
+        name = f"rgb_p{p}_00000.npz"
+        np.savez(tmp_path / name, embeddings=np.eye(2, dtype=np.float32),
+                 example_index=np.arange(2) + 2 * p,
+                 dataset_index=np.zeros(2, np.int64))
+        (tmp_path / f"manifest_p{p}.json").write_text(json.dumps(
+            {"rgb": {"shards": [name], "rows": 2, "dim": 2,
+                     "normalized": norm}}))
+    with _pytest.raises(ValueError, match="normalized"):
+        EmbeddingIndex.load(str(tmp_path), "rgb")
+
+
+def test_embedding_export_arg_validation():
+    from mmlearn_tpu.tasks import EmbeddingExport
+
+    with pytest.raises(ValueError, match="float32 or float16"):
+        EmbeddingExport(output_dir="/tmp/x", dtype="bfloat16")
+    with pytest.raises(ValueError, match="modalities"):
+        EmbeddingExport(output_dir="/tmp/x", modalities=[])
+
+
+def test_meta_inputs_record_only_consumed_keys(tmp_path):
+    """meta.json 'inputs' is the serving feed contract — training plumbing
+    keys (example_index, presence masks, ...) must not appear."""
+    task, params, batch = _tiny_task_and_batch()
+    batch = dict(batch)
+    batch["example_index"] = np.arange(4)
+    batch["rgb_presence"] = np.ones(4, bool)
+    art = str(tmp_path / "a")
+    save_encoder(art, task, params, "rgb", batch, platforms=("cpu",))
+    serve = load_encoder(art)
+    assert set(serve.meta["inputs"]) == {"rgb"}
+    # feeding exactly meta['inputs'] works
+    out = np.asarray(serve({"rgb": batch["rgb"]}))
+    assert out.shape == (4, 16)
+
+
 def test_artifact_loads_without_model_code(tmp_path):
     """The loader path touches only the artifact files (no task object)."""
     task, params, batch = _tiny_task_and_batch()
