@@ -35,6 +35,9 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("MMLEARN_PLATFORM"):
+    # the axon TPU plugin ignores JAX_PLATFORMS; force via config like the CLI
+    jax.config.update("jax_platforms", os.environ["MMLEARN_PLATFORM"])
 
 import sys
 
@@ -60,7 +63,10 @@ def _bench_callable(fn, args, n_steps=10, n_windows=3):
     return statistics.median(windows)
 
 
-def run_mode(mode: str, batches: list[int]) -> dict:
+def run_mode(
+    mode: str, batches: list[int], tiny: bool = False,
+    param_dtype: str = "float32",
+) -> dict:
     """Build fresh jitted encoders under ``MMLEARN_QUANT=mode`` and measure.
 
     ``quant_mode()`` is a trace-time env read, so each mode gets its own
@@ -72,9 +78,18 @@ def run_mode(mode: str, batches: list[int]) -> dict:
     else:
         os.environ["MMLEARN_QUANT"] = mode
 
-    task = _flagship_task(tiny=False)
-    init_batch = _synthetic_batch(8, 224, 77, 49408, dtype=jnp.bfloat16)
+    shapes = (32, 16, 64) if tiny else (224, 77, 49408)
+    task = _flagship_task(tiny=tiny)
+    init_batch = _synthetic_batch(8, *shapes, dtype=jnp.bfloat16)
     params = task.init_params(jax.random.key(0), init_batch)
+    if param_dtype != "float32":
+        # serving-side weight cast: halves weight HBM reads — matters when
+        # small online batches leave the towers bandwidth-bound
+        dt = jnp.dtype(param_dtype)
+        params = jax.tree.map(
+            lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
 
     @jax.jit
     def encode_image(params, batch):
@@ -86,7 +101,7 @@ def run_mode(mode: str, batches: list[int]) -> dict:
 
     results = {}
     for bsz in batches:
-        batch = _synthetic_batch(bsz, 224, 77, 49408, dtype=jnp.bfloat16)
+        batch = _synthetic_batch(bsz, *shapes, dtype=jnp.bfloat16)
         try:
             img_rate = _bench_callable(
                 encode_image, (params, {"rgb": batch["rgb"]})
@@ -111,6 +126,10 @@ def main() -> None:
     ap.add_argument("--modes", default="bf16,int8_fwd")
     default_batches = "256,1024" if jax.default_backend() == "tpu" else "8"
     ap.add_argument("--batches", default=default_batches)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny towers (CPU smoke test of the harness)")
+    ap.add_argument("--param-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
@@ -118,13 +137,16 @@ def main() -> None:
 
     all_results = {}
     for mode in modes:
-        all_results[mode] = run_mode(mode, batches)
+        all_results[mode] = run_mode(
+            mode, batches, tiny=args.tiny, param_dtype=args.param_dtype
+        )
         for bsz, r in all_results[mode].items():
             print(f"{mode:>9} b{bsz:<5} {r}", flush=True)
 
     print(json.dumps({
         "metric": "clip_vitb16_inference_throughput",
         "backend": jax.default_backend(),
+        "param_dtype": args.param_dtype,
         "results": all_results,
     }))
 
