@@ -626,6 +626,193 @@ def record_ijepa_trajectory() -> None:
           [round(x, 5) for x in losses[-3:]])
 
 
+# multi-task (contrastive ⊃ IJEPA aux) trajectory hyperparameters
+MT_TRAJ = dict(
+    img=64, patch=16, embed_dim=32, depth=2, num_heads=4,
+    pred_embed_dim=16, pred_depth=1, d_txt=24, hid=48, emb=16,
+    batch=8, n_batches=6, steps=30, aux_weight=0.3,
+    lr=1e-3, betas=(0.9, 0.98), eps=1e-8, weight_decay=0.05,
+    warmup_steps=5, start_factor=1.0 / 3.0, eta_min=0.0,
+    ema_decay=0.996, ema_decay_end=1.0, ema_anneal_end_step=100,
+)
+
+
+def make_multitask_data():
+    """Fixed rgb images (NCHW) + text vectors + example ids."""
+    rng = np.random.default_rng(5551)
+    c = MT_TRAJ
+    rgb = rng.standard_normal(
+        (c["n_batches"], c["batch"], 3, c["img"], c["img"])
+    ).astype(np.float32)
+    txt = rng.standard_normal(
+        (c["n_batches"], c["batch"], c["d_txt"])
+    ).astype(np.float32)
+    ids = np.stack(
+        [np.zeros(c["batch"], np.int64), np.arange(c["batch"], dtype=np.int64)],
+        axis=1,
+    )
+    return rgb, txt, ids
+
+
+def record_multitask_trajectory() -> None:
+    """30-step trajectory of the reference's multi-task composition:
+    ContrastivePretraining with a nested IJEPA auxiliary task on the SHARED
+    rgb encoder (reference contrastive_pretraining.py:362-380 aux
+    construction, :601-640 weighted aux loss sum, :507-511 aux
+    on_before_zero_grad → EMA; the composition the multi_task project uses,
+    reference projects/multi_task/configs/experiment/contrastive_ijepa.yaml).
+    This exercises SURVEY.md §7 hard-part #5: one param tree, shared-subtree
+    gradients from two objectives, EMA shadow of the shared encoder."""
+    import torch
+    from functools import partial
+
+    mods = load_reference_tasks()
+    vis = load_reference_vision()
+    c = MT_TRAJ
+
+    torch.manual_seed(23)
+    shared_vit = vis.vision.VisionTransformer(
+        img_size=[c["img"], c["img"]], patch_size=c["patch"],
+        embed_dim=c["embed_dim"], depth=c["depth"], num_heads=c["num_heads"],
+    )
+    predictor = vis.vision.VisionTransformerPredictor(
+        num_patches=(c["img"] // c["patch"]) ** 2, embed_dim=c["embed_dim"],
+        predictor_embed_dim=c["pred_embed_dim"], depth=c["pred_depth"],
+        num_heads=c["num_heads"],
+    )
+
+    class MLPEncoder(torch.nn.Module):
+        def __init__(self, key: str, din: int):
+            super().__init__()
+            self.key = key
+            self.fc1 = torch.nn.Linear(din, c["hid"])
+            self.fc2 = torch.nn.Linear(c["hid"], c["emb"])
+
+        def forward(self, inputs):
+            x = inputs[self.key]
+            h = torch.nn.functional.gelu(self.fc1(x))
+            return (self.fc2(h),)
+
+    class MeanPool(torch.nn.Module):
+        def forward(self, x):
+            return x.mean(dim=1)
+
+    text_enc = MLPEncoder("text", c["d_txt"])
+    rgb_head = torch.nn.Linear(c["embed_dim"], c["emb"])
+
+    enc_sd = {
+        k: v.detach().numpy().copy() for k, v in shared_vit.state_dict().items()
+    }
+    pred_sd = {
+        k: v.detach().numpy().copy() for k, v in predictor.state_dict().items()
+    }
+    txt_sd = {
+        k: v.detach().numpy().copy() for k, v in text_enc.state_dict().items()
+    }
+    head_sd = {
+        k: v.detach().numpy().copy() for k, v in rgb_head.state_dict().items()
+    }
+
+    task = mods.cp.ContrastivePretraining(
+        encoders={"rgb": shared_vit, "text": text_enc},
+        postprocessors={"rgb": MeanPool()},
+        heads={"rgb": rgb_head},
+        optimizer=partial(
+            torch.optim.AdamW, lr=c["lr"], betas=c["betas"], eps=c["eps"],
+            weight_decay=c["weight_decay"],
+        ),
+        lr_scheduler={
+            "scheduler": partial(
+                mods.sched.linear_warmup_cosine_annealing_lr,
+                warmup_steps=c["warmup_steps"], max_steps=c["steps"],
+                start_factor=c["start_factor"], eta_min=c["eta_min"],
+            ),
+            "extras": {"interval": "step"},
+        },
+        loss=mods.loss.ContrastiveLoss(),
+        auxiliary_tasks={
+            "ijepa_aux": mods.cp.AuxiliaryTaskSpec(
+                modality="rgb",
+                task=partial(
+                    vis.ijepa.IJEPA,
+                    predictor=predictor,
+                    ema_decay=c["ema_decay"],
+                    ema_decay_end=c["ema_decay_end"],
+                    ema_anneal_end_step=c["ema_anneal_end_step"],
+                ),
+                loss_weight=c["aux_weight"],
+            )
+        },
+    )
+    task.configure_model()  # delegates to aux tasks (cp.py:396-398)
+    aux = task.auxiliary_tasks["ijepa_aux"]
+
+    real_gen = vis.masking.IJEPAMaskGenerator(
+        input_size=(c["img"], c["img"]), patch_size=c["patch"]
+    )
+    recorded_masks = []
+
+    class RecordingGen:
+        def __call__(self, batch_size=1):
+            out = real_gen(batch_size=batch_size)
+            recorded_masks.append(
+                {
+                    "enc": np.stack(
+                        [m[0].numpy() for m in out["encoder_masks"]]
+                    ),
+                    "pred": np.stack(
+                        [m[0].numpy() for m in out["predictor_masks"]]
+                    ),
+                }
+            )
+            return out
+
+    aux.mask_generator = RecordingGen()
+
+    conf = task.configure_optimizers()
+    opt = conf["optimizer"]
+    sched = conf["lr_scheduler"]["scheduler"]
+
+    rgb, txt, ids = make_multitask_data()
+    losses, scales = [], []
+    for step in range(c["steps"]):
+        i = step % c["n_batches"]
+        batch = {
+            "rgb": torch.tensor(rgb[i]),
+            "text": torch.tensor(txt[i]),
+            "example_ids": {
+                "rgb": torch.tensor(ids), "text": torch.tensor(ids)
+            },
+        }
+        loss = task.training_step(batch, step)
+        losses.append(float(loss.detach()))
+        scales.append(float(task.log_logit_scale.detach()))
+        loss.backward()
+        opt.step()
+        task.on_before_zero_grad(opt)  # parent delegates aux EMA (cp.py:507)
+        opt.zero_grad()
+        sched.step()
+
+    mask_arrays = {}
+    for s, rec in enumerate(recorded_masks):
+        mask_arrays[f"enc_masks_{s}"] = rec["enc"]
+        mask_arrays[f"pred_masks_{s}"] = rec["pred"]
+
+    np.savez(
+        os.path.join(OUT_DIR, "reference_multitask_trajectory.npz"),
+        losses=np.asarray(losses, np.float64),
+        log_scales=np.asarray(scales, np.float64),
+        **{f"enc_{k}": v for k, v in enc_sd.items()},
+        **{f"pred_{k}": v for k, v in pred_sd.items()},
+        **{f"txt_{k}": v for k, v in txt_sd.items()},
+        **{f"head_{k}": v for k, v in head_sd.items()},
+        **mask_arrays,
+    )
+    print("multitask trajectory recorded:",
+          [round(x, 5) for x in losses[:5]], "...",
+          [round(x, 5) for x in losses[-3:]])
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     install_stubs()
@@ -635,3 +822,4 @@ if __name__ == "__main__":
     record_ijepa_targets()
     record_contrastive_trajectory()
     record_ijepa_trajectory()
+    record_multitask_trajectory()

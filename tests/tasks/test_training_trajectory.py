@@ -269,6 +269,185 @@ def test_ijepa_training_trajectory_matches_reference(tmp_path):
     np.testing.assert_allclose(got, ref_losses, rtol=5e-3)
 
 
+MT_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "..", "fixtures",
+    "reference_multitask_trajectory.npz",
+)
+
+# must match scripts/record_reference_fixtures.py::MT_TRAJ
+MT_TRAJ = dict(
+    img=64, patch=16, embed_dim=32, depth=2, num_heads=4,
+    pred_embed_dim=16, pred_depth=1, d_txt=24, hid=48, emb=16,
+    batch=8, n_batches=6, steps=30, aux_weight=0.3,
+    lr=1e-3, betas=(0.9, 0.98), eps=1e-8, weight_decay=0.05,
+    warmup_steps=5, start_factor=1.0 / 3.0, eta_min=0.0,
+)
+
+
+def make_multitask_data():
+    """Identical to the recorder's data generation (seeded)."""
+    rng = np.random.default_rng(5551)
+    c = MT_TRAJ
+    rgb = rng.standard_normal(
+        (c["n_batches"], c["batch"], 3, c["img"], c["img"])
+    ).astype(np.float32)
+    txt = rng.standard_normal(
+        (c["n_batches"], c["batch"], c["d_txt"])
+    ).astype(np.float32)
+    ids = np.stack(
+        [np.zeros(c["batch"], np.int64), np.arange(c["batch"], dtype=np.int64)],
+        axis=1,
+    )
+    return rgb, txt, ids
+
+
+@pytest.mark.integration_test
+def test_multitask_training_trajectory_matches_reference(tmp_path):
+    """The multi_task composition (contrastive ⊃ IJEPA aux on the SHARED rgb
+    encoder — reference contrastive_pretraining.py:362-380,:601-640,:507-511,
+    the projects/multi_task experiment) trains identically: one param tree,
+    gradients from two objectives through the shared encoder, weighted aux
+    loss sum, aux EMA at the optimizer boundary. SURVEY.md §7 hard-part #5."""
+    from mmlearn_tpu.hf_utils import convert_ijepa_predictor, convert_ijepa_vit
+    from mmlearn_tpu.modules.encoders.vision import (
+        VisionTransformer,
+        VisionTransformerPredictor,
+    )
+    from mmlearn_tpu.tasks import AuxiliaryTaskSpec, IJEPA
+    from mmlearn_tpu.tasks.ijepa import ENCODER_MASK_KEY, PREDICTOR_MASK_KEY
+
+    fx = np.load(MT_FIXTURE)
+    c = MT_TRAJ
+    rgb, txt, ids = make_multitask_data()
+
+    enc_sd = {
+        k[len("enc_"):]: fx[k]
+        for k in fx.files
+        if k.startswith("enc_") and not k.startswith("enc_masks_")
+    }
+    pred_sd = {
+        k[len("pred_"):]: fx[k]
+        for k in fx.files
+        if k.startswith("pred_") and not k.startswith("pred_masks_")
+    }
+    enc_params = convert_ijepa_vit(enc_sd, c["depth"], c["num_heads"])
+    pred_params = convert_ijepa_predictor(
+        pred_sd, c["pred_depth"], c["num_heads"]
+    )
+    enc_masks = [
+        _binary_masks_to_indices(fx[f"enc_masks_{s}"], c["batch"])
+        for s in range(c["steps"])
+    ]
+    pred_masks = [
+        _binary_masks_to_indices(fx[f"pred_masks_{s}"], c["batch"])
+        for s in range(c["steps"])
+    ]
+
+    class ReplayAuxIJEPA(IJEPA):
+        """Aux IJEPA replaying the reference's recorded masks.
+
+        ema_decay=0 reproduces the reference EMA's actual (no-op copy)
+        behavior — see the standalone IJEPA trajectory test above."""
+
+        def prepare_batch(self, batch, step, training=True):
+            batch = dict(batch)
+            batch[ENCODER_MASK_KEY] = enc_masks[min(step, c["steps"] - 1)]
+            batch[PREDICTOR_MASK_KEY] = pred_masks[min(step, c["steps"] - 1)]
+            return batch
+
+    shared_vit = VisionTransformer(
+        img_size=c["img"], patch_size=c["patch"], embed_dim=c["embed_dim"],
+        depth=c["depth"], num_heads=c["num_heads"], norm_eps=1e-5,
+        use_cls_token=False, global_pool="none",
+    )
+    predictor = VisionTransformerPredictor(
+        num_patches=(c["img"] // c["patch"]) ** 2, embed_dim=c["embed_dim"],
+        predictor_embed_dim=c["pred_embed_dim"], depth=c["pred_depth"],
+        num_heads=c["num_heads"], norm_eps=1e-5,
+    )
+
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(
+                c["emb"],
+                kernel_init=lambda *_: jnp.asarray(fx["head_weight"].T),
+                bias_init=lambda *_: jnp.asarray(fx["head_bias"]),
+            )(x)
+
+    class MultiTask(ContrastivePretraining):
+        def init_params(self, rng, sample_batch):
+            params = super().init_params(rng, sample_batch)
+            enc_key = self.encoder_keys["rgb"]
+            fresh = params["encoders"][enc_key]
+            loaded = jax.tree.map(jnp.asarray, enc_params)
+            assert jax.tree.structure(fresh) == jax.tree.structure(loaded)
+            params["encoders"][enc_key] = loaded
+            fresh_p = params["aux"]["ijepa_aux"]["predictor"]
+            loaded_p = jax.tree.map(jnp.asarray, pred_params)
+            assert jax.tree.structure(fresh_p) == jax.tree.structure(loaded_p)
+            params["aux"]["ijepa_aux"]["predictor"] = loaded_p
+            return params
+
+    task = MultiTask(
+        encoders={
+            "rgb": shared_vit,
+            "text": MLPEncoder(
+                w1=fx["txt_fc1.weight"], b1=fx["txt_fc1.bias"],
+                w2=fx["txt_fc2.weight"], b2=fx["txt_fc2.bias"],
+            ),
+        },
+        postprocessors={"rgb": lambda x: x.mean(axis=1)},
+        heads={"rgb": Head()},
+        optimizer=functools.partial(
+            optax.adamw, b1=c["betas"][0], b2=c["betas"][1], eps=c["eps"],
+            weight_decay=c["weight_decay"],
+        ),
+        lr_scheduler=functools.partial(
+            linear_warmup_cosine_annealing_lr, base_lr=c["lr"],
+            warmup_steps=c["warmup_steps"], max_steps=c["steps"],
+            start_factor=c["start_factor"], eta_min=c["eta_min"],
+        ),
+        auxiliary_tasks={
+            "ijepa_aux": AuxiliaryTaskSpec(
+                modality="rgb",
+                task=functools.partial(
+                    ReplayAuxIJEPA,
+                    predictor=predictor,
+                    ema_decay=0.0, ema_decay_end=0.0,
+                    ema_anneal_end_step=100,
+                ),
+                loss_weight=c["aux_weight"],
+            )
+        },
+    )
+
+    batches = [
+        {
+            "rgb": np.transpose(rgb[i], (0, 2, 3, 1)),  # NCHW → NHWC
+            "text": txt[i],
+            "example_ids": {"rgb": ids, "text": ids},
+        }
+        for i in range(c["n_batches"])
+    ]
+    rec = Recorder()
+    trainer = Trainer(
+        max_steps=c["steps"], log_every_n_steps=1, callbacks=[rec],
+        mesh_shape={"data": 1}, default_root_dir=str(tmp_path), seed=0,
+    )
+    state = trainer.fit(task, FixedLoader(batches))
+    assert int(state.step) == c["steps"]
+
+    ref_losses = fx["losses"]
+    got = np.asarray(rec.losses)
+    np.testing.assert_allclose(got[0], ref_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(got[:10], ref_losses[:10], rtol=1e-3)
+    np.testing.assert_allclose(got, ref_losses, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(rec.scales), np.exp(fx["log_scales"]), rtol=5e-3
+    )
+
+
 @pytest.mark.integration_test
 def test_contrastive_training_trajectory_matches_reference(tmp_path):
     fx = np.load(FIXTURE)
