@@ -213,3 +213,88 @@ def test_taxonomic_merge_stores():
     assert [a.shape for a in merged["all_keys"]["rgb"]] == [(2, 4), (1, 4)]
     assert merged["all_keys"]["labels"] == [{"order": "a"}, {"order": "b"}]
     assert "val_seen" in merged
+
+
+def _write_png(path, size=40, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(str(path))
+
+
+def test_med_csv_classification_ham10000(tmp_path):
+    """CSVImageClassification path: metadata CSV + extensionless image ids
+    (reference projects/med_benchmarking/datasets/ham10000.py)."""
+    from projects.med_benchmarking.datasets.classification import HAM10000
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rows = ["image_id,dx"]
+    for i, dx in enumerate(["nv", "mel", "bkl"]):
+        _write_png(img_dir / f"im{i}.jpg", seed=i)
+        rows.append(f"im{i},{dx}")
+    (tmp_path / "HAM10000_metadata.csv").write_text("\n".join(rows))
+
+    ds = HAM10000(root_dir=str(tmp_path), image_size=32)
+    assert len(ds) == 3
+    ex = ds[1]
+    assert ex["rgb"].shape == (32, 32, 3) and ex["rgb"].dtype == np.float32
+    assert ex["rgb_target"] == 1  # mel
+    assert ds.id2label[1] == "Melanoma"
+    assert any("dermoscopic" in t for t in ds.zero_shot_prompt_templates)
+
+
+def test_med_image_text_manifest_pmcoa(tmp_path):
+    """ImageTextManifest jsonl path (reference pmcoa.py manifest layout)."""
+    import json as _json
+
+    from projects.med_benchmarking.datasets.image_text import PMCOA
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    lines = []
+    for i in range(3):
+        _write_png(img_dir / f"fig{i}.png", seed=10 + i)
+        lines.append(_json.dumps(
+            {"image": f"fig{i}.png", "caption": f"figure number {i}"}
+        ))
+    (tmp_path / "train.jsonl").write_text("\n".join(lines))
+
+    ds = PMCOA(root_dir=str(tmp_path), image_size=32)
+    assert len(ds) == 3
+    ex = ds[2]
+    assert ex["rgb"].shape == (32, 32, 3)
+    assert ex["text"] == "figure number 2"
+    assert ex["example_index"] == 2
+
+
+def test_med_medvqa(tmp_path):
+    """MedVQA: answer vocabulary, closed-set targets, ae-feature variant."""
+    import json as _json
+
+    from projects.med_benchmarking.datasets.image_text import MedVQA
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    ae_dir = tmp_path / "ae_features"
+    ae_dir.mkdir()
+    entries = []
+    for i, (q, a) in enumerate(
+        [("is it normal?", "yes"), ("is it normal?", "no"),
+         ("what organ?", "lung")]
+    ):
+        _write_png(img_dir / f"v{i}.png", seed=20 + i)
+        np.save(ae_dir / f"v{i}.npy", np.full((4,), float(i), np.float32))
+        entries.append({"image": f"v{i}.png", "question": q, "answer": a})
+    (tmp_path / "train.json").write_text(_json.dumps(entries))
+
+    ds = MedVQA(root_dir=str(tmp_path), split="train", image_size=32,
+                include_ae_features=True)
+    assert len(ds) == 3
+    # vocabulary is sorted unique answers: lung=0, no=1, yes=2
+    assert ds.id2label == {0: "lung", 1: "no", 2: "yes"}
+    ex = ds[0]
+    assert ex["text"] == "is it normal?"
+    assert ex["rgb_target"] == 2  # yes
+    np.testing.assert_array_equal(ex["rgb_ae_features"], np.zeros(4))
