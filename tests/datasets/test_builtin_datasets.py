@@ -144,3 +144,38 @@ def test_nyuv2(tmp_path):
     assert ex["depth"].shape == (16, 16, 1)
     assert ex["depth_target"] == 0
     assert 0 < ex["depth"].max() <= 1.0  # normalized disparity
+
+
+def test_librispeech_layout_and_padding(tmp_path, monkeypatch):
+    """Manifest walking + pad_or_trim to 30 s @ 16 kHz (decode monkeypatched:
+    soundfile isn't installed here; the reference gets decoding from
+    torchaudio — reference librispeech.py:107-121)."""
+    from mmlearn_tpu.datasets.builtin import librispeech as ls
+
+    chap = tmp_path / "train-clean-100" / "19" / "198"
+    chap.mkdir(parents=True)
+    (chap / "19-198.trans.txt").write_text(
+        "19-198-0000 HELLO WORLD\n19-198-0001 SECOND UTTERANCE\n"
+    )
+    for utt in ("19-198-0000", "19-198-0001"):
+        (chap / f"{utt}.flac").write_bytes(b"fake")
+
+    lengths = {"19-198-0000": 16000 * 2, "19-198-0001": 16000 * 40}
+
+    def fake_load(path):
+        utt = os.path.splitext(os.path.basename(path))[0]
+        return np.ones(lengths[utt], np.float32)
+
+    monkeypatch.setattr(ls.LibriSpeech, "_load_audio", staticmethod(fake_load))
+    ds = ls.LibriSpeech(root_dir=str(tmp_path), split="train-clean-100")
+    assert len(ds) == 2
+
+    short = ds[0]
+    assert short["audio"].shape == (16000 * 30, 1)  # padded to 30 s
+    assert short["text"] == "HELLO WORLD"
+    assert short["audio"][:16000 * 2].sum() == 16000 * 2  # signal kept
+    assert short["audio"][16000 * 2:].sum() == 0  # zero padding
+
+    long = ds[1]
+    assert long["audio"].shape == (16000 * 30, 1)  # trimmed from 40 s
+    assert long["audio"].sum() == 16000 * 30
