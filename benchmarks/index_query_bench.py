@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mmlearn_tpu._platform import force_platform_from_env
+
+force_platform_from_env()
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-if os.environ.get("MMLEARN_PLATFORM"):
-    # the axon TPU plugin ignores JAX_PLATFORMS; force via config like the CLI
-    jax.config.update("jax_platforms", os.environ["MMLEARN_PLATFORM"])
 
 
 def main() -> None:

@@ -35,13 +35,14 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-if os.environ.get("MMLEARN_PLATFORM"):
-    # the axon TPU plugin ignores JAX_PLATFORMS; force via config like the CLI
-    jax.config.update("jax_platforms", os.environ["MMLEARN_PLATFORM"])
 
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mmlearn_tpu._platform import force_platform_from_env
+
+force_platform_from_env()
 
 from __graft_entry__ import _flagship_task, _synthetic_batch
 

@@ -193,12 +193,9 @@ def main(argv: Optional[Sequence[str]] = None) -> Any:
         level=os.environ.get("MMLEARN_LOG_LEVEL", "INFO"),
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
-    if os.environ.get("MMLEARN_PLATFORM"):
-        # the TPU PJRT plugin in some environments ignores JAX_PLATFORMS;
-        # force the platform through jax.config before any backend init
-        import jax
+    from mmlearn_tpu._platform import force_platform_from_env
 
-        jax.config.update("jax_platforms", os.environ["MMLEARN_PLATFORM"])
+    force_platform_from_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--help" in argv or "-h" in argv:
         print(__doc__)

@@ -59,7 +59,15 @@ class ServingState:
             self.index = EmbeddingIndex.load(
                 index_dir, index_modality or self.meta["modality"]
             )
-        # jax dispatch is not thread-safe for our purposes; serialize encodes
+            if self.index.normalized != bool(self.meta.get("normalized", True)):
+                raise ValueError(
+                    "artifact/index normalization mismatch: the encoder "
+                    f"emits normalized={self.meta.get('normalized')} embeddings "
+                    f"but the index holds normalized={self.index.normalized} "
+                    "vectors — cosine and raw inner-product scores cannot mix"
+                )
+        # jax dispatch is not thread-safe for our purposes; serialize all
+        # device work (encode AND index queries) behind one lock
         self._lock = threading.Lock()
 
     def embed(self, inputs: dict[str, Any]) -> np.ndarray:
@@ -81,7 +89,8 @@ class ServingState:
         if self.index is None:
             raise ValueError("server started without --index")
         emb = self.embed(inputs)
-        scores, ids = self.index.query(emb, k=int(k))
+        with self._lock:
+            scores, ids = self.index.query(emb, k=int(k))
         return {"scores": scores.tolist(), "example_index": ids.tolist()}
 
 
@@ -105,7 +114,9 @@ def make_handler(state: ServingState):
                 "status": "ok",
                 "modality": state.meta["modality"],
                 "embedding_dim": state.meta["embedding_dim"],
-                "index_rows": len(state.index) if state.index else None,
+                "index_rows": (
+                    len(state.index) if state.index is not None else None
+                ),
             })
 
         def do_POST(self):  # noqa: N802 - http.server API

@@ -2,16 +2,25 @@
 # Round bench battery: run every TPU measurement serially on an idle host,
 # appending one JSON line per bench to $OUT (default /tmp/bench_battery.jsonl).
 # Tolerates individual failures; requires the axon TPU tunnel to be up.
-set -u
+set -u -o pipefail
 OUT="${OUT:-/tmp/bench_battery.jsonl}"
 cd "$(dirname "$0")/.."
 
 run() {
   echo "=== $* ===" >&2
-  timeout "${STEP_TIMEOUT:-1500}" "$@" 2> >(tail -5 >&2) | tail -1 | tee -a "$OUT"
+  local line rc
+  line=$(timeout "${STEP_TIMEOUT:-1500}" "$@" 2> >(tail -5 >&2) | tail -1)
+  rc=$?
+  # record only clean JSON from successful runs — consumers json.loads per line
+  if [ $rc -eq 0 ] && printf '%s' "$line" | python -c "import json,sys; json.load(sys.stdin)" 2>/dev/null; then
+    printf '%s\n' "$line" | tee -a "$OUT"
+  else
+    echo "FAILED (rc=$rc): $*" >&2
+    printf '{"bench_failed": "%s", "rc": %d}\n' "$1 ${2:-}" "$rc" >> "$OUT"
+  fi
 }
 
-date -u +"# battery start %Y-%m-%dT%H:%M:%SZ" >> "$OUT"
+date -u +'{"battery_start": "%Y-%m-%dT%H:%M:%SZ"}' >> "$OUT"
 
 # 1. headline: full train step (synthetic + input-fed)
 run python bench.py
@@ -28,5 +37,5 @@ run python benchmarks/index_query_bench.py
 # 4. I-JEPA train step (current number of record: 707 img/s @ b256)
 run python benchmarks/ijepa_train_step.py 256
 
-date -u +"# battery end %Y-%m-%dT%H:%M:%SZ" >> "$OUT"
+date -u +'{"battery_end": "%Y-%m-%dT%H:%M:%SZ"}' >> "$OUT"
 echo "battery done; results in $OUT" >&2
