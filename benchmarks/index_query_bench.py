@@ -46,20 +46,21 @@ def main() -> None:
     index = EmbeddingIndex(emb)
     queries = emb[rng.integers(0, args.rows, args.batch)]
 
-    # warmup/compile
-    scores, ids = index.query(queries, k=args.k)
-    assert scores.shape == (args.batch, args.k)
+    def measure(approx):
+        scores, ids = index.query(queries, k=args.k, approx=approx)  # compile
+        assert scores.shape == (args.batch, args.k)
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_iters = 10
+            for _ in range(n_iters):
+                scores, ids = index.query(queries, k=args.k, approx=approx)
+            # index.query returns numpy — the transfer is the fence
+            windows.append(args.batch * n_iters / (time.perf_counter() - t0))
+        return statistics.median(windows), windows
 
-    windows = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        n_iters = 10
-        for _ in range(n_iters):
-            scores, ids = index.query(queries, k=args.k)
-        # index.query returns numpy — the transfer is the fence
-        windows.append(args.batch * n_iters / (time.perf_counter() - t0))
-
-    qps = statistics.median(windows)
+    qps, windows = measure(approx=False)
+    approx_qps, _ = measure(approx=True)  # TPU-optimized approx_max_k path
     flops = 2.0 * args.batch * args.dim * args.rows
     print(json.dumps({
         "metric": "embedding_index_queries_per_sec",
@@ -70,6 +71,7 @@ def main() -> None:
         "k": args.k,
         "value": round(qps, 1),
         "matmul_tflops_per_sec": round(qps / args.batch * flops / 1e12, 2),
+        "approx_queries_per_sec": round(approx_qps, 1),
         "windows": [round(w, 1) for w in windows],
     }))
 

@@ -26,6 +26,19 @@ import numpy as np
 
 from mmlearn_tpu.modules.metrics.retrieval_recall import _topk_scores_chunk
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _approx_topk_scores_chunk(queries, targets, k):
+    """TPU-optimized approximate MIPS (``jax.lax.approx_max_k``): the
+    hardware top-k path, ~recall 0.95 by default — the standard
+    serving-side trade for large corpora. Exact on CPU (falls back)."""
+    sim = jnp.einsum(
+        "qd,td->qt", queries, targets, preferred_element_type=jnp.float32
+    )
+    return jax.lax.approx_max_k(sim, k)
+
 
 class EmbeddingIndex:
     """Flat inner-product index over exported embedding shards."""
@@ -104,17 +117,21 @@ class EmbeddingIndex:
         queries: np.ndarray,
         k: int = 10,
         chunk_size: int = 8192,
+        approx: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (scores, example ids) per query row.
 
         Queries should be L2-normalized iff the index is (cosine vs raw
         inner product). Chunked over queries to bound device memory.
+        ``approx=True`` uses the TPU-optimized ``jax.lax.approx_max_k``
+        (recall ≈ 0.95; exact on CPU) — the standard large-corpus trade.
         """
         k = min(int(k), len(self))
         q = jnp.asarray(np.asarray(queries, np.float32))
+        kernel = _approx_topk_scores_chunk if approx else _topk_scores_chunk
         scores, rows = [], []
         for start in range(0, q.shape[0], chunk_size):
-            s, i = _topk_scores_chunk(
+            s, i = kernel(
                 q[start : start + chunk_size], self.embeddings, k
             )
             scores.append(np.asarray(s))

@@ -144,6 +144,21 @@ def test_embedding_index_dedups_replicated_export(tmp_path):
     assert len(EmbeddingIndex.load(str(tmp_path), "rgb", dedup=False)) == 8
 
 
+def test_embedding_index_approx_query():
+    """approx=True routes through jax.lax.approx_max_k (TPU-optimized MIPS;
+    exact on CPU so results must agree here)."""
+    from mmlearn_tpu.serving import EmbeddingIndex
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((64, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    index = EmbeddingIndex(emb)
+    exact_s, exact_i = index.query(emb[:5], k=3)
+    approx_s, approx_i = index.query(emb[:5], k=3, approx=True)
+    assert approx_i[:, 0].tolist() == exact_i[:, 0].tolist() == [0, 1, 2, 3, 4]
+    np.testing.assert_allclose(approx_s[:, 0], 1.0, atol=1e-5)
+
+
 def test_embedding_index_rejects_mixed_normalization(tmp_path):
     from mmlearn_tpu.serving import EmbeddingIndex
     import json
