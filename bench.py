@@ -219,7 +219,15 @@ def main_with_retries(attempts: int = 4) -> None:
             return
         except Exception as e:  # noqa: BLE001
             msg = str(e)
-            transient = "remote_compile" in msg or "INTERNAL" in msg
+            # "Unable to initialize backend 'axon': UNAVAILABLE" — the
+            # tunneled TPU can drop out for minutes at a time (observed
+            # round 3); worth retrying alongside remote-compile hiccups
+            transient = (
+                "remote_compile" in msg
+                or "INTERNAL" in msg
+                or "UNAVAILABLE" in msg
+                or "Unavailable" in msg
+            )
             if not transient or i == attempts - 1:
                 raise
             traceback.print_exc()
