@@ -85,12 +85,14 @@ class ServingState:
         with self._lock:
             return np.asarray(self.encode(batch))
 
-    def search(self, inputs: dict[str, Any], k: int) -> dict[str, Any]:
+    def search(
+        self, inputs: dict[str, Any], k: int, approx: bool = False
+    ) -> dict[str, Any]:
         if self.index is None:
             raise ValueError("server started without --index")
         emb = self.embed(inputs)
         with self._lock:
-            scores, ids = self.index.query(emb, k=int(k))
+            scores, ids = self.index.query(emb, k=int(k), approx=bool(approx))
         return {"scores": scores.tolist(), "example_index": ids.tolist()}
 
 
@@ -128,7 +130,11 @@ def make_handler(state: ServingState):
                     return self._reply(200, {"embeddings": emb.tolist()})
                 if self.path == "/search":
                     return self._reply(
-                        200, state.search(req["inputs"], req.get("k", 10))
+                        200,
+                        state.search(
+                            req["inputs"], req.get("k", 10),
+                            approx=req.get("approx", False),
+                        ),
                     )
                 return self._reply(404, {"error": "unknown path"})
             except (KeyError, ValueError, TypeError) as err:

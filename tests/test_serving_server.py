@@ -76,6 +76,14 @@ def test_server_embed_and_search(tmp_path):
             np.asarray(out["scores"])[:, 0], 1.0, atol=1e-4
         )
 
+        # approx search (TPU approx_max_k path; exact on CPU)
+        status, out = _post(
+            port, "/search",
+            {"inputs": {"rgb": q.tolist()}, "k": 2, "approx": True},
+        )
+        assert status == 200
+        assert np.asarray(out["example_index"])[:, 0].tolist() == [0, 1, 2]
+
         # error paths stay clean JSON
         status, out = _post(port, "/embed", {"inputs": {"wrong": [1]}})
         assert status == 400 and "exactly the keys" in out["error"]
