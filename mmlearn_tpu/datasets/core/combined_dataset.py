@@ -66,6 +66,15 @@ class CombinedDataset:
         return int(self._cumulative_sizes[-1])
 
     @property
+    def all_map_style(self) -> bool:
+        """True when every sub-dataset is map-style: random access has no
+        consumption side effects, so loaders may skip fetches entirely
+        (fast mid-epoch resume). Iterable sub-datasets advance on every
+        ``__getitem__`` — skipping their fetches would desynchronize the
+        stream."""
+        return all(_is_map_style(ds) for ds in self.datasets)
+
+    @property
     def cumulative_sizes(self) -> list[int]:
         return list(self._cumulative_sizes)
 

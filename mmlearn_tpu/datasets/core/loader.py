@@ -85,14 +85,19 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _index_batches(self) -> Iterator[list[int]]:
+    def _index_batches(self, skip: int = 0) -> Iterator[list[int]]:
+        """Batch index lists; the first ``skip`` batches are DRAWN from the
+        sampler (preserving its RNG order) but not yielded."""
+        produced = 0
         batch: list[int] = []
         for idx in self.sampler:
             batch.append(idx)
             if len(batch) == self.batch_size:
-                yield batch
+                if produced >= skip:
+                    yield batch
+                produced += 1
                 batch = []
-        if batch and not self.drop_last:
+        if batch and not self.drop_last and produced >= skip:
             yield batch
 
     def _fetch(self, indices: list[int]) -> dict[str, Any]:
@@ -111,11 +116,11 @@ class DataLoader:
             batch[_BATCH_VALIDITY_KEY] = validity
         return batch
 
-    def _iter_sync(self) -> Iterator[dict[str, Any]]:
-        for indices in self._index_batches():
+    def _iter_sync(self, skip: int = 0) -> Iterator[dict[str, Any]]:
+        for indices in self._index_batches(skip):
             yield self._fetch(indices)
 
-    def _iter_prefetch(self) -> Iterator[dict[str, Any]]:
+    def _iter_prefetch(self, skip: int = 0) -> Iterator[dict[str, Any]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_factor)
         sentinel = object()
         error_box: list[BaseException] = []
@@ -123,7 +128,7 @@ class DataLoader:
 
         def producer() -> None:
             try:
-                for indices in self._index_batches():
+                for indices in self._index_batches(skip):
                     if stop.is_set():
                         return
                     batch = self._fetch(indices)
@@ -169,6 +174,28 @@ class DataLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
+
+    def _can_fast_skip(self) -> bool:
+        ds = self.dataset
+        if hasattr(ds, "all_map_style"):
+            return bool(ds.all_map_style)  # CombinedDataset knows its slots
+        return hasattr(ds, "__getitem__")
+
+    def iter_from_batch(self, start: int) -> Optional[Iterator[dict[str, Any]]]:
+        """This epoch's batches from batch index ``start``, WITHOUT loading
+        or decoding the skipped examples (mid-epoch resume fast-forward).
+        Sampler indices for skipped batches are still drawn, so data order
+        matches an uninterrupted epoch exactly. Returns ``None`` when the
+        dataset consumes iterable streams on ``__getitem__`` — the caller
+        must then fall back to fetch-and-discard to keep stream positions."""
+        start = int(start)
+        if start <= 0:
+            return iter(self)
+        if not self._can_fast_skip():
+            return None
+        if self.num_workers > 0 or self.prefetch_factor > 1:
+            return self._iter_prefetch(start)
+        return self._iter_sync(start)
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
         if self.num_workers > 0 or self.prefetch_factor > 1:

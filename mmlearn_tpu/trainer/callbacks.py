@@ -75,13 +75,18 @@ class ModelCheckpoint(Callback):
         #: step; the second save is a no-op
         self._last_saved_step: Optional[int] = None
 
+    def _ckpt_dir(self, trainer: Any) -> str:
+        """The one resolution of the checkpoint directory (manager, best/
+        subdir, and loop-position files must always agree)."""
+        return os.path.abspath(
+            self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
+        )
+
     def _ensure_manager(self, trainer: Any):
         if self._manager is None:
             import orbax.checkpoint as ocp
 
-            path = os.path.abspath(
-                self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
-            )
+            path = self._ckpt_dir(trainer)
             os.makedirs(path, exist_ok=True)
             self._manager = ocp.CheckpointManager(
                 path,
@@ -137,9 +142,7 @@ class ModelCheckpoint(Callback):
             return
         import json
 
-        path = os.path.abspath(
-            self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
-        )
+        path = self._ckpt_dir(trainer)
         payload = {"step": int(step), **{k: int(v) for k, v in pos.items()}}
         try:
             with open(
@@ -164,9 +167,7 @@ class ModelCheckpoint(Callback):
         layout."""
         import json
 
-        path = os.path.abspath(
-            self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
-        )
+        path = self._ckpt_dir(trainer)
         step = getattr(trainer, "restored_step", None)
         candidates = []
         if step is not None:
@@ -184,9 +185,7 @@ class ModelCheckpoint(Callback):
         if self._best_manager is None:
             import orbax.checkpoint as ocp
 
-            path = os.path.abspath(
-                self.dirpath or os.path.join(trainer.default_root_dir, "checkpoints")
-            )
+            path = self._ckpt_dir(trainer)
             self._best_dir = os.path.join(path, "best")
             os.makedirs(self._best_dir, exist_ok=True)
             self._best_manager = ocp.CheckpointManager(
@@ -383,6 +382,14 @@ class ModelCheckpoint(Callback):
         )
         merged = _overlay(fresh_dict, raw_dict)
         state = flax.serialization.from_state_dict(trainer.state, merged)
+        shardings = getattr(trainer, "_state_shardings", None)
+        if shardings is not None:
+            # the overlay materialized leaves on the default device; restore
+            # the mesh shardings (fsdp/model-sharded params would otherwise
+            # arrive device-0-committed — OOM or placement errors at scale)
+            import jax
+
+            state = jax.device_put(state, shardings)
         if skipped:
             logger.warning(
                 "Non-strict restore from step %d skipped %d leaves "

@@ -21,6 +21,7 @@ JAX equivalent (SURVEY.md §7 "Runtime layer"):
 
 from __future__ import annotations
 
+import itertools
 import logging
 import time
 from typing import Any, Mapping, Optional, Sequence
@@ -223,7 +224,8 @@ class Trainer:
             per_epoch = len(train_loader)
         except TypeError:
             return None
-        if self.limit_train_batches:
+        if self.limit_train_batches is not None:
+            # Lightning semantics: 0 disables training batches entirely
             per_epoch = min(per_epoch, self.limit_train_batches)
         return per_epoch
 
@@ -448,9 +450,16 @@ class Trainer:
         ckpt_cb = next(
             (c for c in self.callbacks if hasattr(c, "restore_latest")), None
         )
-        if ckpt_path is not None and ckpt_cb is not None:
+        if ckpt_path is not None:
+            if ckpt_cb is None:
+                # restore-only callback (not registered: saving behavior is
+                # still governed by the user's callback config)
+                from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+                ckpt_cb = ModelCheckpoint(dirpath=None)
             if ckpt_path != "last":
                 ckpt_cb.dirpath = ckpt_path
+                ckpt_cb._manager = None  # cached manager may hold the old dir
             restored = ckpt_cb.restore_latest(self, strict=strict_loading)
             if restored is not None:
                 self.state = restored
@@ -459,6 +468,18 @@ class Trainer:
                 self.restored_step = int(self.state.step)
                 if hasattr(ckpt_cb, "read_loop_position"):
                     self._restored_position = ckpt_cb.read_loop_position(self)
+            elif ckpt_path == "last":
+                # preemption-relaunch idiom: resume_from_checkpoint=last on a
+                # fresh run starts from scratch, but never silently for an
+                # explicit path
+                logger.warning(
+                    "resume_from_checkpoint='last': no checkpoint found — "
+                    "starting from scratch"
+                )
+            else:
+                raise FileNotFoundError(
+                    f"No checkpoint found under '{ckpt_path}'"
+                )
 
         self._train_step = self._make_train_step(task, tx)
         if val_loader is not None and task.compute_validation_loss:
@@ -520,16 +541,15 @@ class Trainer:
         examples_since_log = 0
 
         if self.num_sanity_val_steps and val_loader is not None:
+            # Lightning semantics: -1 = sanity-check the FULL val set
             self._run_evaluation(
                 task, val_loader, "validation",
                 limit_batches=self.num_sanity_val_steps, log=False,
             )
 
-        import itertools
-
         try:
             return self._fit_loop(
-                task, train_loader, val_loader, itertools, done, epoch,
+                task, train_loader, val_loader, done, epoch,
                 probe_iter, first_raw, skip_batches, step, max_steps,
                 rng_root, t_log, examples_since_log,
             )
@@ -537,13 +557,14 @@ class Trainer:
             self._restore_stop_handlers(prev_handlers)
 
     def _fit_loop(
-        self, task, train_loader, val_loader, itertools, done, epoch,
+        self, task, train_loader, val_loader, done, epoch,
         probe_iter, first_raw, skip_batches, step, max_steps, rng_root,
         t_log, examples_since_log,
     ) -> TrainState:
         while not done:
             if self.max_epochs is not None and epoch >= self.max_epochs:
                 break
+            epoch_base = 0
             if epoch == 0 and probe_iter is not None:
                 # replay the probed batch, continue the same iterator
                 epoch_iter = itertools.chain([first_raw], probe_iter)
@@ -552,9 +573,17 @@ class Trainer:
                 if hasattr(train_loader, "set_epoch"):
                     train_loader.set_epoch(epoch)
                 epoch_iter = train_loader
-            for batch_idx, batch in enumerate(epoch_iter):
+                if skip_batches > 0 and hasattr(train_loader, "iter_from_batch"):
+                    # fast-forward without loading/decoding skipped examples
+                    # (map-style data only; streams keep the fetch-and-drop
+                    # fallback below so their positions stay consistent)
+                    fast = train_loader.iter_from_batch(skip_batches)
+                    if fast is not None:
+                        epoch_iter, epoch_base = fast, skip_batches
+                        skip_batches = 0
+            for batch_idx, batch in enumerate(epoch_iter, start=epoch_base):
                 if (
-                    self.limit_train_batches
+                    self.limit_train_batches is not None
                     and batch_idx >= self.limit_train_batches
                 ):
                     break
@@ -716,12 +745,19 @@ class Trainer:
 
     # -- evaluation --------------------------------------------------------------
     def _batch_size_of(self, batch: Mapping[str, Any]) -> int:
-        for v in batch.values():
+        # prefer modality keys: aux arrays (e.g. I-JEPA masks) legitimately
+        # lead with num_masks, not batch (same filter as validate_batch_shapes)
+        from mmlearn_tpu.datasets.core.modalities import Modalities
+
+        fallback = 0
+        for k, v in batch.items():
             if hasattr(v, "shape") and len(getattr(v, "shape", ())) > 0:
-                return int(v.shape[0])
-            if isinstance(v, list):
-                return len(v)
-        return 0
+                if Modalities.has_modality(str(k)):
+                    return int(v.shape[0])
+                fallback = fallback or int(v.shape[0])
+            elif isinstance(v, list):
+                fallback = fallback or len(v)
+        return fallback
 
     def _run_evaluation(
         self,
@@ -764,10 +800,13 @@ class Trainer:
         phase_limit = (
             self.limit_test_batches if phase == "test" else self.limit_val_batches
         )
-        limit = limit_batches or phase_limit
+        limit = limit_batches if limit_batches is not None else phase_limit
+        if limit is not None and limit < 0:
+            limit = None  # -1 = no limit (Lightning's num_sanity_val_steps=-1)
         rng = jax.random.key(self.seed + 2)
         for batch_idx, batch in enumerate(loader):
-            if limit and batch_idx >= limit:
+            if limit is not None and batch_idx >= limit:
+                # Lightning semantics: limit 0 disables the phase entirely
                 break
             batch = task.prepare_batch(dict(batch), step=batch_idx, training=False)
             device_batch = shard_batch(

@@ -292,3 +292,72 @@ def test_lr_monitor_under_grad_accumulation(tmp_path):
         assert got == want, (step, got, want)
     # mid-accumulation steps repeat the last applied LR (no k=1 off-by-one)
     assert lrs[2] == lrs[3] and lrs[4] == lrs[5]
+
+
+def test_limit_batches_zero_disables(tmp_path):
+    """Lightning semantics: limit_val_batches=0 disables validation entirely
+    (0 previously meant 'no limit' via truthiness)."""
+    counter = ValCounter()
+    ds = CombinedDataset([PairedDataset(size=32)])
+    train_loader = DataLoader(ds, batch_size=8, drop_last=True)
+    val_loader = DataLoader(ds, batch_size=8)
+    trainer = Trainer(
+        max_steps=8, limit_val_batches=0, check_val_every_n_epoch=1,
+        callbacks=[counter], default_root_dir=str(tmp_path), seed=0,
+    )
+    trainer.fit(_tiny_task(), train_loader, val_loader)
+    assert counter.steps == []  # validation produced no logged results
+
+
+def test_resume_fast_forward_skips_dataset_reads(tmp_path):
+    """Mid-epoch resume must not load/decode the already-consumed examples
+    of a map-style dataset (loader-level skip)."""
+
+    class CountingDataset(PairedDataset):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.reads = 0
+
+        def __getitem__(self, idx):
+            self.reads += 1
+            return super().__getitem__(idx)
+
+    inner = CountingDataset(size=64)
+    ds = CombinedDataset([inner])
+    # prefetch_factor=1 → synchronous reads (deterministic read counting;
+    # the prefetch path legitimately reads a few batches ahead)
+    loader = DataLoader(ds, batch_size=8, drop_last=True, prefetch_factor=1)
+
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    # train 4 steps (mid-epoch), checkpoint
+    trainer = Trainer(
+        max_steps=4, callbacks=[ModelCheckpoint(save_last=True)],
+        default_root_dir=str(tmp_path), seed=0, log_every_n_steps=1,
+    )
+    trainer.fit(_tiny_task(), loader)
+
+    # resume to step 6: must read ONLY the 2 new batches (16 examples)
+    # + the shape-probe batch (8) — not the 4 skipped batches
+    inner.reads = 0
+    trainer2 = Trainer(
+        max_steps=6, callbacks=[ModelCheckpoint(save_last=True)],
+        default_root_dir=str(tmp_path), seed=0, log_every_n_steps=1,
+    )
+    state = trainer2.fit(_tiny_task(), loader, ckpt_path="last")
+    assert int(state.step) == 6
+    assert inner.reads <= 3 * 8, f"fast-forward read {inner.reads} examples"
+
+
+def test_fit_explicit_ckpt_path_must_exist(tmp_path):
+    """fit(ckpt_path=<explicit dir>) fails loudly when nothing restores;
+    ckpt_path='last' on a fresh run starts from scratch with a warning."""
+    ds = CombinedDataset([PairedDataset(size=16)])
+    loader = DataLoader(ds, batch_size=8, drop_last=True)
+    trainer = Trainer(max_steps=1, default_root_dir=str(tmp_path), seed=0)
+    with pytest.raises(FileNotFoundError):
+        trainer.fit(_tiny_task(), loader, ckpt_path=str(tmp_path / "nope"))
+    # 'last' without any checkpoint: fresh start, no error
+    trainer2 = Trainer(max_steps=1, default_root_dir=str(tmp_path), seed=0)
+    state = trainer2.fit(_tiny_task(), loader, ckpt_path="last")
+    assert int(state.step) == 1
