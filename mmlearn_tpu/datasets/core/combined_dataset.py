@@ -71,8 +71,13 @@ class CombinedDataset:
         consumption side effects, so loaders may skip fetches entirely
         (fast mid-epoch resume). Iterable sub-datasets advance on every
         ``__getitem__`` — skipping their fetches would desynchronize the
-        stream."""
-        return all(_is_map_style(ds) for ds in self.datasets)
+        stream. Recursive: a nested CombinedDataset is map-style itself but
+        may wrap streams."""
+        return all(
+            ds.all_map_style if hasattr(ds, "all_map_style")
+            else _is_map_style(ds)
+            for ds in self.datasets
+        )
 
     @property
     def cumulative_sizes(self) -> list[int]:

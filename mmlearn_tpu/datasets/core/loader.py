@@ -176,10 +176,10 @@ class DataLoader:
                     break
 
     def _can_fast_skip(self) -> bool:
-        ds = self.dataset
-        if hasattr(ds, "all_map_style"):
-            return bool(ds.all_map_style)  # CombinedDataset knows its slots
-        return hasattr(ds, "__getitem__")
+        # explicit opt-in only: CombinedDataset declares purity via
+        # all_map_style; an unknown dataset's __getitem__ may have
+        # consumption side effects, so "unknown" means the safe fallback
+        return bool(getattr(self.dataset, "all_map_style", False))
 
     def iter_from_batch(self, start: int) -> Optional[Iterator[dict[str, Any]]]:
         """This epoch's batches from batch index ``start``, WITHOUT loading
@@ -193,11 +193,12 @@ class DataLoader:
             return iter(self)
         if not self._can_fast_skip():
             return None
+        return self._dispatch(start)
+
+    def _dispatch(self, skip: int = 0) -> Iterator[dict[str, Any]]:
         if self.num_workers > 0 or self.prefetch_factor > 1:
-            return self._iter_prefetch(start)
-        return self._iter_sync(start)
+            return self._iter_prefetch(skip)
+        return self._iter_sync(skip)
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
-        if self.num_workers > 0 or self.prefetch_factor > 1:
-            return self._iter_prefetch()
-        return self._iter_sync()
+        return self._dispatch()

@@ -186,3 +186,29 @@ def test_dataloader_prefetch_early_break_releases_producer():
     while threading.active_count() > before and __import__("time").time() < deadline:
         __import__("time").sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_all_map_style_recursive_with_nested_streams():
+    """Fast-skip safety flag: nested CombinedDatasets wrapping streams must
+    report all_map_style=False (skipping fetches would desync the stream)."""
+    from mmlearn_tpu.datasets.core import CombinedDataset
+
+    class MapDS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"rgb": i}
+
+    def stream():
+        yield from ({"rgb": i} for i in range(4))
+
+    class IterDS:
+        def __iter__(self):
+            return stream()
+
+    assert CombinedDataset([MapDS()]).all_map_style is True
+    assert CombinedDataset([MapDS(), IterDS()]).all_map_style is False
+    nested = CombinedDataset([CombinedDataset([MapDS(), IterDS()]), MapDS()])
+    assert nested.all_map_style is False
+    assert CombinedDataset([CombinedDataset([MapDS()])]).all_map_style is True
