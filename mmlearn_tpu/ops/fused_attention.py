@@ -810,8 +810,12 @@ def _shard_map_plan(num_heads: int, head_dim: int, b: int):
     ``data×fsdp×model`` layout: batch sharded over (data, fsdp), heads over
     model (Megatron-style — the head-major qkv packing makes the channel
     split land exactly on head boundaries). Returns ``(mesh, batch_axes,
-    model_axis, local_heads)`` or ``None`` when the kernel should run
-    unwrapped (single device / unshardable config / opt-out).
+    model_axis, local_heads)``; ``None`` when the kernel should run
+    unwrapped (single device / opt-out); or the string ``"xla"`` when the
+    mesh is sharded but this kernel cannot be shard_mapped onto it — the
+    caller MUST then use plain XLA math (GSPMD partitions that fine; a raw
+    ``pallas_call`` on sharded operands has no partitioning rule and would
+    error or gather the full global activation onto every chip).
     """
     import os
 
@@ -828,8 +832,8 @@ def _shard_map_plan(num_heads: int, head_dim: int, b: int):
     extra = set(mesh.axis_names) - {"data", "fsdp", "model"}
     if any(mesh.shape[a] > 1 for a in extra):
         # a >1 'seq' (or foreign) axis: this short-seq kernel does not
-        # sequence-shard — let the XLA path / ring attention handle it
-        return None
+        # sequence-shard — the XLA path / ring attention handles it
+        return "xla"
     batch_axes = tuple(
         a for a in ("data", "fsdp") if a in mesh.axis_names
     )
@@ -837,15 +841,15 @@ def _shard_map_plan(num_heads: int, head_dim: int, b: int):
     for a in batch_axes:
         batch_shards *= mesh.shape[a]
     if batch_shards == 0 or b % batch_shards:
-        return None
+        return "xla"
     model_shards = mesh.shape.get("model", 1)
     model_axis = "model" if model_shards > 1 else None
     if num_heads % model_shards:
-        return None
+        return "xla"
     local_heads = num_heads // model_shards
     # per-shard head count must still tile the kernel's head groups
     if local_heads % _head_group(head_dim):
-        return None
+        return "xla"
     return mesh, batch_axes, model_axis, local_heads
 
 
@@ -881,6 +885,13 @@ def fused_mha(
     scale = float(scale)
 
     plan = _shard_map_plan(num_heads, d, b)
+    if plan == "xla":
+        # sharded mesh the kernel cannot be shard_mapped onto: plain XLA
+        # attention math, which GSPMD partitions across the mesh
+        return _mha_reference_xla(
+            qkv, None if mask is None else mask.astype(bool), num_heads,
+            scale, causal,
+        )
     if plan is not None:
         from jax.sharding import PartitionSpec as P
 

@@ -101,14 +101,29 @@ def test_gradients_match_unsharded(_clear_mesh):
 def test_plan_rejects_indivisible_batch(_clear_mesh):
     mesh = create_mesh(data=8, fsdp=1, model=1)
     set_global_mesh(mesh)
-    assert _shard_map_plan(8, 64, 12) is None  # 12 % 8 != 0
+    # sharded-but-unshardable → XLA math (a raw pallas_call on sharded
+    # operands has no GSPMD partitioning rule)
+    assert _shard_map_plan(8, 64, 12) == "xla"  # 12 % 8 != 0
 
 
 def test_plan_rejects_head_group_misalignment(_clear_mesh):
     mesh = create_mesh(data=1, fsdp=1, model=8)
     set_global_mesh(mesh)
     # head_dim 64 -> head_group 2; 8 heads / 8-way model = 1 local head
-    assert _shard_map_plan(8, 64, 16) is None
+    assert _shard_map_plan(8, 64, 16) == "xla"
+
+
+def test_unshardable_mesh_falls_back_to_xla_math(_clear_mesh):
+    """Batch not divisible by the data shards: fused_mha must compute via
+    plain (GSPMD-partitionable) XLA math, matching the unsharded result."""
+    b, n, h, d = 12, 10, 8, 16  # 12 % 8 != 0
+    qkv = _qkv(b, n, h, d)
+    want = _unsharded(qkv, None, h)
+    mesh = create_mesh(data=8, fsdp=1, model=1)
+    set_global_mesh(mesh)
+    assert _shard_map_plan(h, d, b) == "xla"
+    got = jax.jit(lambda q: fused_mha(q, num_heads=h))(qkv)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
 def test_pallas_kernel_inside_shard_map_interpret(_clear_mesh, monkeypatch):
