@@ -56,8 +56,11 @@ def instantiate_sampler(
         kwargs["num_replicas"] = num_replicas
     try:
         return instantiate(cfg, **kwargs)
-    except Exception:
-        # samplers that don't take rank/num_replicas
+    except TypeError:
+        # samplers whose signature lacks rank/num_replicas; any OTHER
+        # exception (bad ratios, validation errors) must propagate — a
+        # silent retry without coordinates would de-distribute the sampler
+        # and duplicate data across replicas
         return instantiate(cfg, dataset=dataset)
 
 
@@ -71,7 +74,7 @@ def instantiate_dataloader(
     return instantiate(cfg, dataset=dataset, sampler=sampler, **overrides)
 
 
-def instantiate_callbacks(cfg: Any) -> list[Callback]:
+def _instantiate_typed_list(cfg: Any, expected: type, kind: str) -> list:
     if not cfg:
         return []
     nodes = cfg.values() if isinstance(cfg, dict) else cfg
@@ -80,24 +83,18 @@ def instantiate_callbacks(cfg: Any) -> list[Callback]:
         if node is None:
             continue
         obj = instantiate(node)
-        if not isinstance(obj, Callback):
+        if not isinstance(obj, expected):
             logger.warning(
-                "Callback %r does not subclass Callback; keeping anyway", obj
+                "%s %r does not subclass %s; keeping anyway", kind, obj,
+                expected.__name__,
             )
         out.append(obj)
     return out
 
 
+def instantiate_callbacks(cfg: Any) -> list[Callback]:
+    return _instantiate_typed_list(cfg, Callback, "Callback")
+
+
 def instantiate_loggers(cfg: Any) -> list[Logger]:
-    if not cfg:
-        return []
-    nodes = cfg.values() if isinstance(cfg, dict) else cfg
-    out = []
-    for node in nodes:
-        if node is None:
-            continue
-        obj = instantiate(node)
-        if not isinstance(obj, Logger):
-            logger.warning("Logger %r does not subclass Logger; keeping anyway", obj)
-        out.append(obj)
-    return out
+    return _instantiate_typed_list(cfg, Logger, "Logger")

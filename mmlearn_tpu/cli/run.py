@@ -72,6 +72,12 @@ def run_experiment(cfg: dict) -> Any:
 
     if cfg.get("task") in (None, "???"):
         raise ConfigError("No task configured (set task=... or use an experiment)")
+    from mmlearn_tpu.conf import check_missing
+
+    # abort on any '???' left in the composed config (Hydra parity: the
+    # reference raises MissingMandatoryValue; without this a run would
+    # train into a directory literally named 'outputs/???')
+    check_missing(cfg)
 
     seed = cfg.get("seed")
     if seed is None:
@@ -226,6 +232,33 @@ def main(argv: Optional[Sequence[str]] = None) -> Any:
     return run_experiment(cfg)
 
 
+def _split_sweep_values(raw: str) -> list[str]:
+    """Split a sweep spec on commas, honoring quotes and brackets —
+    ``"'a,b'"`` is ONE literal value, not a two-job sweep axis."""
+    values, buf, depth, quote = [], [], 0, None
+    for ch in raw:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch in "[({":
+            depth += 1
+            buf.append(ch)
+        elif ch in "])}":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            values.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    values.append("".join(buf))
+    return values
+
+
 def run_sweep(argv: Sequence[str], print_cfg: bool = False) -> list:
     """Sweep over comma-separated override values (cartesian product).
 
@@ -252,13 +285,14 @@ def run_sweep(argv: Sequence[str], print_cfg: bool = False) -> list:
     base_args: list[str] = []
     for arg in argv:
         key, _, raw = arg.partition("=")
+        values = _split_sweep_values(raw)
         if (
             "=" in arg
-            and "," in raw
+            and len(values) > 1
             and not raw.strip().startswith("[")
             and not key.startswith(("searchpath", "hydra."))
         ):
-            sweep_axes.append([f"{key}={v}" for v in raw.split(",")])
+            sweep_axes.append([f"{key}={v}" for v in values])
         else:
             base_args.append(arg)
     job_argvs: list[list[str]] = []

@@ -99,6 +99,19 @@ def _apply_group_default(cfg: dict, group_spec: str, name: Any) -> dict:
         group, target_path = group.split("@", 1)
     else:
         target_path = group.replace("/", ".")
+        head = target_path.split(".", 1)[0]
+        if head not in cfg:
+            # Hydra's default-package semantics put the node at the group
+            # path — for slash groups that lands outside the schema, which
+            # nothing reads. Almost always a missing '@': say so loudly.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Group override '%s=%s' writes to cfg.%s, which is not "
+                "part of the base schema and will be ignored by the run — "
+                "did you mean '%s@<target.path>=%s'?",
+                group_spec, name, target_path, group_spec, name,
+            )
     if name is None:
         set_by_path(cfg, target_path, None)
         return cfg
@@ -157,7 +170,11 @@ def compose(
         sp.extend(os.environ["MMLEARN_SEARCHPATH"].split(","))
 
     # First pass: collect searchpath extensions so later experiment lookups
-    # can see them regardless of argument order.
+    # can see them regardless of argument order; hoist +experiment= entries
+    # to the front so explicit CLI overrides ALWAYS win over the experiment
+    # body regardless of argument order (Hydra semantics — an override
+    # typed before +experiment must not be clobbered by the file).
+    experiments: list[str] = []
     remaining: list[str] = []
     for ov in overrides:
         key = ov.split("=", 1)[0].strip()
@@ -165,10 +182,12 @@ def compose(
             value = _parse_value(ov.split("=", 1)[1])
             entries = value if isinstance(value, list) else [value]
             sp = [str(e) for e in entries] + sp
+        elif key in ("experiment", "+experiment"):
+            experiments.append(ov)
         else:
             remaining.append(ov)
 
-    for ov in remaining:
+    for ov in experiments + remaining:
         if ov.startswith("~"):
             try:
                 delete_by_path(cfg, ov[1:])

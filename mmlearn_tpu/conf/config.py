@@ -129,6 +129,13 @@ def resolve_interpolations(cfg: Any, root: Any | None = None, _depth: int = 0) -
         full = _INTERP_RE.fullmatch(cfg)
         if full:  # whole-string interpolation preserves type
             val = _resolve_value(full.group(1), root)
+            if isinstance(val, (dict, list)):
+                # container value: deep-resolve its own interpolations and
+                # COPY — the result must not alias the source subtree
+                # (e.g. dataloader.val=${dataloader.train})
+                return resolve_interpolations(
+                    copy.deepcopy(val), root, _depth + 1
+                )
             if isinstance(val, str) and "${" in val:
                 val = resolve_interpolations(val, root, _depth + 1)
             return val

@@ -23,11 +23,26 @@ from mmlearn_tpu.conf.config import MISSING, ConfigError
 def locate(path: str) -> Any:
     """Import an object from a dotted path (module attr or nested qualname)."""
     parts = path.split(".")
+    import_errors: list[Exception] = []
     for split in range(len(parts) - 1, 0, -1):
         module_path = ".".join(parts[:split])
         try:
             obj: Any = importlib.import_module(module_path)
-        except ImportError:
+        except ModuleNotFoundError as err:
+            # only "this path doesn't exist" is a silent miss; a missing
+            # TRANSITIVE dependency (err.name outside the requested path)
+            # means the module exists but failed to import — keep the cause
+            missing = err.name or ""
+            if missing != module_path and not module_path.startswith(
+                missing + "."
+            ):
+                import_errors.append(err)
+            continue
+        except ImportError as err:
+            # the module EXISTS but failed to import (e.g. a broken
+            # extension): remember the real cause instead of reporting a
+            # misleading 'could not locate'
+            import_errors.append(err)
             continue
         try:
             for attr in parts[split:]:
@@ -35,11 +50,30 @@ def locate(path: str) -> Any:
         except AttributeError:
             continue
         return obj
+    if import_errors:
+        raise ConfigError(
+            f"Could not locate '{path}': a module on the path failed to "
+            f"import — {import_errors[0]}"
+        ) from import_errors[0]
     raise ConfigError(f"Could not locate '{path}'")
 
 
 def is_target_node(node: Any) -> bool:
     return isinstance(node, dict) and "_target_" in node
+
+
+def _contains_missing(value: Any) -> bool:
+    """True if ``value`` is (or nests) the MISSING sentinel '???'."""
+    if value == MISSING:
+        return True
+    if isinstance(value, dict):
+        # nested _target_ nodes check their own kwargs when instantiated
+        if "_target_" in value:
+            return False
+        return any(_contains_missing(v) for v in value.values())
+    if isinstance(value, list):
+        return any(_contains_missing(v) for v in value)
+    return False
 
 
 def instantiate(cfg: Any, *args: Any, _recursive_: bool = True, **kwargs: Any) -> Any:
@@ -65,7 +99,7 @@ def instantiate(cfg: Any, *args: Any, _recursive_: bool = True, **kwargs: Any) -
     for key, value in cfg.items():
         if key in ("_target_", "_partial_", "_args_"):
             continue
-        if value == MISSING:
+        if _contains_missing(value):
             raise ConfigError(
                 f"Missing required value '{key}' for target '{cfg['_target_']}' "
                 "(set it in the experiment config or via a CLI override)"

@@ -133,3 +133,79 @@ def test_base_config_builds():
     cfg2 = compose(cfg, overrides=["experiment_name=t"])
     assert cfg2["tags"] == ["t"]
     assert cfg2["runtime"]["output_dir"] == "outputs/t"
+
+
+def test_cli_override_wins_regardless_of_position():
+    """Hydra parity: overrides typed BEFORE +experiment= still beat the
+    experiment file body (experiments are hoisted, not order-dependent)."""
+    from mmlearn_tpu.cli.run import build_experiment
+
+    before = build_experiment(
+        ["trainer.max_steps=999", "+experiment=tiny_clip_synthetic"]
+    )
+    after = build_experiment(
+        ["+experiment=tiny_clip_synthetic", "trainer.max_steps=999"]
+    )
+    assert before["trainer"]["max_steps"] == 999
+    assert after["trainer"]["max_steps"] == 999
+
+
+def test_container_interpolation_resolves_and_copies():
+    from mmlearn_tpu.conf.config import resolve_interpolations
+
+    out = resolve_interpolations({"b": {"x": "${c}"}, "c": 5, "a": "${b}"})
+    assert out["a"] == {"x": 5}
+    out["a"]["x"] = 99
+    assert out["b"]["x"] == 5  # no aliasing between a and b
+
+
+def test_nested_missing_value_rejected():
+    import pytest
+
+    from mmlearn_tpu.conf import ConfigError, instantiate
+
+    with pytest.raises(ConfigError, match="Missing required value"):
+        instantiate({"_target_": "builtins.dict", "cfg": {"lr": "???"}})
+    # nested _target_ nodes validate their own kwargs (no false positive)
+    out = instantiate(
+        {"_target_": "builtins.dict",
+         "sub": {"_target_": "builtins.dict", "a": 1}}
+    )
+    assert out == {"sub": {"a": 1}}
+
+
+def test_run_experiment_rejects_unset_required_values():
+    import pytest
+
+    from mmlearn_tpu.cli.run import run_experiment
+    from mmlearn_tpu.conf import ConfigError
+
+    cfg = {"task": {"_target_": "builtins.dict"}, "experiment_name": "???",
+           "trainer": {}, "datasets": {}, "dataloader": {}, "runtime": {}}
+    with pytest.raises(ConfigError, match="experiment_name"):
+        run_experiment(cfg)
+
+
+def test_sweep_split_honors_quotes_and_brackets():
+    from mmlearn_tpu.cli.run import _split_sweep_values
+
+    assert _split_sweep_values("'a,b'") == ["'a,b'"]
+    assert _split_sweep_values("1,2,3") == ["1", "2", "3"]
+    assert _split_sweep_values("[1,2],[3,4]") == ["[1,2]", "[3,4]"]
+
+
+def test_locate_reports_real_import_failures(tmp_path, monkeypatch):
+    import sys
+
+    from mmlearn_tpu.conf import ConfigError
+    from mmlearn_tpu.conf.instantiate import locate
+
+    pkg = tmp_path / "broken_mod_xyz.py"
+    pkg.write_text("import definitely_not_installed_pkg_qq\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    sys.modules.pop("broken_mod_xyz", None)
+    try:
+        locate("broken_mod_xyz.Thing")
+        raise AssertionError("expected ConfigError")
+    except ConfigError as err:
+        assert "failed to import" in str(err)
