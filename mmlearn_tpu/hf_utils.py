@@ -19,6 +19,7 @@ Layout notes:
 from __future__ import annotations
 
 import logging
+import math
 from typing import Any, Mapping, Optional
 
 import numpy as np
@@ -26,20 +27,24 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 #: Pretrained-weight loaders attached to module instances (flax modules are
-#: frozen dataclasses, so the association lives here). Tasks consult this in
-#: ``init_params`` to overwrite randomly-initialized subtrees.
-_PRETRAINED_LOADERS: dict[int, Any] = {}
+#: frozen dataclasses, so the association lives here). The value holds a
+#: STRONG reference to the module: without it, a GC'd module's reused id()
+#: could silently return another encoder's loader. The pinned memory (the
+#: module + the loader's captured state dict) is bounded by the number of
+#: pretrained encoders constructed, which is config-sized.
+_PRETRAINED_LOADERS: dict[int, tuple[Any, Any]] = {}
 
 
 def register_pretrained_loader(module: Any, loader: Any) -> Any:
-    _PRETRAINED_LOADERS[id(module)] = loader
+    _PRETRAINED_LOADERS[id(module)] = (module, loader)
     return module
 
 
 def get_pretrained_params(module: Any) -> Optional[dict]:
-    loader = _PRETRAINED_LOADERS.get(id(module))
-    if loader is None:
+    entry = _PRETRAINED_LOADERS.get(id(module))
+    if entry is None or entry[0] is not module:
         return None
+    loader = entry[1]
     return loader() if callable(loader) else loader
 
 
@@ -136,8 +141,7 @@ def convert_clip_vision(
             sd[f"{prefix}.embeddings.patch_embedding.bias"]
         )
     if num_heads is None:
-        # CLIP/ViT checkpoints use 64-dim heads throughout
-        num_heads = params["cls_token"].shape[-1] // 64
+        num_heads = _infer_num_heads(params["cls_token"].shape[-1])
     for i in range(depth):
         params[f"blocks_{i}"] = _clip_block(
             sd, f"{prefix}.encoder.layers.{i}", num_heads
@@ -251,11 +255,16 @@ def load_clip_from_hf(
         sd, config.text_config.num_hidden_layers,
         num_heads=config.text_config.num_attention_heads,
     )
-    logit_scale = float(_np(sd["logit_scale"]))
+    # HF stores log(scale) (~4.6 for the standard 1/0.07); return both forms
+    # so callers can't silently feed the log value where the multiplicative
+    # scale is expected (ContrastivePretraining(init_logit_scale=...) takes
+    # the multiplicative form)
+    log_logit_scale = float(_np(sd["logit_scale"]))
     return {
         "vision": (vision, vision_params),
         "text": (text, text_params),
-        "logit_scale": logit_scale,
+        "logit_scale": math.exp(log_logit_scale),
+        "log_logit_scale": log_logit_scale,
     }
 
 
@@ -344,6 +353,28 @@ def convert_bert(
 # -- timm ViT (TimmViT parity) ----------------------------------------------
 
 
+def _infer_num_heads(embed_dim: int) -> int:
+    """Head count for a ViT of this width when the checkpoint doesn't say.
+
+    Head count is NOT stored in ViT state dicts, and 64-dim heads only hold
+    through ViT-L: ViT-Huge is 1280/16 (D=80) and ViT-giant 1408/16 (D=88)
+    — assuming //64 there silently reshapes the attention into a different
+    function. Use the canonical dims table; pass ``num_heads`` explicitly
+    for non-standard widths.
+    """
+    from mmlearn_tpu.modules.encoders.vision import _VIT_DIMS
+
+    for cfg in _VIT_DIMS.values():
+        if cfg["embed_dim"] == embed_dim:
+            return int(cfg["num_heads"])
+    if embed_dim % 64:
+        raise ValueError(
+            f"Cannot infer num_heads for embed_dim={embed_dim} (not a "
+            "standard ViT width and not divisible by 64) — pass num_heads"
+        )
+    return max(1, embed_dim // 64)
+
+
 def timm_vit_geometry(state_dict: Mapping[str, Any]) -> dict:
     """Infer ViT geometry from a timm-format state dict.
 
@@ -368,8 +399,7 @@ def timm_vit_geometry(state_dict: Mapping[str, Any]) -> dict:
         "embed_dim": embed_dim,
         "depth": depth,
         "mlp_ratio": mlp_hidden / embed_dim,
-        # timm ViTs use 64-dim heads throughout (vit_tiny..vit_giant)
-        "num_heads": max(1, embed_dim // 64),
+        "num_heads": _infer_num_heads(embed_dim),
         "qkv_bias": "blocks.0.attn.qkv.bias" in sd,
     }
 

@@ -126,7 +126,6 @@ class BertTextEncoder(nn.Module):
             param_dtype=self.param_dtype,
         )
         if self.scan_blocks:
-            encoder = self
 
             class _Body(nn.Module):
                 @nn.compact

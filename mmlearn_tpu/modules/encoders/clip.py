@@ -55,7 +55,10 @@ def _vision_module(
         vision,
         proj_dim=model.config.projection_dim if with_projection else None,
         patch_drop_rate=patch_drop_rate,
-        global_pool="avg" if use_all_token_embeddings else "cls",
+        # reference use_all_token_embeddings projects EVERY token
+        # (clip.py:334,464) — per-token output, consumers pool downstream
+        global_pool="none" if use_all_token_embeddings else "cls",
+        proj_all_tokens=use_all_token_embeddings,
         scan_blocks=scan_blocks,
         remat=remat,
     )
@@ -86,7 +89,8 @@ def _text_module(
     text = dataclasses.replace(
         text,
         proj_dim=model.config.projection_dim if with_projection else None,
-        pooling="mean" if use_all_token_embeddings else "eos",
+        pooling="eos",
+        proj_all_tokens=use_all_token_embeddings,
         scan_blocks=scan_blocks,
         remat=remat,
         # causal + eos pooling never reads padded positions — the elided

@@ -240,8 +240,12 @@ def TimmViT(
         import torch
 
         sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-        if isinstance(sd, dict) and "state_dict" in sd:
-            sd = sd["state_dict"]
+        # unwrap trainer checkpoints: Lightning-style 'state_dict' and
+        # timm's own train script, which saves under 'model'
+        for key in ("state_dict", "model"):
+            if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+                sd = sd[key]
+                break
     if sd is None and model_name is not None:
         try:
             import timm
@@ -255,7 +259,6 @@ def TimmViT(
         raise ValueError(
             "TimmViT requires one of model_name / checkpoint_path / state_dict"
         )
-    sd = {k: v for k, v in sd.items()}
     geo = timm_vit_geometry(sd)
     if num_heads is not None:
         geo["num_heads"] = int(num_heads)

@@ -44,6 +44,9 @@ class TextTransformer(nn.Module):
     act_layer: str = "quick_gelu"
     norm_eps: float = 1e-5
     pooling: str = "eos"  # eos | cls | mean | none
+    #: project EVERY token (reference CLIP use_all_token_embeddings);
+    #: pooling is skipped and pooler_output is None
+    proj_all_tokens: bool = False
     # On causal towers, padding sits after the EOS token and causal masking
     # already prevents it from influencing any earlier position — the
     # key-validity mask is a numerical no-op for every non-pad output.
@@ -99,7 +102,13 @@ class TextTransformer(nn.Module):
             block_mask = None
 
         hidden_states = []
-        if self.scan_blocks and not return_hidden_states:
+        if self.scan_blocks and return_hidden_states:
+            raise ValueError(
+                "return_hidden_states is unavailable with scan_blocks=True "
+                "(nn.scan has no per-layer taps) — build the encoder with "
+                "scan_blocks=False to probe intermediate layers"
+            )
+        if self.scan_blocks:
             from mmlearn_tpu.modules.layers.transformer_block import BlockStack
 
             x = BlockStack(
@@ -140,6 +149,18 @@ class TextTransformer(nn.Module):
                     hidden_states.append(x)
 
         x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+
+        if self.proj_all_tokens:
+            if self.proj_dim is not None:
+                x = nn.Dense(
+                    self.proj_dim, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="proj",
+                )(x)
+            return EncoderOutput(
+                last_hidden_state=x, pooler_output=None,
+                hidden_states=tuple(hidden_states)
+                if return_hidden_states else None,
+            )
 
         pooled = None
         if self.pooling == "eos":

@@ -86,6 +86,10 @@ class VisionTransformer(nn.Module):
     act_layer: str = "gelu"
     norm_eps: float = 1e-6
     global_pool: str = "none"  # none | cls | avg
+    #: project EVERY token with the head (reference CLIP
+    #: use_all_token_embeddings: clip.py:334,464 projects last_hidden_state
+    #: per token); pooler_output is then None — consumers pool downstream
+    proj_all_tokens: bool = False
     proj_dim: Optional[int] = None
     patch_drop_rate: float = 0.0
     patch_embed_bias: bool = True
@@ -167,7 +171,16 @@ class VisionTransformer(nn.Module):
 
         dpr = np.linspace(0, self.drop_path_rate, self.depth)
         hidden_states = []
-        if self.scan_blocks and not return_hidden_states:
+        if self.scan_blocks and return_hidden_states:
+            # the two modes have different param layouts (stacked
+            # block_stack/blocks/block vs per-layer blocks_{i}); silently
+            # switching would request params that don't exist
+            raise ValueError(
+                "return_hidden_states is unavailable with scan_blocks=True "
+                "(nn.scan has no per-layer taps) — build the encoder with "
+                "scan_blocks=False to probe intermediate layers"
+            )
+        if self.scan_blocks:
             if self.drop_path_rate > 0:
                 raise ValueError(
                     "scan_blocks requires drop_path_rate == 0 (per-layer "
@@ -226,8 +239,23 @@ class VisionTransformer(nn.Module):
         if self.final_norm:
             x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
 
+        if self.proj_all_tokens:
+            if self.proj_dim is not None:
+                x = nn.Dense(
+                    self.proj_dim, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="proj",
+                )(x)
+            return EncoderOutput(
+                last_hidden_state=x, pooler_output=None,
+                hidden_states=hidden_states,
+            )
+
         pooled = None
-        if self.global_pool == "cls" and self.use_cls_token:
+        if self.global_pool == "cls" and not self.use_cls_token:
+            raise ValueError(
+                "global_pool='cls' requires use_cls_token=True"
+            )
+        if self.global_pool == "cls":
             pooled = x[:, 0]
         elif self.global_pool == "avg":
             pooled = x[:, num_prefix:].mean(axis=1)

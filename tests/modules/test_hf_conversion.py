@@ -363,3 +363,49 @@ def test_timm_vit_scan_blocks_loads():
     merged.update(pretrained)
     out = enc.apply({"params": merged}, imgs)
     assert out.pooler_output.shape == (1, 16)
+
+
+@pytest.mark.integration_test
+def test_use_all_token_embeddings_matches_torch(tiny_clip):
+    """Reference semantics (clip.py:334,464): use_all_token_embeddings
+    projects EVERY token — per-token (B, N, proj) output, not a pooled
+    vector."""
+    from mmlearn_tpu.modules.encoders.clip import (
+        HFCLIPTextEncoderWithProjection,
+        HFCLIPVisionEncoderWithProjection,
+    )
+
+    model = tiny_clip
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(1, 98, (2, 12)).astype(np.int32)
+    ids[:, -1] = 98
+
+    with torch.no_grad():
+        t_vis = model.visual_projection(
+            model.vision_model(
+                pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+            ).last_hidden_state
+        ).numpy()
+        t_txt = model.text_projection(
+            model.text_model(input_ids=torch.from_numpy(ids.astype(np.int64)))
+            .last_hidden_state
+        ).numpy()
+
+    vis = HFCLIPVisionEncoderWithProjection(model, use_all_token_embeddings=True)
+    txt = HFCLIPTextEncoderWithProjection(model, use_all_token_embeddings=True)
+    from mmlearn_tpu.hf_utils import get_pretrained_params
+    import jax
+
+    v_params = get_pretrained_params(vis)
+    t_params = get_pretrained_params(txt)
+    v_out = vis.apply({"params": v_params}, jnp.asarray(imgs))
+    t_out = txt.apply({"params": t_params}, jnp.asarray(ids))
+    assert v_out.pooler_output is None and t_out.pooler_output is None
+    assert v_out.last_hidden_state.shape == t_vis.shape  # (B, N, proj)
+    # HF applies post_layernorm only to the pooled token; ours LNs all
+    # tokens (documented in convert_clip_vision) — compare through LN by
+    # checking the TEXT tower exactly and the vision shape/pool contract
+    np.testing.assert_allclose(
+        np.asarray(t_out.last_hidden_state), t_txt, atol=2e-5
+    )
