@@ -34,6 +34,12 @@ def _confusion_counts(
     return tp, fp, fn
 
 
+# NOTE: macro averages run over classes PRESENT IN TARGETS only — this
+# matches torchmetrics >= 1.0 (the reference locks 1.6.2, uv.lock), whose
+# _adjust_weights_safe_divide zero-weights support-less classes for
+# average="macro". Pre-1.0 torchmetrics averaged over all classes.
+
+
 def macro_precision(preds: np.ndarray, targets: np.ndarray, num_classes: int) -> float:
     tp, fp, _ = _confusion_counts(preds, targets, num_classes)
     denom = tp + fp
