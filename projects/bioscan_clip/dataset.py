@@ -72,15 +72,14 @@ class BIOSCANInsectDataset:
             size=image_size, mean=CLIP_MEAN, std=CLIP_STD, train=for_training
         )
 
-        self.label_dicts = self._load_label_dicts()
-        self.label_strings = [
-            " ".join(d[level] for level in LEVELS) for d in self.label_dicts
-        ]
         if for_training:
+            # training never reads the taxonomy strings — skip decoding
+            # 4x|split| HDF5 string columns (~1M dicts on the full split)
             self.labels = (
                 np.arange(len(self)) if labels is None else np.asarray(labels)
             )
         else:
+            self.label_dicts = self._load_label_dicts()
             self.labels = self.label_dicts
 
     def _load_label_dicts(self) -> list[dict[str, str]]:

@@ -29,6 +29,34 @@ QUERY_TYPES = ("rgb", "dna", "averaged", "concatenated")
 KEY_TYPES = ("rgb", "dna", "averaged", "concatenated", "all_key")
 
 
+def _local_rows(arr: Any) -> np.ndarray:
+    """This process's rows of a possibly globally-sharded device array.
+
+    Under multihost SPMD the trainer's batches are global jax.Arrays
+    (assembled from process-local data); ``np.asarray`` on one raises
+    "spans non-addressable devices". Each process stores only its own rows
+    (deduped across replicated axes); the epoch-end
+    ``process_allgather_object`` then stitches processes together exactly
+    once (reference eval_task.py:68-92 gathers the same way).
+    """
+    import jax
+
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        seen: set = set()
+        parts = []
+        for shard in sorted(
+            arr.addressable_shards,
+            key=lambda s: (s.index[0].start or 0),
+        ):
+            start = shard.index[0].start or 0
+            if start in seen:  # replica over fsdp/model axes
+                continue
+            seen.add(start)
+            parts.append(np.asarray(shard.data))
+        return np.concatenate(parts, axis=0)
+    return np.asarray(arr)
+
+
 def _labels_to_list(labels: Any, n: int) -> list[dict[str, str]]:
     """Normalize collated labels into a list of per-example taxonomy dicts."""
     if isinstance(labels, Mapping):
@@ -137,7 +165,7 @@ class TaxonomicClassification(EvaluationHooks):
         if any(m not in batch for m in required):
             return
         emb = {
-            m: np.asarray(runtime.encode(batch, m, normalize=True))
+            m: _local_rows(runtime.encode(batch, m, normalize=True))
             for m in ("rgb", "dna", "text")
             if m in batch
         }
@@ -185,7 +213,8 @@ class TaxonomicClassification(EvaluationHooks):
         cat = {
             k: np.concatenate(v)
             for k, v in keys_store.items()
-            if k not in ("labels", "all_key_labels")
+            # all_key is concatenated on demand below (it is 3x the gallery)
+            if k not in ("labels", "all_key_labels", "all_key")
         }
         key_labels = keys_store["labels"]
         max_k = max(self.top_k)

@@ -60,13 +60,28 @@ class _MedDatasetBase:
 
 
 class HFImageClassification(_MedDatasetBase):
-    """HF-hub dataset + seeded 75/25 split (reference: bach.py:42-53)."""
+    """HF-hub image classification.
+
+    Two split protocols, matching the reference per dataset:
+
+    - ``hub_splits`` lists split names passed straight to the hub (official
+      splits — PCAM train/validation/test per reference pcam.py:50, NCK-CRC
+      train/train_nonorm/validation per nck.py:40);
+    - any other split name triggers the seeded 75/25 re-split of the hub
+      'train' split (BACH protocol, reference bach.py:42-53).
+
+    ``exclude_labels`` filters rows (NCK-CRC drops 'BACK', nck.py:70-72);
+    ``label_mapping`` converts string hub labels to class ids (nck.py:47-57).
+    """
 
     hub_name: str = ""
     image_key: str = "image"
     label_key: str = "label"
     split_seed: int = 0
     test_size: float = 0.25
+    hub_splits: tuple = ()
+    exclude_labels: tuple = ()
+    label_mapping: Optional[dict[str, int]] = None
 
     def __init__(
         self,
@@ -80,17 +95,23 @@ class HFImageClassification(_MedDatasetBase):
         from datasets import load_dataset
 
         name = hub_name or self.hub_name
-        dataset = load_dataset(
-            name, cache_dir=os.path.join(root_dir, "scratch/"), split="train"
-        )
-        if split in ("train", "test"):
-            parts = dataset.train_test_split(
-                test_size=self.test_size,
-                train_size=1 - self.test_size,
-                shuffle=True,
-                seed=self.split_seed,
-            )
-            dataset = parts[split]
+        cache_dir = os.path.join(root_dir, "scratch/")
+        if split in self.hub_splits:
+            dataset = load_dataset(name, cache_dir=cache_dir, split=split)
+        else:
+            dataset = load_dataset(name, cache_dir=cache_dir, split="train")
+            if split in ("train", "test"):
+                parts = dataset.train_test_split(
+                    test_size=self.test_size,
+                    train_size=1 - self.test_size,
+                    shuffle=True,
+                    seed=self.split_seed,
+                )
+                dataset = parts[split]
+        if self.exclude_labels:
+            excluded = set(self.exclude_labels)
+            key = self.label_key
+            dataset = dataset.filter(lambda row: row[key] not in excluded)
         self.data = dataset
 
     def __len__(self) -> int:
@@ -98,7 +119,10 @@ class HFImageClassification(_MedDatasetBase):
 
     def __getitem__(self, idx: int) -> Example:
         entry = self.data[idx]
-        return self._example(entry[self.image_key], entry[self.label_key], idx)
+        label = entry[self.label_key]
+        if self.label_mapping is not None:
+            label = self.label_mapping[str(label)]
+        return self._example(entry[self.image_key], label, idx)
 
 
 class CSVImageClassification(_MedDatasetBase):

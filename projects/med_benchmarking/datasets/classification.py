@@ -25,14 +25,7 @@ from projects.med_benchmarking.datasets.base import (
 )
 
 
-def _env_root(var: str):
-    def _default():
-        root = os.environ.get(var)
-        if root is None:
-            raise ValueError(f"Set {var} or pass root_dir")
-        return root
-
-    return _default
+from projects.med_benchmarking.datasets.image_text import _env_root
 
 
 @external_store(group="datasets", name="BACH", populate_full_signature=False)
@@ -49,7 +42,7 @@ class BACH(HFImageClassification):
     zero_shot_prompt_templates = HISTOPATHOLOGY_TEMPLATES
 
     def __init__(self, root_dir: Optional[str] = None, **kwargs):
-        super().__init__(root_dir or _env_root("BACH_ROOT_DIR")(), **kwargs)
+        super().__init__(_env_root("BACH_ROOT_DIR", root_dir), **kwargs)
 
 
 @external_store(group="datasets", name="PCAM", populate_full_signature=False)
@@ -57,6 +50,7 @@ class PCAM(HFImageClassification):
     """PatchCamelyon lymph-node metastasis patches (reference: pcam.py)."""
 
     hub_name = "1aurent/PatchCamelyon"
+    hub_splits = ("train", "validation", "test")  # official splits
     id2label = {
         0: "lymph node",
         1: "lymph node containing metastatic tumor tissue",
@@ -64,19 +58,52 @@ class PCAM(HFImageClassification):
     zero_shot_prompt_templates = HISTOPATHOLOGY_TEMPLATES
 
     def __init__(self, root_dir: Optional[str] = None, **kwargs):
-        super().__init__(root_dir or _env_root("PCAM_ROOT_DIR")(), **kwargs)
+        super().__init__(_env_root("PCAM_ROOT_DIR", root_dir), **kwargs)
 
 
 @external_store(group="datasets", name="LC25000", populate_full_signature=False)
-class LC25000(HFImageClassification):
-    """Lung/colon histology (reference: lc25000.py; organ selects labels)."""
+class LC25000(_MedDatasetBase):
+    """Lung/colon histology (reference: lc25000.py).
 
-    hub_name = "1aurent/LC25000"
+    The reference loads a prepared per-organ arrow cache
+    (``<root>/cache/lc25000_{organ}_{split}.arrow``, lc25000.py:40-46) —
+    the raw 25k hub dump mixes both organs, whose label ids do not match
+    the per-organ id2label. Same protocol here.
+    """
+
     zero_shot_prompt_templates = HISTOPATHOLOGY_TEMPLATES
+    image_key = "image"
+    label_key = "label"
 
-    def __init__(self, root_dir: Optional[str] = None, organ: str = "lung", **kwargs):
+    def __init__(
+        self,
+        root_dir: Optional[str] = None,
+        organ: str = "lung",
+        split: str = "train",
+        transform: Optional[Callable] = None,
+        image_size: int = 224,
+    ):
+        super().__init__(transform, image_size)
+        if organ not in ("lung", "colon"):
+            raise ValueError(f"organ must be 'lung' or 'colon', got {organ!r}")
         self.organ = organ
-        super().__init__(root_dir or _env_root("LC25000_ROOT_DIR")(), **kwargs)
+        root = _env_root("LC25000_ROOT_DIR", root_dir)
+        path = os.path.join(root, f"cache/lc25000_{organ}_{split}.arrow")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"LC25000 expects the prepared per-organ cache at {path} "
+                "(reference lc25000.py:40-46)"
+            )
+        from datasets import load_from_disk
+
+        self.data = load_from_disk(path)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> Example:
+        entry = self.data[idx]
+        return self._example(entry[self.image_key], entry[self.label_key], idx)
 
     @property
     def id2label(self) -> dict[int, str]:
@@ -94,6 +121,12 @@ class NckCrc(HFImageClassification):
     """NCK-CRC colorectal histology (reference: nck.py)."""
 
     hub_name = "DykeF/NCTCRCHE100K"
+    hub_splits = ("train", "train_nonorm", "validation")
+    exclude_labels = ("BACK",)  # reference nck.py:70-72
+    label_mapping = {
+        "ADI": 0, "DEB": 1, "LYM": 2, "MUC": 3, "MUS": 4, "NORM": 5,
+        "STR": 6, "TUM": 7,
+    }  # reference nck.py:47-57
     id2label = {
         0: "adipose",
         1: "debris",
@@ -107,14 +140,18 @@ class NckCrc(HFImageClassification):
     zero_shot_prompt_templates = HISTOPATHOLOGY_TEMPLATES
 
     def __init__(self, root_dir: Optional[str] = None, **kwargs):
-        super().__init__(root_dir or _env_root("NCK_CRC_ROOT_DIR")(), **kwargs)
+        super().__init__(_env_root("NCK_CRC_ROOT_DIR", root_dir), **kwargs)
 
 
 @external_store(group="datasets", name="SICAP", populate_full_signature=False)
-class SICAP(HFImageClassification):
-    """SICAPv2 prostate Gleason grading (reference: sicap.py)."""
+class SICAP(_MedDatasetBase):
+    """SICAPv2 prostate Gleason grading (reference: sicap.py).
 
-    hub_name = "1aurent/SICAPv2"
+    Official xlsx partitions (``partition/Test/{Train,Test}.xlsx``) with
+    one-hot NC/G3/G4/G5 grade columns reduced via idxmax
+    (reference sicap.py:46-70); images under ``<root>/images``.
+    """
+
     id2label = {
         0: "benign glands",
         1: "atrophic dense glands",
@@ -122,9 +159,41 @@ class SICAP(HFImageClassification):
         3: "isolated nest cells without lumen roseting patterns",
     }
     zero_shot_prompt_templates = HISTOPATHOLOGY_TEMPLATES
+    _grades = ("NC", "G3", "G4", "G5")
 
-    def __init__(self, root_dir: Optional[str] = None, **kwargs):
-        super().__init__(root_dir or _env_root("SICAP_ROOT_DIR")(), **kwargs)
+    def __init__(
+        self,
+        root_dir: Optional[str] = None,
+        split: str = "test",
+        image_dir: str = "images",
+        transform: Optional[Callable] = None,
+        image_size: int = 224,
+    ):
+        super().__init__(transform, image_size)
+        if split not in ("train", "test"):
+            raise ValueError(f"SICAP split must be train/test, got {split!r}")
+        root = _env_root("SICAP_ROOT_DIR", root_dir)
+        import pandas as pd
+
+        xlsx = os.path.join(
+            root, "partition/Test", "Train.xlsx" if split == "train" else "Test.xlsx"
+        )
+        df = pd.read_excel(xlsx)[["image_name", *self._grades]]
+        grade_to_id = {g: i for i, g in enumerate(self._grades)}
+        self.labels = (
+            df[list(self._grades)].idxmax(axis=1).map(grade_to_id).values
+        )
+        self.paths = df["image_name"].values
+        self.image_dir = os.path.join(root, image_dir)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> Example:
+        from mmlearn_tpu.datasets.builtin.image_utils import load_image
+
+        path = os.path.join(self.image_dir, str(self.paths[idx]))
+        return self._example(load_image(path), int(self.labels[idx]), idx)
 
 
 @external_store(group="datasets", name="HAM10000", populate_full_signature=False)
@@ -150,7 +219,7 @@ class HAM10000(CSVImageClassification):
     zero_shot_prompt_templates = DERMATOLOGY_TEMPLATES
 
     def __init__(self, root_dir: Optional[str] = None, **kwargs):
-        super().__init__(root_dir or _env_root("HAM10000_ROOT_DIR")(), **kwargs)
+        super().__init__(_env_root("HAM10000_ROOT_DIR", root_dir), **kwargs)
 
     def __getitem__(self, idx: int) -> Example:
         # image ids lack extensions in the metadata CSV
@@ -182,7 +251,7 @@ class PadUfes20(CSVImageClassification):
     zero_shot_prompt_templates = DERMATOLOGY_TEMPLATES
 
     def __init__(self, root_dir: Optional[str] = None, **kwargs):
-        super().__init__(root_dir or _env_root("PAD_UFES_20_ROOT_DIR")(), **kwargs)
+        super().__init__(_env_root("PAD_UFES_20_ROOT_DIR", root_dir), **kwargs)
 
 
 # MedMNIST+ label maps for the sub-datasets the reference enumerates
@@ -241,7 +310,7 @@ class MedMNISTPlus(_MedDatasetBase):
         image_size: int = 224,
     ) -> None:
         super().__init__(transform, image_size)
-        root_dir = root_dir or _env_root("MEDMNISTPLUS_ROOT_DIR")()
+        root_dir = _env_root("MEDMNISTPLUS_ROOT_DIR", root_dir)
         self.name = name
         data = np.load(os.path.join(root_dir, f"{name}_224.npz"))
         self.images = data[f"{split}_images"]

@@ -145,7 +145,15 @@ class MedVQA:
             with open(vocab_path) as f:
                 answers = json.load(f)
         else:
-            answers = sorted({str(e.get("answer", "")) for e in self.entries})
+            # the vocabulary must come from the TRAIN split for every split,
+            # else train/test answer ids diverge (sorted sets of different
+            # answer pools) and closed-set targets are incomparable
+            source = self.entries
+            train_path = os.path.join(root, "train.json")
+            if split != "train" and os.path.isfile(train_path):
+                with open(train_path) as f:
+                    source = json.load(f)
+            answers = sorted({str(e.get("answer", "")) for e in source})
         self.answer_to_id = {a: i for i, a in enumerate(answers)}
         self.id2label = {i: a for a, i in self.answer_to_id.items()}
 

@@ -298,3 +298,76 @@ def test_med_medvqa(tmp_path):
     assert ex["text"] == "is it normal?"
     assert ex["rgb_target"] == 2  # yes
     np.testing.assert_array_equal(ex["rgb_ae_features"], np.zeros(4))
+
+
+def test_hf_image_classification_protocols(monkeypatch, tmp_path):
+    """Official-split passthrough, BACK filtering, and string label mapping
+    (reference nck.py:40-72, pcam.py:50) — exercised without network via a
+    stubbed datasets.load_dataset."""
+
+    class FakeHub:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def filter(self, fn):
+            return FakeHub([r for r in self.rows if fn(r)])
+
+        def train_test_split(self, **k):
+            n = len(self.rows)
+            return {"train": FakeHub(self.rows[: int(n * 0.75)]),
+                    "test": FakeHub(self.rows[int(n * 0.75):])}
+
+        def __len__(self):
+            return len(self.rows)
+
+        def __getitem__(self, i):
+            return self.rows[i]
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    rows = [{"image": img, "label": lbl}
+            for lbl in ("ADI", "BACK", "TUM", "LYM", "BACK")]
+    calls = {}
+
+    def fake_load_dataset(name, cache_dir=None, split=None):
+        calls["split"] = split
+        return FakeHub(rows)
+
+    import datasets as hf_datasets
+
+    monkeypatch.setattr(hf_datasets, "load_dataset", fake_load_dataset)
+
+    from projects.med_benchmarking.datasets.classification import NckCrc
+
+    ds = NckCrc(root_dir=str(tmp_path), split="validation", image_size=16)
+    # official split passed straight through (no 75/25 re-split)
+    assert calls["split"] == "validation"
+    # BACK rows filtered (reference nck.py:70-72)
+    assert len(ds) == 3
+    ex = ds[0]
+    assert ex["rgb_target"] == 0  # "ADI" -> 0 via label_mapping
+    assert ds[1]["rgb_target"] == 7  # "TUM" -> 7
+    assert ds.id2label[7] == "colorectal adenocarcinoma epithelium"
+
+
+def test_medvqa_vocab_from_train_split(tmp_path):
+    """Eval splits must reuse the train split's answer vocabulary."""
+    import json as _json
+
+    from projects.med_benchmarking.datasets.image_text import MedVQA
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    from PIL import Image
+
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(str(img_dir / "a.png"))
+    (tmp_path / "train.json").write_text(_json.dumps(
+        [{"image": "a.png", "question": "q", "answer": a}
+         for a in ("yes", "no", "maybe")]
+    ))
+    (tmp_path / "test.json").write_text(_json.dumps(
+        [{"image": "a.png", "question": "q", "answer": "yes"}]
+    ))
+    train = MedVQA(root_dir=str(tmp_path), split="train", image_size=16)
+    test = MedVQA(root_dir=str(tmp_path), split="test", image_size=16)
+    assert test.answer_to_id == train.answer_to_id
+    assert test[0]["rgb_target"] == train.answer_to_id["yes"]
