@@ -127,8 +127,20 @@ class RetrievalRecallAtK:
         self._num_targets += int(targets.shape[0])
 
     def compute(self) -> float:
+        return self.compute_many([self.top_k])[self.top_k]
+
+    def compute_many(self, ks: "Sequence[int]") -> dict[int, float]:
+        """Recall at EVERY k in ``ks`` from ONE similarity pass.
+
+        The N×M matmul + top-k runs once with k = max(ks); recall@k for
+        smaller k reads the first k columns — multiple cutoffs cost one
+        accumulation and one pass instead of one metric per k (the
+        reference gets the same sharing from torchmetrics compute groups,
+        zero_shot_classification.py:286).
+        """
+        ks = sorted({int(k) for k in ks})
         if not self._queries:
-            return 0.0
+            return {k: 0.0 for k in ks}
         from mmlearn_tpu.parallel.collectives import process_allgather
 
         # single batched host transfer for the whole epoch's accumulation
@@ -165,14 +177,18 @@ class RetrievalRecallAtK:
         t = jnp.asarray(
             l2_normalize(jnp.asarray(targets, jnp.float32))
         )
-        k = min(self.top_k, t.shape[0])
-        hits = []
+        k_max = min(max(ks), t.shape[0])
+        hits: dict[int, list] = {k: [] for k in ks}
         for start in range(0, len(q), self.query_chunk_size):
             chunk = jnp.asarray(q[start : start + self.query_chunk_size])
-            top_idx = np.asarray(_topk_chunk(chunk, t, k))
+            top_idx = np.asarray(_topk_chunk(chunk, t, k_max))
             pos = indexes[start : start + len(chunk), None]
-            hits.append((top_idx == pos).any(axis=1))
-        return float(np.concatenate(hits).mean())
+            match = top_idx == pos
+            for k in ks:
+                hits[k].append(match[:, : min(k, k_max)].any(axis=1))
+        return {
+            k: float(np.concatenate(hits[k]).mean()) for k in ks
+        }
 
     # torchmetrics-style aliases used by the eval tasks
     __call__ = update

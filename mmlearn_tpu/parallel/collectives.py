@@ -114,3 +114,54 @@ def process_allgather_object(obj: Any) -> list:
         pickle.loads(gathered[p, : int(lens[p])].tobytes())
         for p in range(len(lens))
     ]
+
+
+def process_local_rows(arr: Any) -> "np.ndarray":
+    """This process's rows of a possibly globally-sharded device array.
+
+    Under multihost SPMD, batches are global ``jax.Array``s assembled from
+    process-local data (``make_array_from_process_local_data``);
+    ``np.asarray`` on one raises "spans non-addressable devices". Eval hooks
+    store per-process rows and stitch processes together once at epoch end
+    (``process_allgather`` / ``process_allgather_object``) — the TPU
+    equivalent of the reference's torchmetrics gather
+    (reference retrieval_recall.py:140-161). Rows replicated over fsdp/model
+    axes are deduplicated by their batch-dim offset.
+    """
+    import numpy as np
+
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        seen: set = set()
+        parts = []
+        for shard in sorted(
+            arr.addressable_shards, key=lambda s: (s.index[0].start or 0)
+        ):
+            start = shard.index[0].start or 0
+            if start in seen:
+                continue
+            seen.add(start)
+            parts.append(np.asarray(shard.data))
+        return np.concatenate(parts, axis=0)
+    return np.asarray(arr)
+
+
+def process_local_rows_device(arr: Any) -> Any:
+    """Like :func:`process_local_rows` but stays ON DEVICE.
+
+    Fully-addressable arrays pass through untouched (no host transfer —
+    eval embeddings accumulate device-resident); globally-sharded arrays
+    are reduced to this process's rows by concatenating the local shards.
+    """
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        seen: set = set()
+        parts = []
+        for shard in sorted(
+            arr.addressable_shards, key=lambda s: (s.index[0].start or 0)
+        ):
+            start = shard.index[0].start or 0
+            if start in seen:
+                continue
+            seen.add(start)
+            parts.append(shard.data)
+        return jnp.concatenate(parts, axis=0)
+    return arr

@@ -63,7 +63,13 @@ class TrainingTask:
         batch: Mapping[str, Any],
         rng: jax.Array,
         extras: Optional[Mapping[str, Any]] = None,
+        deterministic: bool = False,
     ) -> tuple[jnp.ndarray, tuple[dict, Any]]:
+        """Pure loss: ``(loss, (metrics, new_extras))``.
+
+        The trainer always passes ``deterministic`` (False in train steps,
+        True in val/test loss steps) — overrides must accept it.
+        """
         raise NotImplementedError
 
     # -- optional overrides ---------------------------------------------------

@@ -308,7 +308,11 @@ class ContrastivePretraining(TrainingTask):
 
     def init_params(self, rng: jax.Array, sample_batch: Mapping[str, Any]) -> Any:
         params: dict[str, Any] = {"encoders": {}, "heads": {}, "postprocessors": {}}
-        rngs = jax.random.split(rng, len(self.encoders) + len(self.heads) + 8)
+        rngs = jax.random.split(
+            rng,
+            len(self.encoders) + len(self.heads)
+            + len(self.postprocessors) + 8,
+        )
         ridx = 0
         for key, module in self.encoders.items():
             modality = next(
@@ -330,27 +334,39 @@ class ContrastivePretraining(TrainingTask):
                 enc_params = _merge_pretrained(enc_params, pretrained, key)
             params["encoders"][key] = enc_params
             ridx += 1
-        # heads/postprocessors may be flax modules (init with encoder output)
+        # heads/postprocessors may be flax modules. The head consumes the
+        # POSTPROCESSOR's output in encode() (reference encode order,
+        # contrastive_pretraining.py:400-431), so when a postprocessor
+        # exists its output shape — not the encoder's pooled shape — must
+        # initialize the head.
         for m in self.modalities:
+            pkey = self.postprocessor_keys[m]
+            post = self.postprocessors.get(pkey)
+            head_input_shape = None
+            if post is not None:
+                seq = self._sequence_output_shape(sample_batch, m)
+                if _is_flax_module(post):
+                    if pkey not in params["postprocessors"]:
+                        params["postprocessors"][pkey] = post.init(
+                            rngs[ridx], jnp.zeros(seq)
+                        )["params"]
+                        ridx += 1
+                    probe = post.apply(
+                        {"params": params["postprocessors"][pkey]},
+                        jnp.zeros(seq),
+                    )
+                else:
+                    probe = post(jnp.zeros(seq))
+                head_input_shape = jnp.shape(probe)
             key = self.head_keys[m]
             head = self.heads.get(key)
             if head is not None and _is_flax_module(head) and key not in params["heads"]:
-                pooled = self._pooled_output_shape(sample_batch, m)
-                params["heads"][key] = head.init(rngs[ridx], jnp.zeros(pooled))[
+                shape = head_input_shape or self._pooled_output_shape(
+                    sample_batch, m
+                )
+                params["heads"][key] = head.init(rngs[ridx], jnp.zeros(shape))[
                     "params"
                 ]
-                ridx += 1
-            pkey = self.postprocessor_keys[m]
-            post = self.postprocessors.get(pkey)
-            if (
-                post is not None
-                and _is_flax_module(post)
-                and pkey not in params["postprocessors"]
-            ):
-                seq = self._sequence_output_shape(sample_batch, m)
-                params["postprocessors"][pkey] = post.init(
-                    rngs[ridx], jnp.zeros(seq)
-                )["params"]
                 ridx += 1
 
         log_scale = jnp.asarray(math.log(self.init_logit_scale), jnp.float32)
@@ -608,5 +624,10 @@ class ContrastivePretraining(TrainingTask):
         self, batch: dict[str, Any], step: int, training: bool = True
     ) -> dict[str, Any]:
         for task in self.auxiliary_tasks.values():
+            # propagate the run seed: the trainer stamps it on the PARENT
+            # task only, but aux mask generators (IJEPA) seed per
+            # (prepare_seed, step, phase) — without this, every multi-task
+            # run drew the seed-0 mask sequence regardless of the run seed
+            task.prepare_seed = getattr(self, "prepare_seed", 0)
             batch = task.prepare_batch(batch, step, training=training)
         return batch

@@ -117,23 +117,30 @@ class EmbeddingExport(EvaluationHooks):
             key = Modalities.get_modality(mod).name
             if key not in batch:
                 continue
-            emb = runtime.encode(batch, mod, normalize=self.normalize)
+            from mmlearn_tpu.parallel.collectives import (
+                process_local_rows,
+                process_local_rows_device,
+            )
+
+            emb = process_local_rows_device(
+                runtime.encode(batch, mod, normalize=self.normalize)
+            )
             n = emb.shape[0]
             valid = np.ones(n, dtype=bool)
             pk = f"{key}{MODALITY_PRESENCE_SUFFIX}"
             if pk in batch:
-                valid &= np.asarray(batch[pk]).astype(bool)
+                valid &= process_local_rows(batch[pk]).astype(bool)
             if "batch_validity" in batch:
-                valid &= np.asarray(batch["batch_validity"]).astype(bool)
+                valid &= process_local_rows(batch["batch_validity"]).astype(bool)
             if EXAMPLE_INDEX_KEY in batch:
-                ex_idx = np.asarray(batch[EXAMPLE_INDEX_KEY]).reshape(-1)[:n]
+                ex_idx = process_local_rows(batch[EXAMPLE_INDEX_KEY]).reshape(-1)[:n]
             else:
                 # datasets that don't stamp indices: consumption order,
                 # globally unique across batches
                 seen = self._consumed.get(mod, 0)
                 ex_idx = np.arange(seen, seen + n)
             self._consumed[mod] = self._consumed.get(mod, 0) + n
-            ds_idx = np.asarray(
+            ds_idx = process_local_rows(
                 batch.get(DATASET_INDEX_KEY, np.zeros(n, np.int64))
             ).reshape(-1)[:n]
             buf = self._buffers.setdefault(mod, [])

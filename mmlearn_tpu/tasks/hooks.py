@@ -13,6 +13,26 @@ from typing import Any, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def device_batch(batch: Mapping[str, Any]) -> dict[str, Any]:
+    """Keep only device-compatible (numeric array) entries of a batch.
+
+    One filter for the trainer's step inputs and the eval runtime's encode
+    inputs: recurses into nested mappings and drops object-dtype arrays
+    (collated raw strings) that would fail inside ``jax.jit``.
+    """
+    out: dict[str, Any] = {}
+    for k, v in batch.items():
+        if isinstance(v, Mapping):
+            sub = device_batch(v)
+            if sub:
+                out[k] = sub
+        elif isinstance(v, (np.ndarray, jnp.ndarray, jax.Array)):
+            if getattr(v, "dtype", None) is not None and v.dtype != object:
+                out[k] = v
+    return out
 
 
 class EvalRuntime:
@@ -46,12 +66,7 @@ class EvalRuntime:
                 return task.encode(params, b, modality, normalize=normalize)
 
             self._encode_jit[key] = jax.jit(_enc)
-        device_batch = {
-            k: v
-            for k, v in batch.items()
-            if not isinstance(v, (list, str)) and getattr(v, "dtype", None) is not None
-        }
-        return self._encode_jit[key](self.params, device_batch)
+        return self._encode_jit[key](self.params, device_batch(batch))
 
 
 class EvaluationHooks:

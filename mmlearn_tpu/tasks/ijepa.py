@@ -172,14 +172,16 @@ class IJEPA(TrainingTask):
         h = repeat_interleave_batch(h, b, repeat=n_enc)
         h = jax.lax.stop_gradient(h)
 
-        # student on context patches only (reference lines 240-242)
-        rngs = {"dropout": rng} if not deterministic else None
+        # student on context patches only (reference lines 240-242);
+        # encoder and predictor draw INDEPENDENT dropout keys (the same base
+        # rng would correlate masks at matching module paths)
+        enc_rng, pred_rng = jax.random.split(rng)
         z = self.encoder.apply(
             {"params": encoder_params},
             images,
             patch_masks=enc_masks,
             deterministic=deterministic,
-            rngs=rngs,
+            rngs={"dropout": enc_rng} if not deterministic else None,
         ).last_hidden_state  # (n_enc*B, K_ctx, D)
 
         z_pred = self.predictor.apply(
@@ -188,7 +190,7 @@ class IJEPA(TrainingTask):
             enc_masks,
             pred_masks,
             deterministic=deterministic,
-            rngs=rngs,
+            rngs={"dropout": pred_rng} if not deterministic else None,
         )  # (n_pred*n_enc*B, K_tgt, D)
 
         return smooth_l1(z_pred.astype(jnp.float32), h.astype(jnp.float32),

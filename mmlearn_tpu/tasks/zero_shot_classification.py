@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmlearn_tpu.conf import store
-from mmlearn_tpu.constants import MODALITY_PRESENCE_SUFFIX
+from mmlearn_tpu.constants import DATASET_INDEX_KEY, MODALITY_PRESENCE_SUFFIX
 from mmlearn_tpu.datasets.core.modalities import Modalities
 from mmlearn_tpu.modules.layers.normalization import l2_normalize
 from mmlearn_tpu.tasks.hooks import EvalRuntime, EvaluationHooks
@@ -82,12 +82,17 @@ class ZeroShotClassification(EvaluationHooks):
         self._scores.clear()
         self._targets.clear()
         info = self._dataset_info(runtime)
-        self._info = info
         for ds_idx, meta in info.items():
             id2label = meta["id2label"]
             templates = meta["templates"]
-            labels = [id2label[k] for k in sorted(id2label)]
-            per_class = []
+            # class-embedding row i must hold class id i: sort keys
+            # NUMERICALLY (JSON-loaded id2label has string keys, and
+            # lexicographic order puts '10' before '2')
+            try:
+                keys = sorted(id2label, key=lambda k: int(k))
+            except (TypeError, ValueError):
+                keys = list(id2label)  # non-numeric keys: insertion order
+            labels = [id2label[k] for k in keys]
             # encode all (class, template) prompts in chunks, average over
             # templates, re-normalize (reference lines 141-176)
             prompts = [t.format(lbl) for lbl in labels for t in templates]
@@ -108,7 +113,14 @@ class ZeroShotClassification(EvaluationHooks):
     ) -> None:
         if not self._class_embeddings:
             return
-        ds_indices = np.asarray(batch.get("dataset_index", np.zeros(1, np.int64)))
+        from mmlearn_tpu.parallel.collectives import (
+            process_local_rows,
+            process_local_rows_device,
+        )
+
+        ds_indices = process_local_rows(
+            batch.get(DATASET_INDEX_KEY, np.zeros(1, np.int64))
+        )
         for spec in self.task_specs:
             q = str(spec.query_modality).lower()
             mod = Modalities.get_modality(q)
@@ -116,14 +128,16 @@ class ZeroShotClassification(EvaluationHooks):
                 continue
             # stays device-resident: scores accumulate as device buffers and
             # cross to host once at epoch end (VERDICT r2 item 10)
-            emb = runtime.encode(batch, q, normalize=True)
-            targets = np.asarray(batch[mod.target])
+            emb = process_local_rows_device(
+                runtime.encode(batch, q, normalize=True)
+            )
+            targets = process_local_rows(batch[mod.target])
             valid = np.ones(len(emb), dtype=bool)
             pk = f"{mod.name}{MODALITY_PRESENCE_SUFFIX}"
             if pk in batch:
-                valid &= np.asarray(batch[pk]).astype(bool)
+                valid &= process_local_rows(batch[pk]).astype(bool)
             if "batch_validity" in batch:
-                valid &= np.asarray(batch["batch_validity"]).astype(bool)
+                valid &= process_local_rows(batch["batch_validity"]).astype(bool)
             for ds_idx, class_emb in self._class_embeddings.items():
                 sel = valid & (ds_indices == ds_idx)
                 if not sel.any():
@@ -150,6 +164,10 @@ class ZeroShotClassification(EvaluationHooks):
         (zero_shot_classification.py:247-286); macro-averaged here.
         """
         from mmlearn_tpu.modules.metrics.classification import (
+            _binary_auroc,
+            binary_f1,
+            binary_precision,
+            binary_recall,
             macro_auroc,
             macro_f1,
             macro_precision,
@@ -161,11 +179,6 @@ class ZeroShotClassification(EvaluationHooks):
             str(s.query_modality).lower(): [int(k) for k in s.top_k]
             for s in self.task_specs
         }
-        from mmlearn_tpu.modules.metrics.classification import (
-            binary_f1,
-            binary_precision,
-            binary_recall,
-        )
 
         results: dict[str, float] = {}
         # single batched host transfer for all accumulated device scores
@@ -183,8 +196,6 @@ class ZeroShotClassification(EvaluationHooks):
                 results[f"{prefix}_precision"] = binary_precision(preds, targets)
                 results[f"{prefix}_recall"] = binary_recall(preds, targets)
                 results[f"{prefix}_f1"] = binary_f1(preds, targets)
-                from mmlearn_tpu.modules.metrics.classification import _binary_auroc
-
                 auroc = _binary_auroc(scores, targets.astype(bool))
                 if auroc is not None:
                     results[f"{prefix}_auroc"] = auroc

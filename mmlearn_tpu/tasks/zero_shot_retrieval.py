@@ -39,12 +39,18 @@ class ZeroShotCrossModalRetrieval(EvaluationHooks):
             spec if isinstance(spec, RetrievalTaskSpec) else RetrievalTaskSpec(**spec)
             for spec in task_specs
         ]
-        self.metrics: dict[tuple, RetrievalRecallAtK] = {}
+        # ONE metric per direction: all k cutoffs share the accumulated
+        # embeddings and a single similarity pass (compute_many)
+        self._ks: dict[tuple, list[int]] = {}
         for spec in self.task_specs:
             q = str(spec.query_modality).lower()
             t = str(spec.target_modality).lower()
-            for k in spec.top_k:
-                self.metrics[(q, t, int(k))] = RetrievalRecallAtK(top_k=int(k))
+            merged = self._ks.setdefault((q, t), [])
+            merged.extend(int(k) for k in spec.top_k)
+        self.metrics: dict[tuple, RetrievalRecallAtK] = {
+            pair: RetrievalRecallAtK(top_k=max(ks))
+            for pair, ks in self._ks.items()
+        }
 
     def on_evaluation_epoch_start(self, runtime: EvalRuntime) -> None:
         for metric in self.metrics.values():
@@ -54,28 +60,39 @@ class ZeroShotCrossModalRetrieval(EvaluationHooks):
         self, runtime: EvalRuntime, batch: Mapping[str, Any], batch_idx: int
     ) -> None:
         cache: dict[str, Any] = {}
-        for (q, t, k), metric in self.metrics.items():
+        for (q, t), metric in self.metrics.items():
             q_key = Modalities.get_modality(q).name
             t_key = Modalities.get_modality(t).name
             if q_key not in batch or t_key not in batch:
                 continue
             for mod in (q, t):
                 if mod not in cache:
+                    from mmlearn_tpu.parallel.collectives import (
+                        process_local_rows_device,
+                    )
+
                     # stays device-resident: the metric accumulates device
-                    # buffers and transfers once at epoch end
-                    cache[mod] = runtime.encode(batch, mod, normalize=False)
+                    # buffers and transfers once at epoch end; multihost
+                    # batches reduce to this process's rows first
+                    cache[mod] = process_local_rows_device(
+                        runtime.encode(batch, mod, normalize=False)
+                    )
+            from mmlearn_tpu.parallel.collectives import process_local_rows
+
             valid = np.ones(len(cache[q]), dtype=bool)
             for key in (q_key, t_key):
                 pk = f"{key}{MODALITY_PRESENCE_SUFFIX}"
                 if pk in batch:
-                    valid &= np.asarray(batch[pk]).astype(bool)
+                    valid &= process_local_rows(batch[pk]).astype(bool)
             if "batch_validity" in batch:
-                valid &= np.asarray(batch["batch_validity"]).astype(bool)
+                valid &= process_local_rows(batch["batch_validity"]).astype(bool)
             metric.update(cache[q], cache[t], indexes=None, valid=valid)
 
     def on_evaluation_epoch_end(self, runtime: EvalRuntime) -> dict[str, float]:
         results = {}
-        for (q, t, k), metric in self.metrics.items():
-            results[f"retrieval/{q}_to_{t}_R@{k}"] = metric.compute()
+        for (q, t), metric in self.metrics.items():
+            recalls = metric.compute_many(self._ks[(q, t)])
+            for k, value in recalls.items():
+                results[f"retrieval/{q}_to_{t}_R@{k}"] = value
             metric.reset()
         return results

@@ -39,6 +39,7 @@ from mmlearn_tpu.parallel import (
     shard_batch,
 )
 from mmlearn_tpu.tasks.hooks import EvalRuntime
+from mmlearn_tpu.tasks.hooks import device_batch as _device_batch
 from mmlearn_tpu.trainer.state import TrainState
 
 logger = logging.getLogger(__name__)
@@ -83,20 +84,6 @@ def validate_batch_shapes(batch: Mapping[str, Any], context: str = "train") -> i
                 f"{batch_dim} but '{key}' has {lead}"
             )
     return batch_dim or 0
-
-
-def _device_batch(batch: Mapping[str, Any]) -> dict[str, Any]:
-    """Keep only array-valued entries (device-compatible)."""
-    out = {}
-    for k, v in batch.items():
-        if isinstance(v, Mapping):
-            sub = _device_batch(v)
-            if sub:
-                out[k] = sub
-        elif isinstance(v, (np.ndarray, jnp.ndarray, jax.Array)):
-            if getattr(v, "dtype", None) is not None and v.dtype != object:
-                out[k] = v
-    return out
 
 
 class Trainer:

@@ -29,32 +29,7 @@ QUERY_TYPES = ("rgb", "dna", "averaged", "concatenated")
 KEY_TYPES = ("rgb", "dna", "averaged", "concatenated", "all_key")
 
 
-def _local_rows(arr: Any) -> np.ndarray:
-    """This process's rows of a possibly globally-sharded device array.
-
-    Under multihost SPMD the trainer's batches are global jax.Arrays
-    (assembled from process-local data); ``np.asarray`` on one raises
-    "spans non-addressable devices". Each process stores only its own rows
-    (deduped across replicated axes); the epoch-end
-    ``process_allgather_object`` then stitches processes together exactly
-    once (reference eval_task.py:68-92 gathers the same way).
-    """
-    import jax
-
-    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        seen: set = set()
-        parts = []
-        for shard in sorted(
-            arr.addressable_shards,
-            key=lambda s: (s.index[0].start or 0),
-        ):
-            start = shard.index[0].start or 0
-            if start in seen:  # replica over fsdp/model axes
-                continue
-            seen.add(start)
-            parts.append(np.asarray(shard.data))
-        return np.concatenate(parts, axis=0)
-    return np.asarray(arr)
+from mmlearn_tpu.parallel.collectives import process_local_rows as _local_rows
 
 
 def _labels_to_list(labels: Any, n: int) -> list[dict[str, str]]:
@@ -177,7 +152,7 @@ class TaxonomicClassification(EvaluationHooks):
         if splits is None:
             splits = ["no_split"] * n
         labels = _labels_to_list(batch.get("labels", [{}] * n), n)
-        valid = np.asarray(
+        valid = _local_rows(
             batch.get("batch_validity", np.ones(n, dtype=bool))
         ).astype(bool)
 
