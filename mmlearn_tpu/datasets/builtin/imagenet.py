@@ -122,7 +122,14 @@ class ImageNet:
                     raw = json.load(f)
                 if isinstance(raw, list):
                     return {i: name for i, name in enumerate(raw)}
-                return {int(k): v for k, v in raw.items()}
+                try:
+                    return {int(k): v for k, v in raw.items()}
+                except ValueError:
+                    # wnid-keyed form ({"n01440764": "tench", ...}): map
+                    # through the class-folder order
+                    return {
+                        i: raw.get(c, c) for i, c in enumerate(classes)
+                    }
         if len(classes) == 1000:
             # self-contained 1000-class mapping (the reference embeds the
             # same table, mmlearn/datasets/imagenet.py:157+); folder names

@@ -40,6 +40,12 @@ class CombinedDataset:
                     f"Dataset {ds!r} is neither map-style nor iterable"
                 )
         self._iterators: dict[int, Iterator] = {}
+        # DataLoader may call __getitem__ from a thread pool; python
+        # generators are not re-entrant and the consumption counters must
+        # not race
+        import threading
+
+        self._iter_lock = threading.Lock()
         # per-stream consumption counters: iterable datasets have no stable
         # per-example index, so examples are stamped with the order this
         # process consumed them (monotonic across iterator resets, so
@@ -48,6 +54,20 @@ class CombinedDataset:
         self._cumulative_sizes = np.cumsum(
             [self._dataset_len(ds) for ds in self.datasets]
         ).tolist()
+
+    def __getstate__(self) -> dict:
+        # grain workers pickle the dataset: drop the (unpicklable) lock and
+        # live iterators; each process re-creates them lazily
+        state = dict(self.__dict__)
+        state["_iter_lock"] = None
+        state["_iterators"] = {}
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        import threading
+
+        self.__dict__.update(state)
+        self._iter_lock = threading.Lock()
 
     @staticmethod
     def _dataset_len(dataset: Any) -> int:
@@ -83,6 +103,19 @@ class CombinedDataset:
     def cumulative_sizes(self) -> list[int]:
         return list(self._cumulative_sizes)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Propagate the epoch to sub-datasets and DROP cached iterators.
+
+        A generator cached from the previous epoch would keep yielding the
+        old epoch's shard order after ``set_epoch`` (the stream's reshuffle
+        only takes effect on the next ``iter()``).
+        """
+        with self._iter_lock:
+            self._iterators.clear()
+        for ds in self.datasets:
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
+
     def _next_from_iterable(self, dataset_idx: int) -> Example:
         if dataset_idx not in self._iterators:
             self._iterators[dataset_idx] = iter(self.datasets[dataset_idx])
@@ -106,9 +139,10 @@ class CombinedDataset:
             example = dataset[sample_idx]
             fallback_index = sample_idx
         else:
-            example = self._next_from_iterable(dataset_idx)
-            fallback_index = self._consumed.get(dataset_idx, 0)
-            self._consumed[dataset_idx] = fallback_index + 1
+            with self._iter_lock:  # generators are not re-entrant
+                example = self._next_from_iterable(dataset_idx)
+                fallback_index = self._consumed.get(dataset_idx, 0)
+                self._consumed[dataset_idx] = fallback_index + 1
 
         if not isinstance(example, Example):
             raise TypeError(

@@ -81,5 +81,12 @@ def find_matching_indices(
             f"Expected second_example_ids of shape (M, 2), got {second.shape}"
         )
     matches = (first[:, None, :] == second[None, :, :]).all(axis=-1)
+    # (-1, -1) is the collator's "modality absent" sentinel
+    # (data_collator.py) — two examples both missing a modality must NOT
+    # match each other
+    valid = (first >= 0).all(axis=-1)[:, None] & (second >= 0).all(
+        axis=-1
+    )[None, :]
+    matches &= valid
     first_idx, second_idx = np.nonzero(matches)
     return first_idx.astype(np.int64), second_idx.astype(np.int64)

@@ -95,6 +95,17 @@ class GrainDataLoader:
         ds = grain.MapDataset.source(source)
         it = ds.to_iter_dataset()
         if self.num_workers > 0:
+            if not getattr(self.dataset, "all_map_style", True):
+                # each grain worker gets a PICKLED COPY of the dataset: an
+                # iterable sub-dataset's stream would restart from position
+                # 0 in every worker — early examples duplicated num_workers
+                # times, the tail never read. No error would surface.
+                raise ValueError(
+                    "GrainDataLoader(num_workers>0) cannot multiprocess a "
+                    "dataset with iterable/streaming sub-datasets (each "
+                    "worker would replay the stream from the start). Use "
+                    "num_workers=0 or the threaded DataLoader."
+                )
             it = it.mp_prefetch(
                 grain.MultiprocessingOptions(
                     num_workers=self.num_workers,

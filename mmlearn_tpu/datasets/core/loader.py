@@ -62,6 +62,7 @@ class DataLoader:
         self.collate_fn = collate_fn or DefaultDataCollator()
         self.num_workers = int(num_workers)
         self.prefetch_factor = max(1, int(prefetch_factor))
+        self._pool: Optional[ThreadPoolExecutor] = None
         if sampler is not None:
             self.sampler = sampler
         elif shuffle:
@@ -102,8 +103,11 @@ class DataLoader:
 
     def _fetch(self, indices: list[int]) -> dict[str, Any]:
         if self.num_workers > 0 and len(indices) > 1:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                examples = list(pool.map(self.dataset.__getitem__, indices))
+            if self._pool is None:
+                # one pool per loader, reused across batches (a fresh pool
+                # per batch paid thread spawn/join on the critical path)
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            examples = list(self._pool.map(self.dataset.__getitem__, indices))
         else:
             examples = [self.dataset[i] for i in indices]
         n_real = len(examples)

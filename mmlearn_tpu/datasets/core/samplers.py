@@ -114,7 +114,16 @@ class CombinedDatasetRatioSampler:
             )
         n = len(self.dataset.datasets)
         if self.ratios is None:
-            self.ratios = [1.0 / n] * n
+            # reference default: each dataset's LENGTH is its ratio
+            # (size-proportional sampling, reference samplers.py:23-27) —
+            # uniform would oversample small datasets by orders of magnitude
+            from mmlearn_tpu.datasets.core.combined_dataset import (
+                CombinedDataset as _CD,
+            )
+
+            self.ratios = [
+                float(_CD._dataset_len(ds)) for ds in self.dataset.datasets
+            ]
         if len(self.ratios) != n:
             raise ValueError(
                 f"Got {len(self.ratios)} ratios for {n} datasets"

@@ -14,7 +14,11 @@ import math
 from dataclasses import dataclass
 from typing import Optional
 
+import threading
+
 import numpy as np
+
+_RNG_LOCK = threading.Lock()
 
 from mmlearn_tpu.conf import store
 
@@ -46,7 +50,12 @@ class RandomMaskGenerator:
         attention_mask: Optional[np.ndarray] = None,
         rng: Optional[np.random.Generator] = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        rng = rng or self._rng
+        if rng is None:
+            # numpy Generators are not thread-safe and DataLoader may call
+            # __getitem__ from a thread pool: spawn an independent child
+            # stream under a lock (module-level so instances stay picklable)
+            with _RNG_LOCK:
+                rng = self._rng.spawn(1)[0]
         input_ids = np.asarray(input_ids)
         special = np.isin(input_ids, np.asarray(self.special_token_ids))
         eligible = ~special
@@ -117,7 +126,12 @@ class BlockwiseImagePatchMaskGenerator:
         self._rng = np.random.default_rng(self.seed)
 
     def __call__(self, rng: Optional[np.random.Generator] = None) -> np.ndarray:
-        rng = rng or self._rng
+        if rng is None:
+            # numpy Generators are not thread-safe and DataLoader may call
+            # __getitem__ from a thread pool: spawn an independent child
+            # stream under a lock (module-level so instances stay picklable)
+            with _RNG_LOCK:
+                rng = self._rng.spawn(1)[0]
         mask = np.zeros((self.height, self.width), dtype=bool)
         count = 0
         attempts = 0
@@ -223,7 +237,12 @@ class IJEPAMaskGenerator:
     def __call__(
         self, batch_size: int, rng: Optional[np.random.Generator] = None
     ) -> dict[str, np.ndarray]:
-        rng = rng or self._rng
+        if rng is None:
+            # numpy Generators are not thread-safe and DataLoader may call
+            # __getitem__ from a thread pool: spawn an independent child
+            # stream under a lock (module-level so instances stay picklable)
+            with _RNG_LOCK:
+                rng = self._rng.spawn(1)[0]
         pred_masks = np.zeros((self.npred, batch_size, self.k_tgt), np.int32)
         enc_masks = np.zeros((self.nenc, batch_size, self.k_ctx), np.int32)
         # block shapes sampled once per batch (reference behavior:

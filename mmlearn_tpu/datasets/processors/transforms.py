@@ -47,7 +47,9 @@ def resize_image(img: np.ndarray, size) -> np.ndarray:
     th, tw = (size, size) if isinstance(size, int) else size
     h, w = img.shape[:2]
     if (h, w) == (th, tw):
-        return img
+        # same contract as the resize branch: float32, channel dim present
+        out = np.asarray(img, np.float32)
+        return out[..., None] if out.ndim == 2 else out
     ys = np.linspace(0, h - 1, th)
     xs = np.linspace(0, w - 1, tw)
     y0 = np.floor(ys).astype(int)
