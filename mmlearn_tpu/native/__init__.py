@@ -28,14 +28,23 @@ _TRIED = False
 
 
 def _build() -> bool:
+    # compile to a temp path + atomic rename: the module lock is per-process
+    # only, and another process dlopen-ing a half-written .so would fail (or
+    # crash if it mapped an in-place rewrite)
+    tmp = f"{_SO}.build-{os.getpid()}"
     base = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-ljpeg", "-lpthread",
-            "-o", _SO]
+            "-o", tmp]
     for cmd in (base[:1] + ["-march=native"] + base[1:], base):
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
             return True
-        except (subprocess.SubprocessError, FileNotFoundError) as err:
+        except (subprocess.SubprocessError, FileNotFoundError, OSError) as err:
             last_err = err
+    try:
+        os.unlink(tmp)
+    except OSError:
+        pass
     logger.info("fastloader build failed (%s); using PIL fallback", last_err)
     return False
 
@@ -46,9 +55,18 @@ def _load() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                return None
+        have_src = os.path.isfile(_SRC)
+        stale = (
+            have_src
+            and os.path.isfile(_SO)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        if not os.path.isfile(_SO) or stale:
+            # a prebuilt .so without sources (cleaned checkout / wheel) is
+            # used as-is; rebuilding requires the source file
+            if not have_src or not _build():
+                if not os.path.isfile(_SO):
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError as err:
@@ -183,6 +201,12 @@ def decode_jpeg_batch_train(
     offsets = np.zeros(n + 1, dtype=np.uintp)
     np.cumsum([len(j) for j in jpegs], out=offsets[1:])
     seed_arr = np.asarray(seeds, dtype=np.uint64)
+    if seed_arr.shape != (n,):
+        # the C side reads seeds[0..n-1] unconditionally
+        raise ValueError(
+            f"seeds must have exactly one entry per image: got "
+            f"{seed_arr.shape} for {n} images"
+        )
     out = np.empty((n, out_size, out_size, 3), dtype=np.uint8)
     failures = lib.fl_decode_jpeg_batch_train(
         blob,

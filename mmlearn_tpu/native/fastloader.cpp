@@ -86,7 +86,7 @@ bool peek_jpeg_dims(const uint8_t* data, size_t len, int& width, int& height) {
 // extent* they plan to resample from; we translate that to a bound on the
 // whole image via crop_short (the crop's shorter full-res extent).
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
-                 int& width, int& height, double& scale_applied,
+                 int& width, int& height, double& scale_x, double& scale_y,
                  int crop_short = 0, int min_dim = 0) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -104,7 +104,7 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
-  scale_applied = 1.0;
+  scale_x = scale_y = 1.0;
   if (dct_scaling_enabled() && crop_short > 0 && min_dim > 0 &&
       crop_short > min_dim) {
     // Only power-of-two ratios (1/2, 1/4, 1/8): libjpeg-turbo's scaled IDCT
@@ -123,7 +123,11 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
   jpeg_start_decompress(&cinfo);
   width = static_cast<int>(cinfo.output_width);
   height = static_cast<int>(cinfo.output_height);
-  scale_applied = static_cast<double>(cinfo.output_width) / cinfo.image_width;
+  // libjpeg ceil-rounds each scaled axis INDEPENDENTLY (output = ceil(dim *
+  // m / 8)), so the effective scale differs per axis; mapping both axes
+  // with the width ratio would shift the vertical crop near the bottom edge
+  scale_x = static_cast<double>(cinfo.output_width) / cinfo.image_width;
+  scale_y = static_cast<double>(cinfo.output_height) / cinfo.image_height;
   out.resize(static_cast<size_t>(width) * height * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out.data() + static_cast<size_t>(cinfo.output_scanline) *
@@ -187,19 +191,21 @@ void resample_crop(const uint8_t* src, int w, int h, double cx, double cy,
 // mmlearn_tpu.datasets.builtin.image_utils.ImageTransform(train=False).
 // The crop rect is derived in FULL-RES coordinates (identical to the
 // unscaled implementation), then mapped by the decode scale actually applied.
-void resize_center_crop(const uint8_t* src, int w, int h, double decode_scale,
-                        int full_w, int full_h, int out_size, uint8_t* dst) {
+void resize_center_crop(const uint8_t* src, int w, int h, double scale_x,
+                        double scale_y, int full_w, int full_h, int out_size,
+                        uint8_t* dst) {
   const int short_side = full_w < full_h ? full_w : full_h;
   const double scale = static_cast<double>(out_size) / short_side;
   const int nw = static_cast<int>(std::lround(full_w * scale));
   const int nh = static_cast<int>(std::lround(full_h * scale));
   const int left = (nw - out_size) / 2;
   const int top = (nh - out_size) / 2;
-  // crop rect in full-res source coordinates, mapped to decoded coordinates
-  resample_crop(src, w, h, (left / scale) * decode_scale,
-                (top / scale) * decode_scale,
-                (out_size / scale) * decode_scale,
-                (out_size / scale) * decode_scale, out_size,
+  // crop rect in full-res source coordinates, mapped per-axis to decoded
+  // coordinates
+  resample_crop(src, w, h, (left / scale) * scale_x,
+                (top / scale) * scale_y,
+                (out_size / scale) * scale_x,
+                (out_size / scale) * scale_y, out_size,
                 /*hflip=*/false, dst);
 }
 
@@ -256,14 +262,15 @@ int fl_decode_jpeg_resize(const uint8_t* data, size_t len, int out_size,
   if (!peek_jpeg_dims(data, len, full_w, full_h)) return 1;
   std::vector<uint8_t> raw;
   int w = 0, h = 0;
-  double decode_scale = 1.0;
+  double scale_x = 1.0, scale_y = 1.0;
   // the center crop spans the full short side; keep it >= out_size decoded
   const int crop_short = full_w < full_h ? full_w : full_h;
-  if (!decode_jpeg(data, len, raw, w, h, decode_scale, crop_short, out_size)) {
+  if (!decode_jpeg(data, len, raw, w, h, scale_x, scale_y, crop_short,
+                   out_size)) {
     return 1;
   }
-  resize_center_crop(raw.data(), w, h, decode_scale, full_w, full_h, out_size,
-                     out);
+  resize_center_crop(raw.data(), w, h, scale_x, scale_y, full_w, full_h,
+                     out_size, out);
   return 0;
 }
 
@@ -278,14 +285,15 @@ int fl_decode_jpeg_train(const uint8_t* data, size_t len, int out_size,
       draw_train_crop(full_w, full_h, smin, smax, pflip, seed);
   std::vector<uint8_t> raw;
   int w = 0, h = 0;
-  double decode_scale = 1.0;
+  double scale_x = 1.0, scale_y = 1.0;
   const int crop_short = crop.cw < crop.ch ? crop.cw : crop.ch;
-  if (!decode_jpeg(data, len, raw, w, h, decode_scale, crop_short, out_size)) {
+  if (!decode_jpeg(data, len, raw, w, h, scale_x, scale_y, crop_short,
+                   out_size)) {
     return 1;
   }
-  resample_crop(raw.data(), w, h, crop.left * decode_scale,
-                crop.top * decode_scale, crop.cw * decode_scale,
-                crop.ch * decode_scale, out_size, crop.flip, out);
+  resample_crop(raw.data(), w, h, crop.left * scale_x, crop.top * scale_y,
+                crop.cw * scale_x, crop.ch * scale_y, out_size, crop.flip,
+                out);
   return 0;
 }
 

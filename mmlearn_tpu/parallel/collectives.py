@@ -42,9 +42,14 @@ def all_gather(
         return gathered
     detached = lax.stop_gradient(gathered)
     idx = lax.axis_index(axis_name)
-    shard = x.shape[0]
-    # reinsert the (differentiable) local shard at this rank's offset
-    return lax.dynamic_update_slice_in_dim(detached, x, idx * shard, axis=0)
+    # reinsert the (differentiable) local shard at this rank's offset —
+    # layout-dependent: tiled concatenates along axis 0, untiled stacks a
+    # new leading axis
+    if tiled:
+        return lax.dynamic_update_slice_in_dim(
+            detached, x, idx * x.shape[0], axis=0
+        )
+    return lax.dynamic_update_slice_in_dim(detached, x[None], idx, axis=0)
 
 
 def psum(x: Any, axis_name: str) -> Any:

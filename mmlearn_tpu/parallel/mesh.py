@@ -97,7 +97,11 @@ def create_mesh(
             groups = [
                 devices[s * per : (s + 1) * per] for s in range(slices)
             ]
-        if len(groups) < slices or any(len(g) < need for g in groups):
+        # only the first `slices` groups are used — an undersized UNUSED
+        # physical slice must not block the carve
+        if len(groups) < slices or any(
+            len(g) < need for g in groups[:slices]
+        ):
             raise ValueError(
                 f"Cannot carve {slices} slices x {need} devices out of "
                 f"{n} available devices"
@@ -198,7 +202,7 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     repl = replicated(mesh)
     multiprocess = jax.process_count() > 1
 
-    def _put(leaf: Any) -> Any:
+    def _put(leaf: Any, batch_led: bool = True) -> Any:
         if isinstance(leaf, (list, str)) or leaf is None:
             return leaf
         arr = np.asarray(leaf)
@@ -212,20 +216,24 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
             return jax.device_put(arr, repl)
         if multiprocess:  # pragma: no cover - multihost only
             p = jax.process_count()
-            global0 = (arr.shape[0] * p,) + arr.shape[1:]
-            if _shardable(global0, batch_spec(), mesh):
-                return jax.make_array_from_process_local_data(
-                    sharding, arr, global0
-                )
-            # aux arrays leading with a non-batch dim (e.g. I-JEPA masks
-            # (n_masks, B, K)): concatenate the per-process batch on axis 1
-            if arr.ndim >= 2:
+            # aux arrays lead with a NON-batch dim (e.g. I-JEPA masks
+            # (n_masks, B, K)) — their per-process batch concatenates on
+            # axis 1. Routed by comparing the leading dim to the modality
+            # batch size, NOT by divisibility: an aux dim that happens to
+            # divide the data axes must not be assembled along axis 0
+            # (host-0's masks would apply to host-1's samples).
+            if not batch_led and arr.ndim >= 2:
                 global1 = (arr.shape[0], arr.shape[1] * p) + arr.shape[2:]
                 spec1 = P(None, (DATA_AXIS, FSDP_AXIS))
                 if _shardable(global1, spec1, mesh):
                     return jax.make_array_from_process_local_data(
                         NamedSharding(mesh, spec1), arr, global1
                     )
+            global0 = (arr.shape[0] * p,) + arr.shape[1:]
+            if _shardable(global0, batch_spec(), mesh):
+                return jax.make_array_from_process_local_data(
+                    sharding, arr, global0
+                )
             return jax.make_array_from_process_local_data(
                 repl, arr, arr.shape
             )
@@ -233,4 +241,39 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
             return jax.device_put(arr, sharding)
         return jax.device_put(arr, repl)
 
-    return jax.tree.map(_put, batch)
+    def _local_batch_dim(node: Any) -> Optional[int]:
+        """Per-process batch size = leading dim of any modality array."""
+        from mmlearn_tpu.datasets.core.modalities import Modalities
+
+        if not isinstance(node, dict):
+            return None
+        for k, v in node.items():
+            if (
+                Modalities.has_modality(str(k))
+                and hasattr(v, "shape")
+                and np.ndim(v) >= 1
+            ):
+                return int(np.shape(v)[0])
+        return None
+
+    local_b = _local_batch_dim(batch)
+
+    def _walk(node: Any) -> Any:
+        if isinstance(node, dict):
+            return {
+                k: _walk(v)
+                if isinstance(v, dict)
+                else _put(
+                    v,
+                    batch_led=(
+                        local_b is None
+                        or not hasattr(v, "shape")
+                        or np.ndim(v) == 0
+                        or int(np.shape(v)[0]) == local_b
+                    ),
+                )
+                for k, v in node.items()
+            }
+        return jax.tree.map(_put, node)
+
+    return _walk(batch)

@@ -10,9 +10,10 @@ transformation**:
   for every 2-D kernel whose path matches ``target_patterns``;
 - :func:`apply_lora` merges ``W = W0 + (a @ b) * alpha / r`` on the fly
   inside the jitted step (one extra small matmul per target, fused by XLA);
-- the base tree is frozen through an optax mask
-  (:func:`trainable_mask_with_lora`), so optimizer state exists only for the
-  LoRA factors — the JAX equivalent of ``requires_grad=False``.
+- the base tree is frozen through an optax mask (built by
+  ``ContrastivePretraining._trainable_mask`` from these factors), so
+  optimizer state exists only for the LoRA factors — the JAX equivalent of
+  ``requires_grad=False``.
 
 :func:`freeze_layers_mask` reproduces the reference's bool/int/float/list
 freeze specs (text.py:91-138).
@@ -159,6 +160,13 @@ def freeze_layers_mask(
             "Per-layer freeze specs (int/float/list) require loop-format "
             "blocks; this tree uses nn.scan-stacked params (scan_blocks=True)."
             " Use freeze_spec=True/False, or disable scan_blocks."
+        )
+    if depth == 0 and not isinstance(freeze_spec, bool):
+        # silently freezing nothing would diverge from the requested config
+        raise ValueError(
+            f"Per-layer freeze spec {freeze_spec!r} found no blocks matching "
+            f"prefix {block_prefix!r} in the param tree — pass the encoder's "
+            "actual block prefix via block_prefix=..."
         )
 
     if isinstance(freeze_spec, float):

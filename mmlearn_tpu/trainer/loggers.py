@@ -31,6 +31,10 @@ class ConsoleLogger(Logger):
         self.every_n_steps = every_n_steps
 
     def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
+        import jax
+
+        if jax.process_index() != 0:  # one console stream per pod
+            return
         if step % self.every_n_steps != 0:
             return
         parts = []
@@ -60,6 +64,13 @@ class JSONLLogger(Logger):
         return self._file
 
     def log_metrics(self, metrics: Mapping[str, Any], step: int) -> None:
+        import jax
+
+        # rank-gate like the wandb/tensorboard loggers: on a pod with a
+        # shared save_dir, every process appending duplicates steps and
+        # interleaves partial lines
+        if jax.process_index() != 0:
+            return
         record = {"step": step, "time": time.time()}
         for k, v in metrics.items():
             try:
@@ -71,6 +82,10 @@ class JSONLLogger(Logger):
         f.flush()
 
     def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        import jax
+
+        if jax.process_index() != 0:
+            return
         self._ensure()
         with open(os.path.join(self.save_dir, "hparams.json"), "w") as f:
             json.dump(params, f, indent=2, default=str)
