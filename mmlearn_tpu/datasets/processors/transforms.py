@@ -56,8 +56,10 @@ def resize_image(img: np.ndarray, size) -> np.ndarray:
     x0 = np.floor(xs).astype(int)
     y1 = np.minimum(y0 + 1, h - 1)
     x1 = np.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[:, None, None]
-    wx = (xs - x0)[None, :, None]
+    # float32 weights: float64 linspace would upcast the whole output
+    # (2x host memory + transfer for every decoded image)
+    wy = (ys - y0)[:, None, None].astype(np.float32)
+    wx = (xs - x0)[None, :, None].astype(np.float32)
     img = img.astype(np.float32)
     if img.ndim == 2:
         img = img[..., None]
