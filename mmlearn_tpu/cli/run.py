@@ -162,16 +162,49 @@ def run_experiment(cfg: dict) -> Any:
                 "job_type=export: the dataset split is empty (check "
                 "batch_size/drop_last against the dataset size)"
             ) from None
-        mods = exp_cfg.get("modalities")
-        if mods is None:
-            mods = [m for m in getattr(task, "modalities", []) if m in batch]
-        if not mods:
-            raise ConfigError("job_type=export found no modalities to export")
         base = exp_cfg.get("output_dir") or os.path.join(output_dir, "artifacts")
         # artifacts are identical across processes (same params, same specs):
         # only process 0 writes, mirroring the logger/hparam-upload gate
         if jax.process_index() != 0:
             return {}
+        fmt = str(exp_cfg.get("format", "stablehlo")).lower()
+        if fmt in ("hf", "torch"):
+            # torch-ecosystem weight export (docs/migrating.md "Taking
+            # weights back to torch"): one state dict per tower, written as
+            # .npz (+ .pt when torch is importable)
+            import numpy as np
+
+            from mmlearn_tpu.hf_export import export_task, to_torch_state_dict
+
+            sds = export_task(
+                task, state.params, extras=getattr(state, "extras", None),
+                skip_unknown=True,
+            )
+            os.makedirs(base, exist_ok=True)
+            paths = {}
+            for name, sd in sds.items():
+                npz = os.path.join(base, f"{name}.hf.npz")
+                np.savez(npz, **sd)
+                paths[name] = npz
+                try:
+                    import torch
+
+                    pt = os.path.join(base, f"{name}.hf.pt")
+                    torch.save(to_torch_state_dict(sd), pt)
+                    paths[name] = pt
+                except ImportError:  # npz alone is a complete artifact
+                    pass
+                logger.info("Exported %s torch state dict to %s", name, paths[name])
+            return paths
+        if fmt != "stablehlo":
+            raise ConfigError(
+                f"Unknown export.format '{fmt}' (expected stablehlo | hf)"
+            )
+        mods = exp_cfg.get("modalities")
+        if mods is None:
+            mods = [m for m in getattr(task, "modalities", []) if m in batch]
+        if not mods:
+            raise ConfigError("job_type=export found no modalities to export")
         paths = {}
         for mod in mods:
             paths[mod] = save_encoder(

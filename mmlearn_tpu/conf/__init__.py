@@ -103,6 +103,9 @@ def base_config() -> dict:
         "strict_loading": True,
         # job_type=export: serving-artifact settings (see docs/user_guide.md)
         "export": {
+            # stablehlo (serving artifacts) | hf (torch-ecosystem state
+            # dicts via mmlearn_tpu.hf_export — docs/migrating.md)
+            "format": "stablehlo",
             "modalities": None,  # default: every modality in the batch
             "output_dir": "${runtime.output_dir}/artifacts",
             "normalize": True,

@@ -375,14 +375,17 @@ def _infer_num_heads(embed_dim: int) -> int:
     return max(1, embed_dim // 64)
 
 
-def timm_vit_geometry(state_dict: Mapping[str, Any]) -> dict:
+def timm_vit_geometry(
+    state_dict: Mapping[str, Any], num_heads: Optional[int] = None
+) -> dict:
     """Infer ViT geometry from a timm-format state dict.
 
     timm naming (reference wraps ``timm.create_model``,
     /root/reference/mmlearn/modules/encoders/vision.py:33-176):
     ``cls_token``, ``pos_embed``, ``patch_embed.proj.*``,
     ``blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}.*``,
-    final ``norm.*``.
+    final ``norm.*``. An explicit ``num_heads`` skips the head-count
+    inference (the one geometry fact a ViT state dict does not determine).
     """
     sd = state_dict
     embed_dim = int(_np(sd["cls_token"]).shape[-1])
@@ -399,7 +402,10 @@ def timm_vit_geometry(state_dict: Mapping[str, Any]) -> dict:
         "embed_dim": embed_dim,
         "depth": depth,
         "mlp_ratio": mlp_hidden / embed_dim,
-        "num_heads": _infer_num_heads(embed_dim),
+        "num_heads": (
+            int(num_heads) if num_heads is not None
+            else _infer_num_heads(embed_dim)
+        ),
         "qkv_bias": "blocks.0.attn.qkv.bias" in sd,
     }
 
@@ -418,11 +424,10 @@ def convert_timm_vit(
     from mmlearn_tpu.ops.fused_attention import interleave_qkv_heads
 
     sd = state_dict
-    geo = timm_vit_geometry(sd)
+    geo = timm_vit_geometry(sd, num_heads=num_heads)
     if depth is None:
         depth = geo["depth"]
-    if num_heads is None:
-        num_heads = geo["num_heads"]
+    num_heads = geo["num_heads"]
     params: dict[str, Any] = {
         "patch_embed": {
             "proj": {

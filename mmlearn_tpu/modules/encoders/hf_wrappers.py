@@ -259,9 +259,7 @@ def TimmViT(
         raise ValueError(
             "TimmViT requires one of model_name / checkpoint_path / state_dict"
         )
-    geo = timm_vit_geometry(sd)
-    if num_heads is not None:
-        geo["num_heads"] = int(num_heads)
+    geo = timm_vit_geometry(sd, num_heads=num_heads)
 
     from mmlearn_tpu.modules.encoders.vision import VisionTransformer
 

@@ -74,6 +74,25 @@ def interleave_qkv_heads(kernel, num_heads: int):
     return a.reshape(*lead, three_c)
 
 
+def uninterleave_qkv_heads(kernel, num_heads: int):
+    """Inverse of :func:`interleave_qkv_heads`: head-major
+    ``[h0_q | h0_k | h0_v | h1_q | ...]`` back to ``[Wq | Wk | Wv]`` packing.
+    Same shape contract (kernels, biases, stacked scan params)."""
+    import numpy as np
+
+    arr = kernel
+    lead = arr.shape[:-1]
+    three_c = arr.shape[-1]
+    c = three_c // 3
+    d = c // num_heads
+    a = arr.reshape(*lead, num_heads, 3, d)
+    if isinstance(arr, np.ndarray):
+        a = np.moveaxis(a, -2, -3)
+    else:
+        a = jnp.moveaxis(a, -2, -3)
+    return a.reshape(*lead, three_c)
+
+
 def _head_group(head_dim: int) -> int:
     """Heads per program so the qkv block's lane width is a LANES multiple."""
     width = 3 * head_dim

@@ -1,0 +1,230 @@
+"""Flax→HF/timm/reference export round-trip tests.
+
+hf_export must be the exact inverse of hf_utils: converting a torch
+checkpoint in and exporting it back reproduces every tensor, and exporting
+our own trained params produces state dicts torch modules load and run.
+This closes the migration loop (docs/migrating.md): users of the reference
+can pretrain here and take weights back to their torch pipelines.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mmlearn_tpu.hf_export import (  # noqa: E402
+    export_bert,
+    export_clip,
+    export_ijepa_predictor,
+    export_ijepa_vit,
+    export_timm_vit,
+    to_torch_state_dict,
+    unstack_block_params,
+)
+from mmlearn_tpu.hf_utils import (  # noqa: E402
+    convert_bert,
+    convert_ijepa_predictor,
+    convert_ijepa_vit,
+    convert_timm_vit,
+    load_clip_from_hf,
+    stack_block_params,
+)
+from mmlearn_tpu.ops.fused_attention import (  # noqa: E402
+    interleave_qkv_heads,
+    uninterleave_qkv_heads,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_clip():
+    from transformers import CLIPConfig, CLIPModel
+
+    config = CLIPConfig.from_text_vision_configs(
+        text_config=transformers.CLIPTextConfig(
+            vocab_size=99, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=16, eos_token_id=98,
+        ),
+        vision_config=transformers.CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+        ),
+        projection_dim=24,
+    )
+    torch.manual_seed(0)
+    return CLIPModel(config).eval()
+
+
+def _np_sd(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _assert_sd_equal(exported: dict, original: dict, atol=0.0):
+    """Every exported tensor must byte-match the original checkpoint; keys
+    the converters intentionally drop (position-id buffers, recomputed
+    sincos pos-emb) are the only ones allowed to be missing."""
+    for key, val in exported.items():
+        assert key in original, f"exported unknown key {key}"
+        np.testing.assert_allclose(
+            val, original[key].astype(np.float32), atol=atol, rtol=0,
+            err_msg=key,
+        )
+    missing = set(original) - set(exported)
+    allowed = ("position_ids", "pos_embed")
+    assert all(any(a in k for a in allowed) for k in missing), missing
+
+
+def test_qkv_interleave_roundtrip():
+    rng = np.random.default_rng(0)
+    for shape in ((16, 24), (24,), (3, 16, 24)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        y = uninterleave_qkv_heads(interleave_qkv_heads(x, 4), 4)
+        np.testing.assert_array_equal(x, y)
+        y = interleave_qkv_heads(uninterleave_qkv_heads(x, 2), 2)
+        np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.integration_test
+def test_clip_export_roundtrip(tiny_clip):
+    model = tiny_clip
+    orig = _np_sd(model)
+    converted = load_clip_from_hf(model)
+    sd = export_clip(
+        converted["vision"][1], converted["text"][1],
+        log_logit_scale=converted["log_logit_scale"],
+        vision_num_heads=4, text_num_heads=4,
+    )
+    _assert_sd_equal(sd, orig)
+
+    # the exported dict loads into a fresh torch CLIPModel and reproduces
+    # the original model's features
+    model2 = transformers.CLIPModel(model.config).eval()
+    missing, unexpected = model2.load_state_dict(
+        to_torch_state_dict(sd), strict=False
+    )
+    assert not unexpected
+    assert all("position_ids" in k for k in missing)
+    imgs = torch.from_numpy(
+        np.random.default_rng(0)
+        .standard_normal((2, 3, 32, 32))
+        .astype(np.float32)
+    )
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            model2.get_image_features(pixel_values=imgs).numpy(),
+            model.get_image_features(pixel_values=imgs).numpy(),
+            atol=1e-6, rtol=1e-6,
+        )
+
+
+@pytest.mark.integration_test
+def test_bert_export_roundtrip():
+    from transformers import BertConfig, BertModel
+
+    config = BertConfig(
+        vocab_size=60, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16,
+    )
+    torch.manual_seed(1)
+    model = BertModel(config).eval()
+    orig = _np_sd(model)
+    params = convert_bert(orig, depth=2, num_heads=4)
+    sd = export_bert(params, num_heads=4)
+    _assert_sd_equal(sd, orig)
+    model2 = BertModel(config).eval()
+    missing, unexpected = model2.load_state_dict(
+        to_torch_state_dict(sd), strict=False
+    )
+    assert not unexpected
+    assert all("position_ids" in k for k in missing)
+
+
+def test_timm_vit_export_roundtrip():
+    """Our params → timm state dict → converted back: identical tree."""
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    vit = VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        use_cls_token=True, learned_pos_embed=True, final_norm=True,
+    )
+    params = vit.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    sd = export_timm_vit(params, num_heads=4)
+    back = convert_timm_vit(sd, num_heads=4)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, atol=0, rtol=0, err_msg=str(path))
+
+
+def test_ijepa_export_roundtrip():
+    from mmlearn_tpu.modules.encoders.vision import (
+        VisionTransformer,
+        VisionTransformerPredictor,
+    )
+
+    enc = VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        use_cls_token=False, learned_pos_embed=False, final_norm=True,
+    )
+    enc_params = enc.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    back = convert_ijepa_vit(
+        export_ijepa_vit(enc_params, num_heads=4), depth=2, num_heads=4
+    )
+    jax.tree.map(
+        np.testing.assert_array_equal, jax.device_get(enc_params), back
+    )
+
+    pred = VisionTransformerPredictor(
+        num_patches=16, embed_dim=32, predictor_embed_dim=32, depth=1,
+        num_heads=4,
+    )
+    z = jnp.ones((1, 6, 32))
+    enc_masks = jnp.arange(6)[None, None]
+    pred_masks = jnp.arange(3)[None, None]
+    pred_params = pred.init(jax.random.key(1), z, enc_masks, pred_masks)[
+        "params"
+    ]
+    back = convert_ijepa_predictor(
+        export_ijepa_predictor(pred_params, num_heads=4), depth=1,
+        num_heads=4,
+    )
+    jax.tree.map(
+        np.testing.assert_array_equal, jax.device_get(pred_params), back
+    )
+
+
+def test_export_accepts_scan_stacked_params():
+    """Scan-format (block_stack/blocks/block) params export identically to
+    the per-layer layout they were stacked from."""
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    vit = VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        use_cls_token=True, learned_pos_embed=True, final_norm=True,
+    )
+    params = jax.device_get(
+        vit.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    )
+    from_per_layer = export_timm_vit(params, num_heads=4)
+    stacked = stack_block_params(dict(params), depth=2)
+    assert "blocks_0" not in stacked
+    from_stacked = export_timm_vit(stacked, num_heads=4)
+    assert set(from_per_layer) == set(from_stacked)
+    for k in from_per_layer:
+        np.testing.assert_array_equal(from_per_layer[k], from_stacked[k])
+
+
+def test_unstack_is_noop_without_scan_subtree():
+    params = {"norm": {"scale": np.ones(3), "bias": np.zeros(3)}}
+    assert unstack_block_params(params) == params

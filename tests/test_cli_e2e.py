@@ -83,6 +83,66 @@ def test_cli_export_job(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
 
 
+def test_cli_export_hf_format(tmp_path):
+    """export.format=hf writes torch-loadable state dicts for every tower
+    (docs/migrating.md 'Taking weights back to torch')."""
+    out = str(tmp_path / "exp_hf")
+    paths = main([
+        "+experiment=tiny_clip_synthetic",
+        "job_type=export",
+        "export.format=hf",
+        f"runtime.output_dir={out}",
+    ])
+    assert set(paths) == {"rgb", "text", "logit_scale"}
+    import numpy as np
+
+    # rgb tower: timm naming, with the sincos pos-emb materialized so the
+    # exported model is the identical function
+    npz = np.load(os.path.join(out, "artifacts", "rgb.hf.npz"))
+    assert "blocks.0.attn.qkv.weight" in npz
+    assert npz["pos_embed"].shape == (1, 17, 64)
+    assert npz["head.weight"].shape == (32, 64)
+    # text tower: HF CLIPTextModel naming
+    npz = np.load(os.path.join(out, "artifacts", "text.hf.npz"))
+    assert "text_model.encoder.layers.1.self_attn.q_proj.weight" in npz
+    assert npz["text_projection.weight"].shape == (32, 64)
+    try:
+        import torch
+    except ImportError:
+        return
+    sd = torch.load(paths["rgb"], weights_only=True)
+    assert sd["cls_token"].shape == (1, 1, 64)
+
+
+def test_cli_export_hf_format_ijepa(tmp_path):
+    """The I-JEPA task exports encoder/predictor (+ EMA teacher) in the
+    reference's own naming, loadable by the torch reference classes."""
+    out = str(tmp_path / "exp_hf_ijepa")
+    paths = main([
+        "+experiment=tiny_ijepa_synthetic",
+        "job_type=export",
+        "export.format=hf",
+        f"runtime.output_dir={out}",
+    ])
+    assert {"encoder", "predictor"} <= set(paths)
+    import numpy as np
+
+    npz = np.load(os.path.join(out, "artifacts", "encoder.hf.npz"))
+    assert "blocks.0.mlp.0.weight" in npz  # reference Sequential-MLP naming
+    npz = np.load(os.path.join(out, "artifacts", "predictor.hf.npz"))
+    assert "predictor_blocks.0.attn.qkv.weight" in npz
+    assert "mask_token" in npz
+
+
+def test_cli_export_unknown_format():
+    with pytest.raises(ConfigError, match="export.format"):
+        main([
+            "+experiment=tiny_clip_synthetic",
+            "job_type=export",
+            "export.format=onnx",
+        ])
+
+
 def test_cli_error_paths():
     with pytest.raises(ConfigError, match="experiment"):
         main(["+experiment=nope_does_not_exist"])
