@@ -44,6 +44,47 @@ from mmlearn_tpu.trainer.state import TrainState
 
 logger = logging.getLogger(__name__)
 
+#: dense bf16 peak TFLOP/s per chip, keyed by normalized ``device_kind``
+#: substrings (public TPU spec sheets); used for the opt-in MFU metric
+_TPU_PEAK_TFLOPS = (
+    ("v6", 918.0),  # Trillium / v6e
+    ("v5p", 459.0),
+    ("v5 lite", 197.0),
+    ("v5litepod", 197.0),
+    ("v5e", 197.0),
+    ("v5", 459.0),  # bare "TPU v5" reports as v5p
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+)
+
+
+def _device_peak_tflops() -> Optional[float]:
+    """Per-chip peak TFLOP/s for the current backend; ``MMLEARN_PEAK_TFLOPS``
+    overrides (required for CPU or unrecognized accelerators)."""
+    import os
+
+    env = os.environ.get("MMLEARN_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = jax.devices()[0].device_kind.lower()
+    if "tpu" not in kind and not kind.startswith("v"):
+        return None
+    for key, peak in _TPU_PEAK_TFLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def _compiled_step_flops(jitted: Any, *args: Any) -> float:
+    """Total FLOPs of one compiled step (global across the mesh) from XLA's
+    cost analysis. Counts what the hardware executes — rematerialized
+    recompute included — so flops/elapsed is achieved hardware FLOP/s."""
+    cost = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax: one dict per device
+        cost = cost[0] if cost else {}
+    return float((cost or {}).get("flops", 0.0))
+
 
 def validate_batch_shapes(batch: Mapping[str, Any], context: str = "train") -> int:
     """Assert a collated batch is jit-safe: consistent leading dim, no object
@@ -114,6 +155,7 @@ class Trainer:
         device_normalize: Optional[Mapping[str, Mapping[str, Any]]] = None,
         fast_dev_run: Any = False,
         detect_anomaly: bool = False,
+        log_mfu: bool = False,
     ) -> None:
         # Lightning-surface parity (reference exposes the full Trainer
         # signature as config, /root/reference/mmlearn/conf/__init__.py:
@@ -166,6 +208,15 @@ class Trainer:
         self.enable_profiling = enable_profiling
         self.donate_state = donate_state
         self.device_normalize = dict(device_normalize or {})
+        #: log achieved TFLOP/s (+ MFU where the chip's peak is known) from
+        #: XLA's cost analysis of the compiled train step — beyond the
+        #: reference's observability (SURVEY.md §5.1: Lightning profiler
+        #: flag only). Opt-in: the analysis costs one extra lowering of the
+        #: step function at the first batch.
+        self.log_mfu = log_mfu
+        #: FLOPs of one compiled train step (global across the mesh);
+        #: filled lazily, 0.0 marks "analysis failed, don't retry"
+        self._step_flops: Optional[float] = None
 
         if precision == "bf16-mixed":
             # "mixed" opts into relaxed attention-score precision as well
@@ -548,6 +599,7 @@ class Trainer:
         probe_iter, first_raw, skip_batches, step, max_steps, rng_root,
         t_log, examples_since_log,
     ) -> TrainState:
+        steps_since_log = 0
         while not done:
             if self.max_epochs is not None and epoch >= self.max_epochs:
                 break
@@ -584,6 +636,25 @@ class Trainer:
                     self._cast_inputs(_device_batch(batch)), self.mesh
                 )
                 rng = jax.random.fold_in(rng_root, step)
+                if self.log_mfu and self._step_flops is None:
+                    # one extra lowering of the step fn; the XLA compile
+                    # itself hits the jit/persistent cache on real runs
+                    try:
+                        with self.mesh:
+                            self._step_flops = _compiled_step_flops(
+                                self._train_step, self.state, device_batch,
+                                rng,
+                            )
+                        logger.info(
+                            "Train step: %.2f GFLOPs (global, incl. remat "
+                            "recompute)", self._step_flops / 1e9,
+                        )
+                    except Exception as err:
+                        self._step_flops = 0.0  # don't retry every step
+                        logger.warning(
+                            "log_mfu: XLA cost analysis unavailable (%s)",
+                            err,
+                        )
                 if self.enable_profiling and step == 5:
                     # capture a 5-step XLA trace (view with tensorboard /
                     # xprof); SURVEY.md §5.1 — the reference exposes only
@@ -619,6 +690,7 @@ class Trainer:
                     "epoch": epoch, "batch_in_epoch": batch_idx + 1
                 }
                 examples_since_log += self._batch_size_of(batch)
+                steps_since_log += 1
 
                 if step % self.log_every_n_steps == 0 or step >= max_steps:
                     host_metrics = {
@@ -629,8 +701,20 @@ class Trainer:
                         host_metrics["examples_per_sec"] = examples_since_log / (
                             now - t_log
                         )
+                        if self._step_flops:
+                            tflops = (
+                                self._step_flops * steps_since_log
+                                / (now - t_log) / 1e12
+                            )
+                            host_metrics["tflops_per_sec"] = tflops
+                            peak = _device_peak_tflops()
+                            if peak:
+                                host_metrics["mfu"] = tflops / (
+                                    peak * self.mesh.size
+                                )
                     t_log = now
                     examples_since_log = 0
+                    steps_since_log = 0
                     for cb in self.callbacks:
                         cb.on_train_batch_end(self, host_metrics, step)
                     for lg in self.loggers:

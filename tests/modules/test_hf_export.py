@@ -228,3 +228,45 @@ def test_export_accepts_scan_stacked_params():
 def test_unstack_is_noop_without_scan_subtree():
     params = {"norm": {"scale": np.ones(3), "bias": np.zeros(3)}}
     assert unstack_block_params(params) == params
+
+
+def test_export_task_merges_lora():
+    """export_task must export the *effective* weights: base + LoRA delta
+    (a torch consumer has no LoRA factors to apply)."""
+    from mmlearn_tpu.hf_export import export_task, export_timm_vit
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+    from mmlearn_tpu.peft import LoRAConfig, apply_lora, init_lora_params
+
+    vit = VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        use_cls_token=True, learned_pos_embed=True, final_norm=True,
+    )
+    params = vit.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    cfg = LoRAConfig(r=2)
+    lora = init_lora_params(params, cfg, jax.random.key(1))
+    assert lora, "LoRA matched no kernels — target patterns drifted"
+    # b inits to zero (delta 0); make the merge visible
+    lora = jax.tree.map(lambda x: x + 0.25, lora)
+
+    class FakeTask:
+        encoders = {"rgb": vit}
+        peft_configs = {"rgb": cfg}
+
+    sds = export_task(
+        FakeTask(), {"encoders": {"rgb": params}, "lora": {"rgb": lora}}
+    )
+    expected = export_timm_vit(
+        jax.device_get(apply_lora(params, lora, cfg)), num_heads=4
+    )
+    assert set(sds["rgb"]) == set(expected)
+    for k in expected:
+        np.testing.assert_allclose(
+            sds["rgb"][k], expected[k], atol=1e-6, err_msg=k
+        )
+    unmerged = export_timm_vit(jax.device_get(params), num_heads=4)
+    assert not np.allclose(
+        sds["rgb"]["blocks.0.attn.qkv.weight"],
+        unmerged["blocks.0.attn.qkv.weight"],
+    )

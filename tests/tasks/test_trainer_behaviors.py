@@ -63,6 +63,33 @@ def test_lr_monitor_and_timer():
 
 
 @pytest.mark.integration_test
+def test_log_mfu_metrics(monkeypatch):
+    """log_mfu=True logs achieved TFLOP/s from XLA cost analysis, and MFU
+    when the chip peak is known (MMLEARN_PEAK_TFLOPS overrides for CPU)."""
+    monkeypatch.setenv("MMLEARN_PEAK_TFLOPS", "0.5")
+    ds = CombinedDataset([PairedDataset(size=32)])
+    loader = DataLoader(ds, batch_size=16, drop_last=True)
+    task = _tiny_task()
+    metrics_seen = {}
+
+    class Capture(LossRecorder):
+        def on_train_batch_end(self, trainer, metrics, step):
+            super().on_train_batch_end(trainer, metrics, step)
+            metrics_seen.update(metrics)
+
+    trainer = Trainer(
+        max_steps=3, log_every_n_steps=1, seed=0, log_mfu=True,
+        callbacks=[Capture()], default_root_dir="/tmp/mmlearn_test_mfu",
+    )
+    trainer.fit(task, loader)
+    assert trainer._step_flops and trainer._step_flops > 0
+    assert metrics_seen.get("tflops_per_sec", 0) > 0
+    assert 0 < metrics_seen["mfu"] == pytest.approx(
+        metrics_seen["tflops_per_sec"] / (0.5 * trainer.mesh.size)
+    )
+
+
+@pytest.mark.integration_test
 def test_bf16_precision_input_cast():
     import jax.numpy as jnp
 
