@@ -156,6 +156,7 @@ class Trainer:
         fast_dev_run: Any = False,
         detect_anomaly: bool = False,
         log_mfu: bool = False,
+        compilation_cache_dir: Optional[str] = None,
     ) -> None:
         # Lightning-surface parity (reference exposes the full Trainer
         # signature as config, /root/reference/mmlearn/conf/__init__.py:
@@ -176,6 +177,13 @@ class Trainer:
             # nearest JAX analogue of torch.autograd.set_detect_anomaly:
             # jitted code raises on the first NaN it produces
             jax.config.update("jax_debug_nans", True)
+        if compilation_cache_dir:
+            # persistent XLA compile cache: re-runs/resumes/sweeps of the
+            # same step skip the minutes-long TPU compile (biggest UX cost
+            # of iterating on TPU; one cache dir can be shared across jobs)
+            jax.config.update(
+                "jax_compilation_cache_dir", str(compilation_cache_dir)
+            )
         if precision in ("fp16", "16-mixed", "16"):
             # TPUs have no fp16 units; the fp16-mixed config alias maps to
             # bf16-mixed (same dynamic-range intent, no loss scaling needed)

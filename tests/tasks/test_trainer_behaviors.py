@@ -89,6 +89,22 @@ def test_log_mfu_metrics(monkeypatch):
     )
 
 
+def test_compilation_cache_dir(tmp_path):
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        Trainer(
+            max_steps=1, compilation_cache_dir=str(tmp_path / "xla_cache"),
+            default_root_dir=str(tmp_path),
+        )
+        assert jax.config.jax_compilation_cache_dir == str(
+            tmp_path / "xla_cache"
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.mark.integration_test
 def test_bf16_precision_input_cast():
     import jax.numpy as jnp
