@@ -163,11 +163,23 @@ def run_experiment(cfg: dict) -> Any:
                 "batch_size/drop_last against the dataset size)"
             ) from None
         base = exp_cfg.get("output_dir") or os.path.join(output_dir, "artifacts")
-        # artifacts are identical across processes (same params, same specs):
-        # only process 0 writes, mirroring the logger/hparam-upload gate
+        # validate the export config on EVERY process (a rank-0-only
+        # ConfigError would leave ranks >=1 exiting "successfully" and mask
+        # the misconfiguration from the launcher)...
+        fmt = str(exp_cfg.get("format", "stablehlo")).lower()
+        if fmt not in ("hf", "torch", "stablehlo"):
+            raise ConfigError(
+                f"Unknown export.format '{fmt}' (expected stablehlo | hf)"
+            )
+        mods = exp_cfg.get("modalities")
+        if mods is None:
+            mods = [m for m in getattr(task, "modalities", []) if m in batch]
+        if fmt == "stablehlo" and not mods:
+            raise ConfigError("job_type=export found no modalities to export")
+        # ...but artifacts are identical across processes (same params, same
+        # specs): only process 0 writes, mirroring the logger/hparam gate
         if jax.process_index() != 0:
             return {}
-        fmt = str(exp_cfg.get("format", "stablehlo")).lower()
         if fmt in ("hf", "torch"):
             # torch-ecosystem weight export (docs/migrating.md "Taking
             # weights back to torch"): one state dict per tower, written as
@@ -196,15 +208,6 @@ def run_experiment(cfg: dict) -> Any:
                     pass
                 logger.info("Exported %s torch state dict to %s", name, paths[name])
             return paths
-        if fmt != "stablehlo":
-            raise ConfigError(
-                f"Unknown export.format '{fmt}' (expected stablehlo | hf)"
-            )
-        mods = exp_cfg.get("modalities")
-        if mods is None:
-            mods = [m for m in getattr(task, "modalities", []) if m in batch]
-        if not mods:
-            raise ConfigError("job_type=export found no modalities to export")
         paths = {}
         for mod in mods:
             paths[mod] = save_encoder(

@@ -116,7 +116,10 @@ def write_tfrecord(path: str, records: Iterator[bytes]) -> int:
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     result = shift = 0
+    end = len(buf)
     while True:
+        if pos >= end:
+            raise ValueError("malformed protobuf: truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -158,6 +161,11 @@ def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
             pos += 8
         elif wire == 2:  # length-delimited
             length, pos = _read_varint(buf, pos)
+            if pos + length > end:
+                raise ValueError(
+                    "malformed protobuf: length-delimited field of "
+                    f"{length} bytes overruns the buffer"
+                )
             value = buf[pos:pos + length]
             pos += length
         elif wire == 5:  # fixed32
@@ -243,8 +251,11 @@ def _encode_feature(value: Any) -> bytes:
     inner = bytearray()
     if isinstance(value, (bytes, str)):
         value = [value]
-    if isinstance(value, (list, tuple)) and value and isinstance(
-        value[0], (bytes, str)
+    if isinstance(value, (list, tuple)) and (
+        # an empty plain list is ambiguous — encode as an empty BytesList
+        # (the list form is the bytes/str spelling; typed-but-empty numeric
+        # features should be passed as empty numpy arrays)
+        not value or isinstance(value[0], (bytes, str))
     ):
         blist = bytearray()
         for item in value:
@@ -316,6 +327,11 @@ def tfrecord_open_shard(
     int64 labels) to an :class:`Example`; by default features pass through
     as-is.
     """
-    for record in read_tfrecord(path, verify_crc=verify_crc):
-        parsed = parse_tf_example(record)
+    for i, record in enumerate(read_tfrecord(path, verify_crc=verify_crc)):
+        try:
+            parsed = parse_tf_example(record)
+        except ValueError as err:
+            raise ValueError(
+                f"{path}: record {i} is not a valid tf.train.Example ({err})"
+            ) from None
         yield to_example(parsed) if to_example else Example(parsed)

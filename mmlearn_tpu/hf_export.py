@@ -42,6 +42,7 @@ __all__ = [
     "export_ijepa_predictor",
     "export_module",
     "export_task",
+    "export_flax_generic",
     "to_torch_state_dict",
 ]
 
@@ -89,18 +90,25 @@ def unstack_block_params(
     depth = int(jax.tree.leaves(stacked)[0].shape[0])
     for i in range(depth):
         params[f"blocks_{i}"] = jax.tree.map(lambda x, i=i: x[i], stacked)
-    # drop the (now-redundant) stacked subtree
-    top = dict(params[in_path[0]])
-    if len(in_path) == 1 or (len(top) == 1 and in_path[1] in top):
-        params.pop(in_path[0])
-    else:  # stacked node shares its parent with other params: prune one level
-        inner = dict(top)
-        ptr = inner
-        for key in in_path[1:-1]:
-            ptr[key] = dict(ptr[key])
-            ptr = ptr[key]
-        ptr.pop(in_path[-1], None)
-        params[in_path[0]] = inner
+
+    # drop the stacked node, pruning parents that become empty — siblings at
+    # ANY level of the path stay (e.g. a future extra param living beside
+    # 'blocks' or beside 'block' must survive the unstack)
+    def _without(tree: Mapping, path: tuple[str, ...]) -> dict:
+        pruned = dict(tree)
+        if len(path) == 1:
+            pruned.pop(path[0], None)
+        else:
+            child = _without(pruned[path[0]], path[1:])
+            if child:
+                pruned[path[0]] = child
+            else:
+                pruned.pop(path[0])
+        return pruned
+
+    without = _without(params, in_path)
+    params.clear()
+    params.update(without)
     return params
 
 
@@ -344,18 +352,28 @@ def export_ijepa_vit(params: Mapping[str, Any], num_heads: int) -> dict:
     ``VisionTransformer`` state dict (reference vision.py:179-394; inverse
     of :func:`~mmlearn_tpu.hf_utils.convert_ijepa_vit`).
 
-    The reference's fixed sincos ``pos_embed`` buffer is not exported — the
-    reference registers it as a non-trainable buffer it recomputes from
-    geometry at construction, so load with ``strict=False`` or keep the
-    constructed model's own buffer.
+    A fixed sincos ``pos_embed`` (the I-JEPA default, recomputed from
+    geometry at construction on both sides) is not exported; a *learned*
+    ``pos_embed`` param, when present, is exported under the same key so
+    the trained positions are not silently dropped. A projection head has
+    no naming in the reference's I-JEPA classes — exporting one here is an
+    error (strip it, or use a cls-token/timm-format tower).
     """
     params = _prepare(params)
+    if "proj" in params:
+        raise ValueError(
+            "the reference I-JEPA ViT format has no projection head — "
+            "remove 'proj' from the params or export a timm/CLIP-format "
+            "tower instead"
+        )
     sd: dict[str, np.ndarray] = {
         "patch_embed.proj.weight": _np(
             params["patch_embed"]["proj"]["kernel"]
         ).transpose(3, 2, 0, 1),
         "patch_embed.proj.bias": _np(params["patch_embed"]["proj"]["bias"]),
     }
+    if "pos_embed" in params:  # learned positions (learned_pos_embed=True)
+        sd["pos_embed"] = _np(params["pos_embed"])
     _layernorm_out(sd, "norm", params["norm"])
     for i in range(_num_blocks(params)):
         _vit_block_out(
@@ -439,6 +457,51 @@ def export_module(module: Any, params: Mapping[str, Any]) -> dict:
     )
 
 
+def export_flax_generic(params: Mapping[str, Any]) -> dict:
+    """Arbitrary Flax param tree → torch-convention flat state dict: dotted
+    paths, ``kernel`` → transposed ``weight``, ``scale``/``embedding`` →
+    ``weight``. For trees with no canonical torch model (projection heads,
+    postprocessors) — consumers rebuild the matching torch modules by
+    shape."""
+    out: dict[str, np.ndarray] = {}
+
+    def walk(tree: Mapping[str, Any], prefix: str) -> None:
+        for key, val in tree.items():
+            name = f"{prefix}.{key}" if prefix else str(key)
+            if isinstance(val, Mapping):
+                walk(val, name)
+                continue
+            arr = _np(val)
+            if key == "kernel":
+                out[f"{prefix}.weight" if prefix else "weight"] = (
+                    arr.T if arr.ndim == 2 else arr
+                )
+            elif key in ("scale", "embedding"):
+                out[f"{prefix}.weight" if prefix else "weight"] = arr
+            else:
+                out[name] = arr
+
+    walk(params, "")
+    return out
+
+
+def _proj_slot(module: Any) -> Optional[str]:
+    """Whether this tower's export format has a projection slot, and what it
+    can carry: HF CLIP projections are bias-free; a timm ``head`` takes
+    kernel+bias; BERT / I-JEPA formats have none."""
+    from mmlearn_tpu.modules.encoders.text import TextTransformer
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    if isinstance(module, TextTransformer):
+        return "kernel_only"
+    if isinstance(module, VisionTransformer):
+        if module.pre_norm:
+            return "kernel_only"
+        if module.use_cls_token:
+            return "kernel_bias"
+    return None
+
+
 def export_task(
     task: Any,
     params: Mapping[str, Any],
@@ -450,6 +513,13 @@ def export_task(
     - ``ContrastivePretraining``: one entry per encoder key (LoRA deltas
       merged via :func:`mmlearn_tpu.peft.apply_lora` when present) plus a
       ``logit_scale`` entry holding the learned log scale (HF CLIP form).
+      A single-``Dense`` projection head folds into its tower's projection
+      slot (``visual_projection``/``text_projection``/timm ``head``) so the
+      exported model computes the task's actual embeddings; heads that
+      can't fold (MLPs, shared across towers, bias into a bias-free CLIP
+      slot) and parameterized postprocessors export as separate
+      ``heads.<key>`` / ``postprocessors.<key>`` entries (generic torch
+      naming) with a warning — they are NOT part of the tower dicts.
     - ``IJEPA``: ``encoder`` / ``predictor`` (reference I-JEPA naming) and,
       when EMA extras are given, ``target_encoder``.
     """
@@ -458,6 +528,16 @@ def export_task(
     log = logging.getLogger(__name__)
     out: dict[str, dict] = {}
     if hasattr(task, "encoders") and isinstance(task.encoders, Mapping):
+        # which head key feeds each encoder (via the modality wiring)
+        enc_heads: dict[str, set] = {}
+        for m in getattr(task, "modalities", []):
+            ek = task.encoder_keys[m] if hasattr(task, "encoder_keys") else m
+            hk = task.head_keys[m] if hasattr(task, "head_keys") else m
+            if hk in (getattr(task, "heads", None) or {}):
+                enc_heads.setdefault(ek, set()).add(hk)
+        head_params = dict(params.get("heads") or {})
+        merged_heads: set = set()
+
         for key, module in task.encoders.items():
             enc_params = params["encoders"][key]
             lora = params.get("lora", {})
@@ -467,15 +547,43 @@ def export_task(
                 enc_params = apply_lora(
                     enc_params, lora[key], task.peft_configs[key]
                 )
+            hks = enc_heads.get(key, set())
+            slot = _proj_slot(module)
+            if len(hks) == 1 and slot and "proj" not in enc_params:
+                hp = head_params.get(next(iter(hks)))
+                dense_like = isinstance(hp, Mapping) and set(hp) <= {
+                    "kernel", "bias",
+                } and "kernel" in hp and np.ndim(hp["kernel"]) == 2
+                if dense_like and ("bias" not in hp or slot == "kernel_bias"):
+                    # fold the projection head into the tower's slot
+                    enc_params = {**enc_params, "proj": hp}
+                    merged_heads.add(next(iter(hks)))
             try:
                 out[str(key)] = export_module(module, enc_params)
-            except TypeError:
+            except (TypeError, ValueError):
                 if not skip_unknown:
                     raise
                 log.warning(
                     "Skipping encoder %r (%s): no torch-format exporter",
                     key, type(module).__name__,
                 )
+        for hk, hp in head_params.items():
+            if hk in merged_heads or not hp:
+                continue
+            log.warning(
+                "Projection head %r cannot fold into a tower's projection "
+                "slot — exported separately as 'heads.%s' (apply it after "
+                "the tower in torch)", hk, hk,
+            )
+            out[f"heads.{hk}"] = export_flax_generic(hp)
+        for pk, pp in dict(params.get("postprocessors") or {}).items():
+            if not pp:
+                continue
+            log.warning(
+                "Postprocessor %r has parameters with no torch-side naming "
+                "— exported separately as 'postprocessors.%s'", pk, pk,
+            )
+            out[f"postprocessors.{pk}"] = export_flax_generic(pp)
         if "log_logit_scale" in params:
             out["logit_scale"] = {
                 "logit_scale": np.asarray(

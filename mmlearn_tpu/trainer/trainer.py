@@ -77,9 +77,13 @@ def _device_peak_tflops() -> Optional[float]:
 
 
 def _compiled_step_flops(jitted: Any, *args: Any) -> float:
-    """Total FLOPs of one compiled step (global across the mesh) from XLA's
-    cost analysis. Counts what the hardware executes — rematerialized
-    recompute included — so flops/elapsed is achieved hardware FLOP/s."""
+    """PER-DEVICE FLOPs of one compiled step from XLA's cost analysis.
+
+    Under SPMD the analysis covers the per-device partitioned module
+    (verified: a batch-sharded matmul on a 4-device mesh reports 1/4 the
+    unsharded flops), so callers multiply by the mesh size for global
+    figures. Counts what the hardware executes — rematerialized recompute
+    included — so flops/elapsed is achieved hardware FLOP/s."""
     cost = jitted.lower(*args).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax: one dict per device
         cost = cost[0] if cost else {}
@@ -222,8 +226,9 @@ class Trainer:
         #: flag only). Opt-in: the analysis costs one extra lowering of the
         #: step function at the first batch.
         self.log_mfu = log_mfu
-        #: FLOPs of one compiled train step (global across the mesh);
-        #: filled lazily, 0.0 marks "analysis failed, don't retry"
+        #: per-device FLOPs of one compiled train step (XLA analyzes the
+        #: partitioned module); filled lazily, 0.0 marks "analysis failed,
+        #: don't retry"
         self._step_flops: Optional[float] = None
 
         if precision == "bf16-mixed":
@@ -654,8 +659,9 @@ class Trainer:
                                 rng,
                             )
                         logger.info(
-                            "Train step: %.2f GFLOPs (global, incl. remat "
-                            "recompute)", self._step_flops / 1e9,
+                            "Train step: %.2f GFLOPs/device × %d devices "
+                            "(incl. remat recompute)",
+                            self._step_flops / 1e9, self.mesh.size,
                         )
                     except Exception as err:
                         self._step_flops = 0.0  # don't retry every step
@@ -710,9 +716,10 @@ class Trainer:
                             now - t_log
                         )
                         if self._step_flops:
+                            # _step_flops is per-device; × mesh.size = global
                             tflops = (
-                                self._step_flops * steps_since_log
-                                / (now - t_log) / 1e12
+                                self._step_flops * self.mesh.size
+                                * steps_since_log / (now - t_log) / 1e12
                             )
                             host_metrics["tflops_per_sec"] = tflops
                             peak = _device_peak_tflops()

@@ -57,6 +57,28 @@ def test_encode_rejects_multidim():
         encode_tf_example({"x": np.zeros((2, 2))})
 
 
+def test_empty_features_keep_type():
+    parsed = parse_tf_example(
+        encode_tf_example({
+            "tags": [],  # empty plain list = empty BytesList
+            "ids": np.asarray([], np.int64),
+            "scores": np.asarray([], np.float32),
+        })
+    )
+    assert parsed["tags"] == []
+    assert parsed["ids"].dtype == np.int64 and parsed["ids"].size == 0
+    assert parsed["scores"].dtype == np.float32 and parsed["scores"].size == 0
+
+
+def test_malformed_payload_raises_value_error():
+    # truncated varint and overrunning length-delimited field must both be
+    # ValueError (not a bare IndexError / silent truncation)
+    with pytest.raises(ValueError, match="varint"):
+        parse_tf_example(b"\x0a\xff")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_tf_example(b"\x0a\x7fonly-a-few-bytes")
+
+
 def test_tfrecord_file_roundtrip(tmp_path):
     path = str(tmp_path / "shard-0.tfrecord")
     records = [

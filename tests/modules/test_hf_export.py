@@ -230,6 +230,117 @@ def test_unstack_is_noop_without_scan_subtree():
     assert unstack_block_params(params) == params
 
 
+def _timm_style_vit():
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    vit = VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        use_cls_token=True, learned_pos_embed=True, final_norm=True,
+        global_pool="cls",
+    )
+    params = vit.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    return vit, params
+
+
+class _FakeContrastive:
+    """Duck-typed ContrastivePretraining surface for export_task."""
+
+    def __init__(self, encoders, heads=None):
+        self.modalities = list(encoders)
+        self.encoder_keys = {m: m for m in encoders}
+        self.head_keys = {m: m for m in encoders}
+        self.encoders = encoders
+        self.heads = heads or {}
+        self.peft_configs = {}
+
+
+def test_export_task_folds_dense_head_into_projection_slot():
+    """A single-Dense projection head must fold into the tower's projection
+    (timm 'head'/CLIP '*_projection') so the exported model computes the
+    task's actual embeddings — not the unprojected tower output."""
+    from mmlearn_tpu.hf_export import export_task
+
+    vit, params = _timm_style_vit()
+    head = {
+        "kernel": np.random.default_rng(0)
+        .standard_normal((32, 16))
+        .astype(np.float32),
+        "bias": np.zeros(16, np.float32),
+    }
+    sds = export_task(
+        _FakeContrastive({"rgb": vit}, heads={"rgb": object()}),
+        {"encoders": {"rgb": params}, "heads": {"rgb": head}},
+    )
+    assert "heads.rgb" not in sds  # folded, not exported separately
+    np.testing.assert_array_equal(sds["rgb"]["head.weight"], head["kernel"].T)
+    np.testing.assert_array_equal(sds["rgb"]["head.bias"], head["bias"])
+
+
+def test_export_task_unfoldable_head_exports_separately():
+    """An MLP head has no projection-slot representation: it must come out
+    as its own 'heads.<key>' entry (generic torch naming), with the tower
+    still exported."""
+    from mmlearn_tpu.hf_export import export_task
+
+    vit, params = _timm_style_vit()
+    mlp_head = {
+        "fc1": {"kernel": np.ones((32, 8), np.float32),
+                "bias": np.zeros(8, np.float32)},
+        "fc2": {"kernel": np.ones((8, 16), np.float32),
+                "bias": np.zeros(16, np.float32)},
+    }
+    sds = export_task(
+        _FakeContrastive({"rgb": vit}, heads={"rgb": object()}),
+        {"encoders": {"rgb": params}, "heads": {"rgb": mlp_head}},
+    )
+    assert "head.weight" not in sds["rgb"]
+    assert sds["heads.rgb"]["fc1.weight"].shape == (8, 32)  # torch (out,in)
+    assert sds["heads.rgb"]["fc2.bias"].shape == (16,)
+
+
+def test_export_ijepa_learned_pos_and_proj_handling():
+    """No-cls ViTs: a learned pos_embed exports (not silently dropped); a
+    projection head on the I-JEPA format is a loud error."""
+    from mmlearn_tpu.hf_export import export_module
+    from mmlearn_tpu.modules.encoders.vision import VisionTransformer
+
+    vit = VisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=1, num_heads=4,
+        use_cls_token=False, learned_pos_embed=True, final_norm=True,
+    )
+    params = vit.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    sd = export_module(vit, params)
+    np.testing.assert_array_equal(
+        sd["pos_embed"], np.asarray(params["pos_embed"], np.float32)
+    )
+    with pytest.raises(ValueError, match="projection head"):
+        export_module(
+            vit, {**params, "proj": {"kernel": np.ones((32, 8), np.float32)}}
+        )
+
+
+def test_unstack_preserves_siblings_of_scan_subtree():
+    stacked = {"w": np.arange(4, dtype=np.float32).reshape(2, 2)}
+    params = {
+        "block_stack": {
+            "blocks": {"block": stacked, "extra_norm": {"scale": np.ones(2)}}
+        },
+        "other": np.zeros(1),
+    }
+    out = unstack_block_params(params)
+    assert "blocks_0" in out and "blocks_1" in out
+    np.testing.assert_array_equal(out["blocks_0"]["w"], [0.0, 1.0])
+    # the sibling living INSIDE 'blocks' must survive
+    np.testing.assert_array_equal(
+        out["block_stack"]["blocks"]["extra_norm"]["scale"], np.ones(2)
+    )
+    assert "other" in out
+
+
 def test_export_task_merges_lora():
     """export_task must export the *effective* weights: base + LoRA delta
     (a torch consumer has no LoRA factors to apply)."""

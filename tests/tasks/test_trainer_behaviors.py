@@ -88,6 +88,28 @@ def test_log_mfu_metrics(monkeypatch):
         metrics_seen["tflops_per_sec"] / (0.5 * trainer.mesh.size)
     )
 
+    # XLA cost analysis is PER-DEVICE under SPMD (the trainer scales by
+    # mesh.size for the global tflops_per_sec figure): a batch-sharded
+    # matmul on a 4-way mesh must report ~1/4 the unsharded flops.
+    # (A full tiny train step is a bad probe: on toy models the collective
+    # /reshard flops dominate and can exceed the single-device count.)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mmlearn_tpu.trainer.trainer import _compiled_step_flops
+
+    x = np.zeros((8, 64, 64), np.float32)
+    bmm = lambda a: jnp.einsum("bij,bjk->bik", a, a)  # noqa: E731
+    flops_1 = _compiled_step_flops(jax.jit(bmm), x)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    sharded = jax.jit(
+        bmm, in_shardings=NamedSharding(mesh, P("data"))
+    )
+    flops_4 = _compiled_step_flops(sharded, x)
+    assert flops_1 > 0
+    assert flops_4 == pytest.approx(flops_1 / 4, rel=0.05)
+
 
 def test_compilation_cache_dir(tmp_path):
     import jax
