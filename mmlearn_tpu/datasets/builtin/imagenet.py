@@ -26,6 +26,10 @@ from mmlearn_tpu.datasets.builtin.image_utils import (
 )
 from mmlearn_tpu.datasets.core.example import Example
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 # The standard CLIP ImageNet prompt-template set (OpenAI CLIP; the reference
 # embeds the same list at imagenet.py:70-156).
 ZERO_SHOT_PROMPT_TEMPLATES = [
@@ -82,6 +86,7 @@ class ImageNet:
         transform: Optional[Callable] = None,
         mask_generator: Optional[Any] = None,
         image_size: int = 224,
+        manifest_cache: bool = False,
     ) -> None:
         root_dir = root_dir or os.environ.get("IMAGENET_ROOT_DIR")
         if root_dir is None:
@@ -94,21 +99,66 @@ class ImageNet:
         self.transform = transform or ImageTransform(size=image_size)
         self.mask_generator = mask_generator
 
-        classes = sorted(
-            d for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d))
-        )
+        # opt-in manifest cache: the ~1.3M-file directory walk is seconds on
+        # local disk but MINUTES per process on network mounts (gcsfuse on
+        # TPU VMs, NFS on SLURM). The first scan persists a manifest beside
+        # the split dir; later constructions (every host, every restart)
+        # read one file. Delete `.mmlearn_manifest.json` after changing the
+        # dataset on disk.
+        manifest_path = os.path.join(self.root, ".mmlearn_manifest.json")
+        classes, rel_samples = None, None
+        if manifest_cache and os.path.isfile(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    payload = json.load(f)
+                classes = list(payload["classes"])
+                rel_samples = [(str(p), int(i)) for p, i in payload["samples"]]
+            except (OSError, ValueError, KeyError) as err:
+                logger.warning(
+                    "Ignoring unreadable manifest %s (%s) — rescanning",
+                    manifest_path, err,
+                )
+                classes = rel_samples = None
+        if classes is None:
+            classes = sorted(
+                d for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d))
+            )
+            class_to_idx = {c: i for i, c in enumerate(classes)}
+            rel_samples = []
+            for cls in classes:
+                cdir = os.path.join(self.root, cls)
+                for fname in sorted(os.listdir(cdir)):
+                    if fname.lower().endswith(_IMG_EXTENSIONS):
+                        rel_samples.append(
+                            (os.path.join(cls, fname), class_to_idx[cls])
+                        )
+            if manifest_cache:
+                self._write_manifest(manifest_path, classes, rel_samples)
         self.class_to_idx = {c: i for i, c in enumerate(classes)}
-        self.samples: list[tuple[str, int]] = []
-        for cls in classes:
-            cdir = os.path.join(self.root, cls)
-            for fname in sorted(os.listdir(cdir)):
-                if fname.lower().endswith(_IMG_EXTENSIONS):
-                    self.samples.append(
-                        (os.path.join(cdir, fname), self.class_to_idx[cls])
-                    )
+        self.samples: list[tuple[str, int]] = [
+            (os.path.join(self.root, rel), idx) for rel, idx in rel_samples
+        ]
 
         self.id2label = self._load_id2label(root_dir, classes)
+
+    @staticmethod
+    def _write_manifest(path: str, classes: list, samples: list) -> None:
+        """Atomic best-effort write (read-only mounts just skip caching);
+        process-race-safe: concurrent writers produce identical content and
+        os.replace is atomic."""
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump({"classes": classes, "samples": samples}, f)
+            os.replace(tmp, path)
+            logger.info("Wrote dataset manifest %s (%d files)", path, len(samples))
+        except OSError as err:
+            logger.warning("Could not write manifest %s: %s", path, err)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     @staticmethod
     def _load_id2label(root_dir: str, classes: list[str]) -> dict[int, str]:

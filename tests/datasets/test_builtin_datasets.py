@@ -54,6 +54,41 @@ def test_imagenet_folder(tmp_path):
     assert len(ds.zero_shot_prompt_templates) == 80
 
 
+def test_imagenet_manifest_cache(tmp_path):
+    """manifest_cache=True persists the directory walk: later constructions
+    read the manifest instead of rescanning (and so see its contents even
+    if the tree changed — delete the manifest to refresh)."""
+    root = tmp_path / "imagenet"
+    for cls in ("n01", "n02"):
+        for i in range(2):
+            _write_img(str(root / "train" / cls / f"{i}.jpg"))
+    ds = ImageNet(
+        root_dir=str(root), split="train", image_size=16, manifest_cache=True
+    )
+    manifest = root / "train" / ".mmlearn_manifest.json"
+    assert manifest.is_file()
+    assert len(ds) == 4
+
+    # add a file: the cached manifest intentionally wins...
+    _write_img(str(root / "train" / "n01" / "late.jpg"))
+    ds2 = ImageNet(
+        root_dir=str(root), split="train", image_size=16, manifest_cache=True
+    )
+    assert len(ds2) == 4
+    assert [s for s in ds2.samples] == [s for s in ds.samples]
+    assert ds2[3]["rgb"].shape == (16, 16, 3)  # paths resolve and decode
+
+    # ...manifest_cache=False (the default) always rescans
+    assert len(ImageNet(root_dir=str(root), split="train")) == 5
+    # a corrupt manifest falls back to rescanning (and rewrites)
+    manifest.write_text("{not json")
+    ds3 = ImageNet(
+        root_dir=str(root), split="train", image_size=16, manifest_cache=True
+    )
+    assert len(ds3) == 5
+    assert json.loads(manifest.read_text())["classes"] == ["n01", "n02"]
+
+
 def test_imagenet_mask_generator(tmp_path):
     from mmlearn_tpu.datasets.processors.masking import (
         BlockwiseImagePatchMaskGenerator,
