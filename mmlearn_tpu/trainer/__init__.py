@@ -13,11 +13,13 @@ from mmlearn_tpu.trainer.loggers import (
     TensorBoardLogger,
     WandbLogger,
 )
+from mmlearn_tpu.trainer.averaging import average_checkpoints
 from mmlearn_tpu.trainer.state import TrainState
 from mmlearn_tpu.trainer.trainer import Trainer
 
 __all__ = [
     "Callback",
+    "average_checkpoints",
     "ConsoleLogger",
     "JSONLLogger",
     "LearningRateMonitor",
