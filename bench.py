@@ -27,6 +27,11 @@ def main() -> None:
     # bf16 attention scores: +24% measured on v5e (softmax reductions still
     # f32 inside XLA); matches the reference's fp16-mixed autocast semantics
     os.environ.setdefault("MMLEARN_ATTN_LOGITS", "bf16")
+    # MMLEARN_PLATFORM=cpu forces the CPU backend for smoke runs (the axon
+    # TPU plugin ignores JAX_PLATFORMS and can block when the tunnel is down)
+    from mmlearn_tpu._platform import force_platform_from_env
+
+    force_platform_from_env()
     import jax
 
     # persistent compilation cache: repeat bench runs skip the (minutes-long
@@ -209,33 +214,49 @@ def _input_fed_pairs_per_sec(step, params, opt_state, batch_size, rng) -> float:
 
 def main_with_retries(attempts: int = 4) -> None:
     """Retry transient tunneled-compile failures (HTTP 500 from the remote
-    compile helper); the persistent cache makes later attempts cheap."""
+    compile helper); the persistent cache makes later attempts cheap.
+
+    Backend-unavailable gets a longer window (12 tries, 90 s apart ≈ 18
+    min): the tunneled TPU has been observed to drop out for multi-hour
+    stretches, and a missing BENCH record costs a whole round."""
     import time as _time
     import traceback
 
-    for i in range(attempts):
+    unavailable_attempts = int(
+        __import__("os").environ.get("MMLEARN_BENCH_UNAVAILABLE_RETRIES", 12)
+    )
+    compile_failures = backend_failures = 0
+    while True:
         try:
             main()
             return
         except Exception as e:  # noqa: BLE001
             msg = str(e)
-            # "Unable to initialize backend 'axon': UNAVAILABLE" — the
-            # tunneled TPU can drop out for minutes at a time (observed
-            # round 3); worth retrying alongside remote-compile hiccups
-            transient = (
-                "remote_compile" in msg
-                or "INTERNAL" in msg
-                or "UNAVAILABLE" in msg
-                or "Unavailable" in msg
+            backend_down = (
+                "UNAVAILABLE" in msg or "Unavailable" in msg
+                or "Unable to initialize backend" in msg
             )
-            if not transient or i == attempts - 1:
+            transient = (
+                backend_down or "remote_compile" in msg or "INTERNAL" in msg
+            )
+            if backend_down:
+                backend_failures += 1
+                retry = backend_failures < unavailable_attempts
+                sleep = 90
+            else:
+                compile_failures += 1
+                retry = transient and compile_failures < attempts
+                sleep = 45
+            if not retry:
                 raise
             traceback.print_exc()
             print(
-                f"transient compile failure, retrying ({i + 1}/{attempts})",
+                "transient failure "
+                f"(backend_down={backend_down}, try {backend_failures + compile_failures}), "
+                "retrying",
                 flush=True,
             )
-            _time.sleep(45)
+            _time.sleep(sleep)
 
 
 if __name__ == "__main__":
