@@ -22,23 +22,59 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def _tree_mean(trees: Sequence[Any]) -> Any:
-    """Mean of float leaves across structurally-identical trees; non-float
-    leaves (ids, counters) come from the last tree."""
-    import jax
+class _StreamingMean:
+    """Running mean over structurally-identical trees, one tree at a time.
 
-    def _mean(*leaves):
-        first = np.asarray(leaves[0])
-        if not np.issubdtype(first.dtype, np.floating):
-            return leaves[-1]
-        # accumulate in f64 so bf16/f32 soups don't lose low bits, then
-        # cast back to the stored dtype
-        acc = np.zeros(first.shape, np.float64)
-        for leaf in leaves:
-            acc += np.asarray(leaf, np.float64)
-        return (acc / len(leaves)).astype(first.dtype)
+    Float leaves accumulate in f64 (so bf16/f32 soups don't lose low bits)
+    and are cast back to the first tree's stored dtype; non-float leaves
+    (ids, counters) take the LAST tree's value. Streaming keeps peak host
+    memory at ~2x one checkpoint instead of Nx for an N-checkpoint soup.
+    """
 
-    return jax.tree.map(_mean, *trees)
+    def __init__(self) -> None:
+        self._acc: Any = None
+        self._last: Any = None
+        self._dtypes: Any = None
+        self._count = 0
+
+    def update(self, tree: Any) -> None:
+        import jax
+
+        def _to_acc(leaf):
+            a = np.asarray(leaf)
+            return (
+                a.astype(np.float64)
+                if np.issubdtype(a.dtype, np.floating)
+                else None
+            )
+
+        if self._acc is None:
+            self._acc = jax.tree.map(_to_acc, tree)
+            self._dtypes = jax.tree.map(lambda l: np.asarray(l).dtype, tree)
+        else:
+            self._acc = jax.tree.map(
+                lambda acc, leaf: None
+                if acc is None
+                else acc + np.asarray(leaf, np.float64),
+                self._acc,
+                tree,
+                is_leaf=lambda x: x is None,
+            )
+        self._last = tree
+        self._count += 1
+
+    def result(self) -> Any:
+        import jax
+
+        return jax.tree.map(
+            lambda acc, last, dt: np.asarray(last)
+            if acc is None
+            else (acc / self._count).astype(dt),
+            self._acc,
+            self._last,
+            self._dtypes,
+            is_leaf=lambda x: x is None,
+        )
 
 
 def average_checkpoints(
@@ -74,11 +110,20 @@ def average_checkpoints(
             raise ValueError(
                 f"Steps {missing} not in {dirpath} (available: {available})"
             )
-        trees = [manager.restore(s) for s in steps]
-    out = dict(trees[-1])
-    out["params"] = _tree_mean([t["params"] for t in trees])
-    if average_extras and trees[-1].get("extras") is not None:
-        out["extras"] = _tree_mean([t["extras"] for t in trees])
+        # stream one checkpoint at a time: peak host memory stays ~2x one
+        # checkpoint regardless of soup size
+        params_mean = _StreamingMean()
+        extras_mean = _StreamingMean()
+        last = None
+        for s in steps:
+            last = manager.restore(s)
+            params_mean.update(last["params"])
+            if average_extras and last.get("extras") is not None:
+                extras_mean.update(last["extras"])
+    out = dict(last)
+    out["params"] = params_mean.result()
+    if average_extras and last.get("extras") is not None:
+        out["extras"] = extras_mean.result()
     logger.info(
         "Averaged %d checkpoints from %s (steps %s)", len(steps), dirpath,
         steps,
