@@ -216,8 +216,8 @@ def main_with_retries(attempts: int = 4) -> None:
     """Retry transient tunneled-compile failures (HTTP 500 from the remote
     compile helper); the persistent cache makes later attempts cheap.
 
-    Backend-unavailable gets a longer window (12 tries, 90 s apart ≈ 18
-    min): the tunneled TPU has been observed to drop out for multi-hour
+    Backend-unavailable gets a longer window (40 tries, 90 s apart ≈ 60
+    min): the tunneled TPU has been observed to drop out for 30+ minute
     stretches, and a missing BENCH record costs a whole round."""
     import time as _time
     import traceback

@@ -112,6 +112,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        try:  # older prebuilt .so without the symbol: JPEG paths still work
+            lib.fl_crc32c.restype = ctypes.c_uint32
+            lib.fl_crc32c.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_uint32,
+            ]
+        except AttributeError:
+            pass
         _LIB = lib
         return _LIB
 
@@ -160,6 +169,23 @@ def decode_jpeg(jpeg: bytes, out_size: int) -> np.ndarray:
     if rc != 0:
         raise ValueError("JPEG decode failed")
     return out
+
+
+def crc32c_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fl_crc32c")
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """Hardware/SIMD CRC-32C (Castagnoli) — TFRecord framing checksums.
+
+    Raises ``RuntimeError`` when the native library (or symbol) is missing;
+    callers (``datasets.core.tfrecord``) fall back to the pure-Python table.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "fl_crc32c"):
+        raise RuntimeError("fastloader native library unavailable")
+    return int(lib.fl_crc32c(data, len(data), crc & 0xFFFFFFFF))
 
 
 def decode_jpeg_train(

@@ -36,6 +36,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>  // hardware CRC32C (_mm_crc32_u64/_u8)
+#endif
+
 namespace {
 
 struct JpegErrorMgr {
@@ -356,6 +360,68 @@ int fl_decode_jpeg_batch(const uint8_t* blob, const size_t* offsets, int n,
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failures.load();
+}
+
+// ---- CRC32C (Castagnoli) ----------------------------------------------------
+// TFRecord framing checksums (datasets/core/tfrecord.py): the pure-Python
+// byte loop runs at a few MB/s, far below the ~40 MB/s/chip a production
+// shard-ingestion pipeline sustains. x86 builds (-march=native) use the
+// SSE4.2 CRC32 instruction (~10+ GB/s); the portable fallback is slice-by-8
+// (~1-2 GB/s). Both assume little-endian 8-byte loads (x86/ARM).
+
+#if !defined(__SSE4_2__)
+namespace {
+struct Crc32cTables {
+  uint32_t t[8][256];
+  Crc32cTables() {
+    for (uint32_t n = 0; n < 256; ++n) {
+      uint32_t c = n;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0x82F63B78u ^ (c >> 1) : c >> 1;
+      t[0][n] = c;
+    }
+    for (uint32_t n = 0; n < 256; ++n) {
+      uint32_t c = t[0][n];
+      for (int k = 1; k < 8; ++k) {
+        c = t[0][c & 0xFF] ^ (c >> 8);
+        t[k][n] = c;
+      }
+    }
+  }
+};
+const Crc32cTables& crc_tables() {
+  static const Crc32cTables tbl;  // thread-safe magic static
+  return tbl;
+}
+}  // namespace
+#endif
+
+uint32_t fl_crc32c(const uint8_t* data, size_t n, uint32_t crc) {
+  crc ^= 0xFFFFFFFFu;
+#if defined(__SSE4_2__)
+  while (n >= 8) {
+    uint64_t v;
+    std::memcpy(&v, data, 8);
+    crc = static_cast<uint32_t>(_mm_crc32_u64(crc, v));
+    data += 8;
+    n -= 8;
+  }
+  while (n--) crc = _mm_crc32_u8(crc, *data++);
+#else
+  const auto& t = crc_tables().t;
+  while (n >= 8) {
+    uint64_t v;
+    std::memcpy(&v, data, 8);
+    v ^= crc;
+    crc = t[7][v & 0xFF] ^ t[6][(v >> 8) & 0xFF] ^ t[5][(v >> 16) & 0xFF] ^
+          t[4][(v >> 24) & 0xFF] ^ t[3][(v >> 32) & 0xFF] ^
+          t[2][(v >> 40) & 0xFF] ^ t[1][(v >> 48) & 0xFF] ^
+          t[0][(v >> 56) & 0xFF];
+    data += 8;
+    n -= 8;
+  }
+  while (n--) crc = t[0][(crc ^ *data++) & 0xFF] ^ (crc >> 8);
+#endif
+  return crc ^ 0xFFFFFFFFu;
 }
 
 }  // extern "C"

@@ -150,3 +150,37 @@ def test_decode_transform_jpeg_train_uses_native(monkeypatch):
     assert out.shape == (32, 32, 3) and out.dtype == np.float32
     # normalized output: roughly centered values, not raw uint8
     assert np.abs(out).max() < 10
+
+
+@pytest.mark.integration_test
+def test_native_crc32c_matches_python():
+    if not native.available() or not native.crc32c_available():
+        pytest.skip("native crc32c unavailable")
+    from mmlearn_tpu.datasets.core.tfrecord import _crc32c_py
+
+    # RFC 3720 test vector
+    assert native.crc32c(b"123456789") == 0xE3069283
+    rng = np.random.default_rng(42)
+    for size in (0, 1, 7, 8, 9, 63, 64, 1024, 4097):
+        data = rng.integers(0, 256, size).astype(np.uint8).tobytes()
+        assert native.crc32c(data) == _crc32c_py(data), size
+    # continuation semantics: crc of the prefix feeds the suffix call
+    data = rng.integers(0, 256, 333).astype(np.uint8).tobytes()
+    split = native.crc32c(data[200:], native.crc32c(data[:200]))
+    assert split == _crc32c_py(data)
+
+
+def test_tfrecord_crc_dispatch_env(monkeypatch):
+    """MMLEARN_TFRECORD_PYCRC=1 pins the Python path; the public crc32c
+    agrees with the reference implementation either way."""
+    import mmlearn_tpu.datasets.core.tfrecord as tfr
+
+    monkeypatch.setattr(tfr, "_NATIVE_CRC_CHECKED", False)
+    monkeypatch.setattr(tfr, "_NATIVE_CRC", None)
+    monkeypatch.setenv("MMLEARN_TFRECORD_PYCRC", "1")
+    assert tfr.crc32c(b"123456789") == 0xE3069283
+    assert tfr._NATIVE_CRC is None
+    # re-enable auto-detection for the rest of the session
+    monkeypatch.setenv("MMLEARN_TFRECORD_PYCRC", "0")
+    monkeypatch.setattr(tfr, "_NATIVE_CRC_CHECKED", False)
+    assert tfr.crc32c(b"123456789") == 0xE3069283
