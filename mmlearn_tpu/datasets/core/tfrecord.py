@@ -236,15 +236,19 @@ def _parse_feature(buf: bytes) -> Any:
         if field == 1:  # BytesList { repeated bytes value = 1 }
             return [v for _, _, v in _iter_fields(value)]
         if field == 2:  # FloatList { repeated float value = 1 [packed] }
-            floats: list[float] = []
+            chunks: list[np.ndarray] = []
             for _, fwire, fval in _iter_fields(value):
-                if fwire == 2:  # packed
-                    floats.extend(
-                        struct.unpack(f"<{len(fval) // 4}f", fval)
-                    )
+                if fwire == 2:  # packed: zero-copy view over the wire bytes
+                    chunks.append(np.frombuffer(fval, "<f4", len(fval) // 4))
                 else:  # unpacked fixed32
-                    floats.append(struct.unpack("<f", struct.pack("<I", fval))[0])
-            return np.asarray(floats, np.float32)
+                    chunks.append(
+                        np.frombuffer(struct.pack("<I", fval), "<f4")
+                    )
+            if not chunks:
+                return np.asarray([], np.float32)
+            if len(chunks) == 1:  # frombuffer views bytes read-only: copy once
+                return chunks[0].astype(np.float32, copy=True)
+            return np.concatenate(chunks)  # concatenate already copies
         if field == 3:  # Int64List { repeated int64 value = 1 [packed] }
             ints: list[int] = []
             for _, iwire, ival in _iter_fields(value):
