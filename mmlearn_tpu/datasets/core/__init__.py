@@ -18,6 +18,10 @@ from mmlearn_tpu.datasets.core.samplers import (
     RandomSampler,
     SequentialSampler,
 )
+from mmlearn_tpu.datasets.core.tfrecord import (
+    TFRecordDataset,
+    tfrecord_open_shard,
+)
 
 __all__ = [
     "CombinedDataset",
@@ -31,7 +35,9 @@ __all__ = [
     "RandomSampler",
     "SequentialSampler",
     "StreamingDataset",
+    "TFRecordDataset",
     "jsonl_open_shard",
+    "tfrecord_open_shard",
     "collate_example_list",
     "find_matching_indices",
 ]

@@ -29,10 +29,11 @@ path remains as the dependency-free fallback.
 from __future__ import annotations
 
 import struct
-from typing import Any, Callable, Iterator, Mapping, Optional
+from typing import Any, Callable, Iterator, Mapping, Optional, Sequence
 
 import numpy as np
 
+from mmlearn_tpu.conf import store
 from mmlearn_tpu.datasets.core.example import Example
 
 __all__ = [
@@ -42,6 +43,8 @@ __all__ = [
     "parse_tf_example",
     "encode_tf_example",
     "tfrecord_open_shard",
+    "tfrecord_index",
+    "TFRecordDataset",
 ]
 
 # -- CRC32C (Castagnoli, reflected; poly 0x1EDC6F41 → reversed 0x82F63B78) ----
@@ -346,6 +349,139 @@ def encode_tf_example(features: Mapping[str, Any]) -> bytes:
     out = bytearray()
     _write_delimited(out, 1, bytes(fmap))
     return bytes(out)
+
+
+def tfrecord_index(path: str, cache: bool = True) -> np.ndarray:
+    """Byte-offset index of one ``.tfrecord`` file → ``(N, 2)`` uint64 of
+    ``[data_offset, data_length]`` per record.
+
+    Indexing seeks over record bodies (header-only reads), so it runs at
+    directory-walk speed even for multi-GB shards; length CRCs are always
+    verified (8 bytes each — catches misframed files at index time), data
+    CRCs are left to read time.
+
+    ``cache=True`` persists the index as ``<path>.idx.npz`` keyed by the
+    shard's (size, mtime) — the same pattern as ``ImageNet(manifest_cache=
+    True)`` — so repeat runs skip the scan. Cache write failures (read-only
+    mounts) degrade silently to in-memory indexing.
+    """
+    import os
+
+    stat = os.stat(path)
+    cache_path = path + ".idx.npz"
+    if cache:
+        try:
+            with np.load(cache_path) as z:
+                if (
+                    int(z["size"]) == stat.st_size
+                    and float(z["mtime"]) == stat.st_mtime
+                ):
+                    return z["index"]
+        except (OSError, ValueError, KeyError):
+            pass
+    entries = []
+    size = stat.st_size
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            header = f.read(12)
+            if len(header) < 12:
+                raise ValueError(f"{path}: truncated record header @ {pos}")
+            (length,) = struct.unpack("<Q", header[:8])
+            if _masked_crc(header[:8]) != struct.unpack("<I", header[8:12])[0]:
+                raise ValueError(
+                    f"{path}: corrupt record length @ {pos} (crc mismatch)"
+                )
+            end = pos + 12 + length + 4
+            if end > size:
+                raise ValueError(f"{path}: truncated record body @ {pos}")
+            entries.append((pos + 12, length))
+            pos = end
+            f.seek(pos)
+    index = np.asarray(entries, np.uint64).reshape(-1, 2)
+    if cache:
+        # np.savez appends ".npz" when missing — keep the suffix on the tmp
+        tmp = f"{cache_path}.tmp-{os.getpid()}.npz"
+        try:
+            np.savez(tmp, index=index, size=stat.st_size, mtime=stat.st_mtime)
+            os.replace(tmp, cache_path)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return index
+
+
+@store(group="datasets", name="TFRecordDataset", populate_full_signature=False)
+class TFRecordDataset:
+    """Map-style (random-access) dataset over TFRecord shards.
+
+    :func:`tfrecord_open_shard` + :class:`StreamingDataset` cover sequential
+    multi-host streaming; this class adds the *indexed* path so TFRecord
+    shards compose with the map-style machinery — ``CombinedDataset``
+    samplers, ratio sampling, ``DistributedEvalSampler``, mid-epoch resume
+    fast-forwarding — exactly like the built-in image datasets.
+
+    Args:
+        shards: shard file paths (every process passes the same list).
+        to_example: maps the parsed feature dict to an :class:`Example`;
+            default wraps the features as-is (and stamps the global index
+            under ``EXAMPLE_INDEX_KEY``).
+        verify_crc: verify each record's data CRC at read time (the native
+            CRC-32C makes this ~free; length CRCs are always checked at
+            index time).
+        index_cache: persist per-shard indexes as ``<shard>.idx.npz``.
+    """
+
+    def __init__(
+        self,
+        shards: Sequence[str],
+        to_example: Optional[Callable[[dict], Any]] = None,
+        verify_crc: bool = False,
+        index_cache: bool = True,
+    ) -> None:
+        if not shards:
+            raise ValueError("TFRecordDataset needs at least one shard path")
+        self.shards = [str(s) for s in shards]
+        self.to_example = to_example
+        self.verify_crc = verify_crc
+        self._indexes = [tfrecord_index(p, cache=index_cache) for p in self.shards]
+        counts = [len(ix) for ix in self._indexes]
+        self._starts = np.concatenate([[0], np.cumsum(counts)])
+        self._len = int(self._starts[-1])
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, idx: int) -> Any:
+        if idx < 0:
+            idx += self._len
+        if not 0 <= idx < self._len:
+            raise IndexError(idx)
+        shard = int(np.searchsorted(self._starts, idx, side="right")) - 1
+        offset, length = self._indexes[shard][idx - int(self._starts[shard])]
+        path = self.shards[shard]
+        # open per call: thread-safe under the loader's worker threads, and
+        # the OS page cache makes repeat opens ~free
+        with open(path, "rb") as f:
+            f.seek(int(offset))
+            data = f.read(int(length))
+            if self.verify_crc:
+                footer = f.read(4)
+                if len(data) < int(length) or len(footer) < 4:
+                    raise ValueError(f"{path}: truncated record body @ {offset}")
+                if _masked_crc(data) != struct.unpack("<I", footer)[0]:
+                    raise ValueError(
+                        f"{path}: corrupt record data @ {offset} (crc mismatch)"
+                    )
+        parsed = parse_tf_example(data)
+        if self.to_example is not None:
+            return self.to_example(parsed)
+        from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+
+        parsed.setdefault(EXAMPLE_INDEX_KEY, idx)
+        return Example(parsed)
 
 
 def tfrecord_open_shard(

@@ -133,3 +133,90 @@ def test_streaming_dataset_over_tfrecord_shards(tmp_path):
     assert set(seen0) | set(seen1) == {
         s * 10 + i for s in range(4) for i in range(3)
     }
+
+
+def _write_shard(path, examples):
+    from mmlearn_tpu.datasets.core.tfrecord import encode_tf_example, write_tfrecord
+
+    return write_tfrecord(str(path), (encode_tf_example(e) for e in examples))
+
+
+class TestTFRecordDataset:
+    def _make_shards(self, tmp_path, sizes=(3, 2)):
+        paths = []
+        k = 0
+        for i, n in enumerate(sizes):
+            p = tmp_path / f"shard-{i}.tfrecord"
+            _write_shard(
+                p,
+                [
+                    {"label": np.asarray([k + j], np.int64), "name": f"ex{k + j}"}
+                    for j in range(n)
+                ],
+            )
+            k += n
+            paths.append(str(p))
+        return paths
+
+    def test_indexed_random_access(self, tmp_path):
+        from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+        from mmlearn_tpu.datasets.core import TFRecordDataset
+
+        ds = TFRecordDataset(self._make_shards(tmp_path), verify_crc=True)
+        assert len(ds) == 5
+        # cross-shard access in arbitrary order
+        for idx in (4, 0, 3, 2, 1, -1):
+            ex = ds[idx]
+            want = idx % 5
+            assert int(ex["label"][0]) == want
+            assert ex["name"] == [f"ex{want}".encode()]
+            assert ex[EXAMPLE_INDEX_KEY] == want
+        with pytest.raises(IndexError):
+            ds[5]
+
+    def test_index_cache_roundtrip(self, tmp_path):
+        from mmlearn_tpu.datasets.core import TFRecordDataset
+        from mmlearn_tpu.datasets.core.tfrecord import tfrecord_index
+
+        paths = self._make_shards(tmp_path, sizes=(4,))
+        ix1 = tfrecord_index(paths[0])
+        assert (tmp_path / "shard-0.tfrecord.idx.npz").exists()
+        ix2 = tfrecord_index(paths[0])  # cache hit
+        np.testing.assert_array_equal(ix1, ix2)
+        # stale cache (rewritten shard) is ignored and rebuilt
+        import os
+        import time
+
+        _write_shard(paths[0], [{"label": np.asarray([7], np.int64)}])
+        os.utime(paths[0], (time.time() + 5, time.time() + 5))
+        ds = TFRecordDataset(paths)
+        assert len(ds) == 1
+        assert int(ds[0]["label"][0]) == 7
+
+    def test_corrupt_record_detected(self, tmp_path):
+        from mmlearn_tpu.datasets.core import TFRecordDataset
+
+        paths = self._make_shards(tmp_path, sizes=(2,))
+        raw = bytearray(open(paths[0], "rb").read())
+        raw[-6] ^= 0xFF  # flip a byte inside the last record's payload
+        open(paths[0], "wb").write(bytes(raw))
+        ds = TFRecordDataset(paths, verify_crc=True, index_cache=False)
+        ds[0]  # first record untouched
+        with pytest.raises(ValueError, match="corrupt record data"):
+            ds[1]
+
+    def test_to_example_and_sampler_compose(self, tmp_path):
+        from mmlearn_tpu.datasets.core import (
+            CombinedDataset,
+            DataLoader,
+            Example,
+            TFRecordDataset,
+        )
+
+        ds = TFRecordDataset(
+            self._make_shards(tmp_path),
+            to_example=lambda d: Example({"y": np.asarray(d["label"], np.int64)}),
+        )
+        loader = DataLoader(CombinedDataset([ds]), batch_size=5, shuffle=False)
+        (batch,) = list(loader)
+        np.testing.assert_array_equal(np.sort(np.ravel(batch["y"])), range(5))
