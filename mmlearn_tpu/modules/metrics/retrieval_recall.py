@@ -35,7 +35,14 @@ def _topk_scores_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
     EmbeddingIndex — one jitted similarity/top-k kernel, not three.
     """
     sim = jnp.einsum(
-        "qd,td->qt", queries, targets, preferred_element_type=jnp.float32
+        "qd,td->qt",
+        queries,
+        targets,
+        preferred_element_type=jnp.float32,
+        # full f32 multiply: TPU matmuls default to bf16 input precision,
+        # which cannot separate self-similarity (1.0) from a 0.9995-similar
+        # near-duplicate — rank order at the top of the list would be noise
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jax.lax.top_k(sim, k)
 
@@ -150,7 +157,9 @@ class RetrievalRecallAtK:
         queries = np.concatenate([np.asarray(a) for a in qs])
         targets = np.concatenate([np.asarray(a) for a in ts])
         indexes = np.concatenate([np.asarray(a) for a in idxs])
-        if jax.process_count() > 1:  # pragma: no cover - multihost only
+        # multihost branch: exercised by tests/parallel/test_multiprocess.py
+        # (2 real jax.distributed processes, unequal eval shard sizes)
+        if jax.process_count() > 1:
             # unpadded eval shards differ in size across processes: gather
             # counts, pad to max, gather, then drop padding and rank-offset
             # the positive indexes (reference retrieval_recall.py:140-161)

@@ -168,5 +168,14 @@ def process_local_rows_device(arr: Any) -> Any:
                 continue
             seen.add(start)
             parts.append(shard.data)
-        return jnp.concatenate(parts, axis=0)
+        if len(parts) == 1:
+            return parts[0]
+        # each shard is committed to ITS device; concatenating arrays
+        # committed to different devices is an error under jax's committed
+        # placement rules — co-locate on the first local device (an
+        # intra-host device-to-device copy, still no host round-trip)
+        dev = next(iter(parts[0].devices()))
+        return jnp.concatenate(
+            [jax.device_put(p, dev) for p in parts], axis=0
+        )
     return arr

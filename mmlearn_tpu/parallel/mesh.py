@@ -84,10 +84,18 @@ def create_mesh(
     # slice(s) and the hybrid mesh builder finds fewer slice granules than
     # requested (real devices: group by slice_index; emulation: the list is
     # slice-major by convention)
+    # real multi-slice hardware: devices carry DISTINCT slice_index values
+    # (CPU emulation under jax.distributed also *defines* slice_index, but
+    # as 0 on every device — that must take the slice-major emulation path)
+    real_slices = (
+        slices > 1
+        and hasattr(devices[0], "slice_index")
+        and len({getattr(d, "slice_index", 0) for d in devices}) > 1
+    )
     total = data * other
     if slices > 1 and total < n:
         need = total // slices
-        if hasattr(devices[0], "slice_index"):
+        if real_slices:
             by_slice: dict = {}
             for d in devices:
                 by_slice.setdefault(d.slice_index, []).append(d)
@@ -116,7 +124,7 @@ def create_mesh(
     if slices > 1:
         per_slice = (data // slices,) + shape[1:]
         dcn = (slices,) + (1,) * (len(shape) - 1)
-        if hasattr(devices[0], "slice_index"):
+        if real_slices:
             from jax.experimental import mesh_utils
 
             dev_array = mesh_utils.create_hybrid_device_mesh(
@@ -209,12 +217,12 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         if arr.dtype == object:
             return leaf
         if arr.ndim == 0:
-            if multiprocess:  # pragma: no cover - multihost only
+            if multiprocess:  # exercised by tests/parallel/test_multiprocess.py
                 return jax.make_array_from_process_local_data(
                     repl, arr, arr.shape
                 )
             return jax.device_put(arr, repl)
-        if multiprocess:  # pragma: no cover - multihost only
+        if multiprocess:  # exercised by tests/parallel/test_multiprocess.py
             p = jax.process_count()
             # aux arrays lead with a NON-batch dim (e.g. I-JEPA masks
             # (n_masks, B, K)) — their per-process batch concatenates on

@@ -35,7 +35,14 @@ def _approx_topk_scores_chunk(queries, targets, k):
     hardware top-k path, ~recall 0.95 by default — the standard
     serving-side trade for large corpora. Exact on CPU (falls back)."""
     sim = jnp.einsum(
-        "qd,td->qt", queries, targets, preferred_element_type=jnp.float32
+        "qd,td->qt",
+        queries,
+        targets,
+        preferred_element_type=jnp.float32,
+        # see metrics/retrieval_recall._topk_scores_chunk: bf16-precision
+        # matmul (the TPU f32 default) scrambles rank order among
+        # near-duplicate embeddings
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jax.lax.approx_max_k(sim, k)
 
