@@ -129,6 +129,22 @@ def run_experiment(cfg: dict) -> Any:
 
     task = instantiate(cfg["task"])
 
+    init_from_lightning = cfg.get("init_from_lightning")
+    if init_from_lightning:
+        # migrate a half-trained reference (torch Lightning) run: convert
+        # its .ckpt into our parameter layout and overlay it at init
+        # (lightning_import.py; optimizer state starts fresh)
+        from mmlearn_tpu.lightning_import import import_lightning_checkpoint
+
+        overlay, meta = import_lightning_checkpoint(str(init_from_lightning))
+        task.init_overlay = overlay
+        logger.info(
+            "initializing from reference Lightning checkpoint %s "
+            "(global_step=%d, epoch=%d%s)",
+            init_from_lightning, meta["global_step"], meta["epoch"],
+            f", ema={meta['ema']}" if "ema" in meta else "",
+        )
+
     job_type = str(cfg.get("job_type", "train"))
     ckpt_path = cfg.get("resume_from_checkpoint")
     if job_type == "train":

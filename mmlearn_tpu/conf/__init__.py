@@ -101,6 +101,10 @@ def base_config() -> dict:
         "tags": ["${experiment_name}"],
         "resume_from_checkpoint": None,
         "strict_loading": True,
+        # initialize params from a reference (torch Lightning) .ckpt —
+        # the migration path for half-trained reference runs
+        # (mmlearn_tpu/lightning_import.py)
+        "init_from_lightning": None,
         # job_type=export: serving-artifact settings (see docs/user_guide.md)
         "export": {
             # stablehlo (serving artifacts) | hf (torch-ecosystem state

@@ -7,11 +7,17 @@ from mmlearn_tpu.datasets.core import (
     Example,
     Modalities,
 )
+from mmlearn_tpu.datasets.materialize import (
+    MaterializedDataset,
+    materialize,
+)
 
 __all__ = [
     "CombinedDataset",
     "DataLoader",
     "DefaultDataCollator",
     "Example",
+    "MaterializedDataset",
+    "materialize",
     "Modalities",
 ]

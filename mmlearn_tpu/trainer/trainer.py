@@ -368,6 +368,26 @@ class Trainer:
         self._state_shardings = param_shardings(self._state_specs, self.mesh)
         with self.mesh:
             self.state = jax.jit(init_fn, out_shardings=self._state_shardings)(rng)
+        overlay = getattr(task, "init_overlay", None)
+        if overlay is not None:
+            # imported weights (e.g. a reference Lightning checkpoint via
+            # lightning_import) land on the freshly initialized tree, then
+            # extras are re-derived — for I-JEPA that re-copies the EMA
+            # teacher from the imported student, exactly the reference's
+            # on_load_checkpoint restore semantics (reference
+            # tasks/ijepa.py:205-215). Optimizer state stays zero-init.
+            from mmlearn_tpu.lightning_import import overlay_params
+
+            merged = overlay_params(jax.device_get(self.state.params), overlay)
+            params = jax.device_put(merged, self._state_shardings.params)
+            self.state = self.state.replace(
+                params=params,
+                extras=jax.device_put(
+                    task.init_extras(jax.device_get(params)),
+                    self._state_shardings.extras,
+                ),
+            )
+            logger.info("applied init overlay onto initialized parameters")
         n_params = sum(
             int(np.prod(np.shape(p))) for p in jax.tree.leaves(self.state.params)
         )

@@ -813,6 +813,171 @@ def record_multitask_trajectory() -> None:
           [round(x, 5) for x in losses[-3:]])
 
 
+# Lightning-checkpoint fixtures: dims shared by recorder and importer test
+LIGHTNING_CLIP = dict(
+    vocab=99, hidden=32, inter=64, depth=2, heads=4, max_pos=16,
+    eos=98, img=32, patch=8, head_out=16, head_hidden=20,
+)
+
+
+def record_lightning_ckpts() -> None:
+    """Write reference-task Lightning ``.ckpt`` fixtures for the importer
+    round-trip test (tests/test_lightning_import.py).
+
+    The checkpoints are produced by the reference's REAL task classes
+    (``state_dict`` layout from reference
+    tasks/contrastive_pretraining.py:284-334 and tasks/ijepa.py:93-106 +
+    on_save_checkpoint :188-203), wrapped in the dict shape Lightning's
+    ModelCheckpoint writes. Encoder wrappers mirror exactly what the
+    reference HF wrappers register: ``self.model = model.vision_model``
+    (reference clip.py:194) and ``self.model = <CLIPTextModel>``
+    (clip.py:85)."""
+    import torch
+    from transformers import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPVisionConfig,
+        CLIPVisionModel,
+    )
+
+    mods = load_reference_tasks()
+    vis = load_reference_vision()
+    c = LIGHTNING_CLIP
+
+    torch.manual_seed(21)
+    text_model = CLIPTextModel(
+        CLIPTextConfig(
+            vocab_size=c["vocab"], hidden_size=c["hidden"],
+            intermediate_size=c["inter"], num_hidden_layers=c["depth"],
+            num_attention_heads=c["heads"],
+            max_position_embeddings=c["max_pos"], eos_token_id=c["eos"],
+        )
+    ).eval()
+    vision_model = CLIPVisionModel(
+        CLIPVisionConfig(
+            hidden_size=c["hidden"], intermediate_size=c["inter"],
+            num_hidden_layers=c["depth"], num_attention_heads=c["heads"],
+            image_size=c["img"], patch_size=c["patch"],
+        )
+    ).eval()
+
+    class VisionWrapper(torch.nn.Module):
+        """Stores model.vision_model like reference HFCLIPVisionEncoder
+        (reference clip.py:194)."""
+
+        def __init__(self) -> None:
+            super().__init__()
+            self.model = vision_model.vision_model
+
+        def forward(self, inputs):
+            return (self.model(pixel_values=inputs["rgb"]).pooler_output,)
+
+    class TextWrapper(torch.nn.Module):
+        """Stores the full CLIPTextModel like reference HFCLIPTextEncoder
+        (reference clip.py:85)."""
+
+        def __init__(self) -> None:
+            super().__init__()
+            self.model = text_model
+
+        def forward(self, inputs):
+            return (self.model(input_ids=inputs["text"]).pooler_output,)
+
+    mlp_mod = sys.modules["mmlearn.modules.layers.mlp"]
+    heads = {
+        "rgb": torch.nn.Linear(c["hidden"], c["head_out"]),
+        "text": mlp_mod.MLP(
+            in_dim=c["hidden"], out_dim=c["head_out"],
+            hidden_dims=[c["head_hidden"]],
+            norm_layer=torch.nn.LayerNorm,
+            activation_layer=torch.nn.GELU,
+        ),
+    }
+    task = mods.cp.ContrastivePretraining(
+        encoders={"rgb": VisionWrapper(), "text": TextWrapper()},
+        heads=heads,
+        loss=mods.loss.ContrastiveLoss(),
+    )
+
+    rng = np.random.default_rng(31)
+    imgs = rng.standard_normal((2, 3, c["img"], c["img"])).astype(np.float32)
+    ids = rng.integers(1, 90, (2, 12)).astype(np.int64)
+    ids[0, 7:] = c["eos"]
+    ids[1, 11] = c["eos"]
+    with torch.no_grad():
+        probe = {
+            "rgb": torch.from_numpy(imgs),
+            "text": torch.from_numpy(ids),
+        }
+        out = task(probe)
+
+    ckpt = {
+        "state_dict": task.state_dict(),
+        "global_step": 120,
+        "epoch": 3,
+        "pytorch-lightning_version": "2.4.0",
+        "loops": {},
+        "optimizer_states": [],
+        "lr_schedulers": [],
+    }
+    task.on_save_checkpoint(ckpt)
+    torch.save(ckpt, os.path.join(OUT_DIR, "reference_lightning_contrastive.ckpt"))
+    np.savez(
+        os.path.join(OUT_DIR, "reference_lightning_contrastive_expect.npz"),
+        imgs=imgs, ids=ids,
+        rgb_embedding=out["rgb_embedding"].numpy(),
+        text_embedding=out["text_embedding"].numpy(),
+        log_logit_scale=task.log_logit_scale.detach().numpy(),
+    )
+
+    # -- I-JEPA: encoder/predictor state + ema_params metadata ---------------
+    cj = IJEPA_TRAJ
+    torch.manual_seed(23)
+    encoder = vis.vision.VisionTransformer(
+        img_size=[cj["img"], cj["img"]], patch_size=cj["patch"],
+        embed_dim=cj["embed_dim"], depth=cj["depth"],
+        num_heads=cj["num_heads"],
+    )
+    predictor = vis.vision.VisionTransformerPredictor(
+        num_patches=(cj["img"] // cj["patch"]) ** 2,
+        embed_dim=cj["embed_dim"],
+        predictor_embed_dim=cj["pred_embed_dim"], depth=cj["pred_depth"],
+        num_heads=cj["num_heads"],
+    )
+    jtask = vis.ijepa.IJEPA(
+        encoder=encoder, predictor=predictor,
+        ema_decay=cj["ema_decay"], ema_decay_end=cj["ema_decay_end"],
+        ema_anneal_end_step=cj["ema_anneal_end_step"],
+    )
+    jtask.configure_model()
+    jtask.target_encoder.num_updates = 77
+    jtask.target_encoder.decay = 0.9971
+    jckpt = {
+        "state_dict": jtask.state_dict(),
+        "global_step": 77,
+        "epoch": 1,
+        "pytorch-lightning_version": "2.4.0",
+    }
+    jtask.on_save_checkpoint(jckpt)
+    torch.save(jckpt, os.path.join(OUT_DIR, "reference_lightning_ijepa.ckpt"))
+    probe_img = rng.standard_normal(
+        (2, 3, cj["img"], cj["img"])
+    ).astype(np.float32)
+    with torch.no_grad():
+        enc_out = encoder({"rgb": torch.from_numpy(probe_img)})[0]
+    np.savez(
+        os.path.join(OUT_DIR, "reference_lightning_ijepa_expect.npz"),
+        imgs=probe_img,
+        encoder_out=enc_out.numpy(),
+    )
+    print(
+        "lightning ckpt fixtures recorded:",
+        sorted(ckpt["state_dict"])[:3], "...",
+        sorted(jckpt["state_dict"])[:2],
+        "ema_params:", jckpt.get("ema_params"),
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     install_stubs()
@@ -823,3 +988,4 @@ if __name__ == "__main__":
     record_contrastive_trajectory()
     record_ijepa_trajectory()
     record_multitask_trajectory()
+    record_lightning_ckpts()

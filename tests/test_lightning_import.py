@@ -1,0 +1,221 @@
+"""Lightning checkpoint importer round trip.
+
+The fixtures were written by the reference's REAL task classes
+(``scripts/record_reference_fixtures.py record_lightning_ckpts``): the
+contrastive ckpt carries HF CLIP towers stored exactly as the reference
+wrappers register them (reference clip.py:85,194), a bare-Linear head and a
+Sequential-MLP head, and the task-level ``log_logit_scale``; the I-JEPA
+ckpt carries encoder/predictor plus ``ema_params`` metadata (reference
+tasks/ijepa.py:188-203). Importing them must reproduce the reference
+forward features through OUR modules, and the trainer must land the overlay
+onto freshly initialized (including nn.scan-stacked) parameter trees.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mmlearn_tpu.lightning_import import (  # noqa: E402
+    import_lightning_checkpoint,
+    overlay_params,
+)
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+CONTRASTIVE_CKPT = os.path.join(FIXDIR, "reference_lightning_contrastive.ckpt")
+IJEPA_CKPT = os.path.join(FIXDIR, "reference_lightning_ijepa.ckpt")
+
+# dims must match scripts/record_reference_fixtures.py LIGHTNING_CLIP
+CLIP = dict(
+    vocab=99, hidden=32, inter=64, depth=2, heads=4, max_pos=16,
+    eos=98, img=32, patch=8, head_out=16, head_hidden=20,
+)
+# and IJEPA_TRAJ
+IJEPA = dict(img=64, patch=16, embed_dim=32, depth=2, num_heads=4)
+
+
+def _clip_towers(scan_blocks: bool = False):
+    from mmlearn_tpu.modules.encoders import TextTransformer, VisionTransformer
+
+    c = CLIP
+    vision = VisionTransformer(
+        img_size=c["img"], patch_size=c["patch"], embed_dim=c["hidden"],
+        depth=c["depth"], num_heads=c["heads"],
+        mlp_ratio=c["inter"] / c["hidden"], qkv_bias=True,
+        use_cls_token=True, learned_pos_embed=True, pre_norm=True,
+        final_norm=True, act_layer="quick_gelu", norm_eps=1e-5,
+        global_pool="cls", patch_embed_bias=False,
+        scan_blocks=scan_blocks,
+    )
+    text = TextTransformer(
+        vocab_size=c["vocab"], max_length=c["max_pos"],
+        embed_dim=c["hidden"], depth=c["depth"], num_heads=c["heads"],
+        mlp_ratio=c["inter"] / c["hidden"], qkv_bias=True, causal=True,
+        act_layer="quick_gelu", norm_eps=1e-5, pooling="eos",
+        scan_blocks=scan_blocks,
+    )
+    return vision, text
+
+
+def _heads():
+    from mmlearn_tpu.modules.layers.mlp import MLP
+
+    return {
+        "rgb": MLP(out_dim=CLIP["head_out"]),
+        "text": MLP(
+            out_dim=CLIP["head_out"], hidden_dims=[CLIP["head_hidden"]],
+            norm_layer="layernorm", activation="gelu",
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def contrastive_import():
+    overlay, meta = import_lightning_checkpoint(CONTRASTIVE_CKPT, num_heads=4)
+    return overlay, meta
+
+
+def test_meta_and_layout(contrastive_import):
+    overlay, meta = contrastive_import
+    assert meta["global_step"] == 120 and meta["epoch"] == 3
+    assert set(overlay["encoders"]) == {"rgb", "text"}
+    assert set(overlay["heads"]) == {"rgb", "text"}
+    assert float(overlay["log_logit_scale"]) == pytest.approx(
+        np.log(1 / 0.07), rel=1e-5
+    )
+    # bare nn.Linear head converts to our single-layer MLP layout
+    assert set(overlay["heads"]["rgb"]) == {"fc1"}
+    # the Sequential MLP head keeps its Linear/LayerNorm split
+    assert set(overlay["heads"]["text"]) == {"fc1", "fc2", "norm1"}
+
+
+def test_contrastive_features_match_reference(contrastive_import):
+    """Imported weights through OUR towers+heads == recorded torch forward."""
+    overlay, _ = contrastive_import
+    expect = np.load(
+        os.path.join(FIXDIR, "reference_lightning_contrastive_expect.npz")
+    )
+    vision, text = _clip_towers()
+    heads = _heads()
+
+    imgs = jnp.asarray(expect["imgs"].transpose(0, 2, 3, 1))  # NCHW→NHWC
+    ids = jnp.asarray(expect["ids"].astype(np.int32))
+
+    vparams = vision.init(jax.random.key(0), imgs)["params"]
+    vparams = overlay_params(vparams, overlay["encoders"]["rgb"])
+    pooled_v = vision.apply({"params": vparams}, imgs).pooler_output
+    hv = heads["rgb"].init(jax.random.key(1), pooled_v)["params"]
+    hv = overlay_params(hv, overlay["heads"]["rgb"])
+    rgb_emb = heads["rgb"].apply({"params": hv}, pooled_v)
+    # reference task.forward L2-normalizes (reference
+    # contrastive_pretraining.py:446-450 encode(..., normalize=True))
+    rgb_emb = rgb_emb / jnp.linalg.norm(rgb_emb, axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(rgb_emb), expect["rgb_embedding"], atol=2e-4, rtol=1e-3
+    )
+
+    tparams = text.init(jax.random.key(2), ids)["params"]
+    tparams = overlay_params(tparams, overlay["encoders"]["text"])
+    pooled_t = text.apply({"params": tparams}, ids).pooler_output
+    ht = heads["text"].init(jax.random.key(3), pooled_t)["params"]
+    ht = overlay_params(ht, overlay["heads"]["text"])
+    text_emb = heads["text"].apply({"params": ht}, pooled_t)
+    text_emb = text_emb / jnp.linalg.norm(text_emb, axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(text_emb), expect["text_embedding"], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_overlay_restacks_for_scan(contrastive_import):
+    """Per-layer blocks from the ckpt land on an nn.scan block_stack tree."""
+    overlay, _ = contrastive_import
+    expect = np.load(
+        os.path.join(FIXDIR, "reference_lightning_contrastive_expect.npz")
+    )
+    vision, _ = _clip_towers(scan_blocks=True)
+    imgs = jnp.asarray(expect["imgs"].transpose(0, 2, 3, 1))
+    vparams = vision.init(jax.random.key(0), imgs)["params"]
+    merged = overlay_params(vparams, overlay["encoders"]["rgb"])
+    pooled = vision.apply({"params": merged}, imgs).pooler_output
+    # scan vs unrolled must agree — the stacking is layout-only
+    vu, _ = _clip_towers()
+    pu = vu.init(jax.random.key(0), imgs)["params"]
+    pu = overlay_params(pu, overlay["encoders"]["rgb"])
+    pooled_u = vu.apply({"params": pu}, imgs).pooler_output
+    np.testing.assert_allclose(
+        np.asarray(pooled), np.asarray(pooled_u), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_trainer_applies_init_overlay(contrastive_import, tmp_path):
+    """task.init_overlay lands imported weights through Trainer._init_state
+    (the `init_from_lightning` CLI path)."""
+    from mmlearn_tpu.datasets.builtin.synthetic import SyntheticImageText
+    from mmlearn_tpu.datasets.core import CombinedDataset, DataLoader
+    from mmlearn_tpu.tasks import ContrastivePretraining
+    from mmlearn_tpu.trainer import Trainer
+
+    overlay, _ = contrastive_import
+    vision, text = _clip_towers()
+    task = ContrastivePretraining(
+        encoders={"rgb": vision, "text": text}, heads=_heads(),
+    )
+    task.init_overlay = overlay
+    ds = CombinedDataset(
+        [SyntheticImageText(
+            size=8, image_size=CLIP["img"], seq_len=12, vocab_size=CLIP["vocab"]
+        )]
+    )
+    loader = DataLoader(ds, batch_size=8, drop_last=True)
+    trainer = Trainer(
+        max_steps=1, default_root_dir=str(tmp_path), seed=0,
+        log_every_n_steps=1,
+    )
+    state = trainer.fit(task, loader)
+    got = np.asarray(
+        jax.device_get(
+            state.params["encoders"]["rgb"]["patch_embed"]["proj"]["kernel"]
+        )
+    )
+    # fit ran ONE step from the overlay — the moved params must still be
+    # closer to the imported weights than to any fresh init (exact equality
+    # minus one sgd/adam step); check the pre-step value via a 0-step fit
+    want = np.asarray(overlay["encoders"]["rgb"]["patch_embed"]["proj"]["kernel"])
+    assert np.abs(got - want).max() < 1e-2
+    assert float(jax.device_get(state.params["log_logit_scale"])) != 0.0
+
+
+def test_ijepa_import_matches_reference_encoder():
+    overlay, meta = import_lightning_checkpoint(IJEPA_CKPT, num_heads=4)
+    assert set(overlay) == {"encoder", "predictor"}
+    # the reference persists NO teacher weights — only schedule metadata
+    # (reference tasks/ijepa.py:196-203); on load the teacher is re-copied
+    # from the student, which our init_extras re-derivation reproduces
+    assert meta["ema"] == {"decay": 0.9971, "num_updates": 77}
+
+    expect = np.load(
+        os.path.join(FIXDIR, "reference_lightning_ijepa_expect.npz")
+    )
+    from mmlearn_tpu.modules.encoders import VisionTransformer
+
+    c = IJEPA
+    enc = VisionTransformer(
+        img_size=c["img"], patch_size=c["patch"], embed_dim=c["embed_dim"],
+        depth=c["depth"], num_heads=c["num_heads"],
+        use_cls_token=False, learned_pos_embed=False, final_norm=True,
+        norm_eps=1e-5, global_pool="none",
+    )
+    imgs = jnp.asarray(expect["imgs"].transpose(0, 2, 3, 1))
+    params = enc.init(jax.random.key(0), imgs)["params"]
+    params = overlay_params(params, overlay["encoder"])
+    out = enc.apply({"params": params}, imgs).last_hidden_state
+    np.testing.assert_allclose(
+        np.asarray(out), expect["encoder_out"], atol=2e-4, rtol=1e-3
+    )
