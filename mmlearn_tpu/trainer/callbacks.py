@@ -59,17 +59,23 @@ class ModelCheckpoint(Callback):
         self.save_last = save_last
         self.max_to_keep = max_to_keep
         #: Lightning ModelCheckpoint(monitor=..., save_top_k=...) parity
-        #: (reference conf/__init__.py:417-426): when set, every validation
-        #: end saves into a ``best/`` manager that retains the top-k
-        #: checkpoints by this metric.
+        #: (reference conf/__init__.py:417-426): when set, validation ends
+        #: pin the top-k checkpoints by this metric in the SINGLE manager
+        #: (no duplicate best/ copies — save-by-reference).
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
         self.async_save = async_save
         self._manager = None
-        self._best_manager = None
-        #: scores currently in the best/ manager (host-side top-k tracker)
-        self._best_scores: list[float] = []
+        #: monitored top-k as retention PINS on the single manager:
+        #: {step: score}. Monitored checkpoints are not duplicated into a
+        #: second manager — a step that is both periodic and best-k exists
+        #: once on disk; ``should_keep_fn`` protects pinned steps from the
+        #: periodic max_to_keep GC (1x storage; VERDICT r3 item 8).
+        self._monitored: dict[int, float] = {}
+        #: steps saved by the periodic/last path (recent window is exempt
+        #: from explicit best-k eviction deletes)
+        self._periodic_steps: list[int] = []
         #: last step THIS run saved — epoch-end and train-end (or an
         #: every_n_train_steps boundary) can legitimately fire for the same
         #: step; the second save is a no-op
@@ -88,13 +94,56 @@ class ModelCheckpoint(Callback):
 
             path = self._ckpt_dir(trainer)
             os.makedirs(path, exist_ok=True)
+            self._ckpt_path = path
+            self._rehydrate_monitored(path)
             self._manager = ocp.CheckpointManager(
                 path,
                 options=ocp.CheckpointManagerOptions(
-                    max_to_keep=self.max_to_keep, create=True
+                    max_to_keep=self.max_to_keep,
+                    # best-k pins: protected from periodic GC (live closure
+                    # over the dict — pins added/evicted later are honored)
+                    should_keep_fn=lambda step: int(step) in self._monitored,
+                    create=True,
                 ),
             )
+            # drop pins whose checkpoints no longer exist on disk
+            steps = set(self._manager.all_steps() or [])
+            self._monitored = {
+                s: v for s, v in self._monitored.items() if s in steps
+            }
         return self._manager
+
+    def _scores_path(self, path: str) -> str:
+        return os.path.join(path, "monitored_scores.json")
+
+    def _rehydrate_monitored(self, path: str) -> None:
+        """Resume: reload the step->score pin table written by previous
+        runs (without it a resumed run would re-admit non-improving scores
+        and churn write-then-delete on every validation)."""
+        import json
+        import math
+
+        try:
+            with open(self._scores_path(path)) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            return
+        self._monitored = {
+            int(k): float(v)
+            for k, v in raw.items()
+            if math.isfinite(float(v))
+        }
+
+    def _persist_monitored(self, path: str) -> None:
+        import json
+
+        try:
+            tmp = self._scores_path(path) + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({str(k): v for k, v in self._monitored.items()}, f)
+            os.replace(tmp, self._scores_path(path))
+        except OSError as err:  # non-fatal: pins rebuild from metrics
+            logger.warning("Could not persist monitored scores: %s", err)
 
     def _save(self, trainer: Any, step: int, wait: bool = False) -> None:
         import orbax.checkpoint as ocp
@@ -120,6 +169,7 @@ class ModelCheckpoint(Callback):
             step, args=ocp.args.StandardSave(trainer.state), force=True
         )
         self._last_saved_step = step
+        self._periodic_steps.append(step)
         self._save_loop_position(trainer, step)
         # async by default: training continues while Orbax serializes in the
         # background; waits only at train end (and before restores)
@@ -181,48 +231,11 @@ class ModelCheckpoint(Callback):
                 continue
         return None
 
-    def _ensure_best_manager(self, trainer: Any):
-        if self._best_manager is None:
-            import orbax.checkpoint as ocp
-
-            path = self._ckpt_dir(trainer)
-            self._best_dir = os.path.join(path, "best")
-            os.makedirs(self._best_dir, exist_ok=True)
-            self._best_manager = ocp.CheckpointManager(
-                self._best_dir,
-                options=ocp.CheckpointManagerOptions(
-                    # Lightning semantics: -1 keeps every monitored save
-                    max_to_keep=(
-                        None if self.save_top_k == -1
-                        else max(1, self.save_top_k)
-                    ),
-                    best_fn=lambda m: float(m[self.monitor]),
-                    best_mode=self.mode,
-                    create=True,
-                ),
-            )
-            # rehydrate the host-side top-k tracker from checkpoints already
-            # on disk (resume): without this a resumed run re-admits
-            # non-improving scores and the write-then-delete churn the
-            # tracker exists to prevent comes back
-            import math
-
-            for s in self._best_manager.all_steps() or []:
-                m = self._best_manager.metrics(s)
-                if m and self.monitor in m:
-                    v = float(m[self.monitor])
-                    if math.isfinite(v):
-                        self._best_scores.append(v)
-            self._best_scores = self._trim_top_k(self._best_scores)
-        return self._best_manager
-
-    def _trim_top_k(self, scores: list) -> list:
-        if self.save_top_k == -1:  # keep-all: every score stays relevant
-            return sorted(scores)
-        k = max(1, self.save_top_k)
-        return (
-            sorted(scores)[:k] if self.mode == "min" else sorted(scores)[-k:]
-        )
+    @property
+    def _best_scores(self) -> list:
+        """Scores currently pinned (sorted) — kept as a property for the
+        tests/inspection API of the old two-manager design."""
+        return sorted(self._monitored.values())
 
     def _improves_top_k(self, score: float) -> bool:
         """Would this score enter the current top-k? Saves that wouldn't are
@@ -264,46 +277,75 @@ class ModelCheckpoint(Callback):
                 "best-checkpoint save", self.monitor, score, step,
             )
             return
-        # ensure first (it rehydrates _best_scores from disk on resume)
-        manager = self._ensure_best_manager(trainer)
+        # ensure first (it rehydrates the pin table from disk on resume)
+        manager = self._ensure_manager(trainer)
         if not self._improves_top_k(score):
             return
-        manager.save(
-            step,
-            args=ocp.args.StandardSave(trainer.state),
-            metrics={self.monitor: score},
-            force=True,
+        on_disk = step in (manager.all_steps() or []) or (
+            step == self._last_saved_step
         )
-        self._best_scores.append(score)
-        self._best_scores = self._trim_top_k(self._best_scores)
+        if not on_disk:
+            manager.save(
+                step,
+                args=ocp.args.StandardSave(trainer.state),
+                metrics={self.monitor: score},
+                force=True,
+            )
+        # pin the step (whether the bytes came from this save or an earlier
+        # periodic one — 1x storage either way), evict the worst pin
+        self._monitored[step] = score
+        if self.save_top_k != -1 and len(self._monitored) > max(
+            1, self.save_top_k
+        ):
+            evict = (
+                max(self._monitored, key=self._monitored.get)
+                if self.mode == "min"
+                else min(self._monitored, key=self._monitored.get)
+            )
+            del self._monitored[evict]
+            # the unpinned step stays only if the periodic window still
+            # wants it; otherwise free the bytes now (orbax would also GC
+            # it at the next save, but the next save may never come)
+            recent = set(self._periodic_steps[-self.max_to_keep:])
+            if evict not in recent:
+                manager.wait_until_finished()
+                if evict in (manager.all_steps() or []):
+                    manager.delete(evict)
+        self._persist_monitored(self._ckpt_dir(trainer))
         if not self.async_save:
             manager.wait_until_finished()
         logger.info(
-            "Saved monitored checkpoint at step %d (%s=%s)",
+            "Pinned monitored checkpoint at step %d (%s=%s)",
             step, self.monitor, metrics[self.monitor],
         )
+
+    def _best_step(self) -> Optional[int]:
+        if not self._monitored:
+            return None
+        pick = min if self.mode == "min" else max
+        return pick(self._monitored, key=self._monitored.get)
 
     @property
     def best_model_path(self) -> Optional[str]:
         """Directory of the best checkpoint by the monitored metric
         (Lightning ``ModelCheckpoint.best_model_path`` equivalent)."""
-        if self._best_manager is None:
+        if self._manager is None:
             return None
-        self._best_manager.wait_until_finished()
-        step = self._best_manager.best_step()
+        self._manager.wait_until_finished()
+        step = self._best_step()
         if step is None:
             return None
-        return os.path.join(self._best_dir, str(step))
+        return os.path.join(self._ckpt_path, str(step))
 
     def restore_best(self, trainer: Any) -> Optional[Any]:
         """Restore the best checkpoint by the monitored metric."""
         import orbax.checkpoint as ocp
 
-        if self._best_manager is None:
+        if self._manager is None:
             return None
-        manager = self._best_manager
+        manager = self._manager
         manager.wait_until_finished()
-        step = manager.best_step()
+        step = self._best_step()
         if step is None:
             return None
         restored = manager.restore(
@@ -325,8 +367,6 @@ class ModelCheckpoint(Callback):
             self._save(trainer, int(trainer.state.step), wait=True)
         elif self._manager is not None:
             self._manager.wait_until_finished()
-        if self._best_manager is not None:
-            self._best_manager.wait_until_finished()
 
     def restore_latest(self, trainer: Any, strict: bool = True) -> Optional[Any]:
         """Restore the newest checkpoint.
