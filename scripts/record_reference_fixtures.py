@@ -819,6 +819,163 @@ LIGHTNING_CLIP = dict(
     eos=98, img=32, patch=8, head_out=16, head_hidden=20,
 )
 
+# real-tower CLIP trajectory (VERDICT r3 item 3): dims shared with the test
+CLIP_TRAJ = dict(
+    vocab=99, hidden=32, inter=64, depth=2, heads=4, max_pos=16, eos=98,
+    img=32, patch=8, head_out=16,
+    batch=16, n_batches=6, steps=30,
+    lr=1e-3, betas=(0.9, 0.98), eps=1e-8, weight_decay=0.1,
+    warmup_steps=5, start_factor=1.0 / 3.0, eta_min=0.0,
+)
+
+
+def make_clip_trajectory_data():
+    """Fixed synthetic image+token batches, identical for both frameworks.
+    Token rows always contain the EOS id (98 — also the max id, so
+    EOS-argmax pooling picks the same position in torch and ours)."""
+    rng = np.random.default_rng(2468)
+    c = CLIP_TRAJ
+    imgs = rng.standard_normal(
+        (c["n_batches"], c["batch"], 3, c["img"], c["img"])
+    ).astype(np.float32)
+    ids = rng.integers(
+        1, 90, (c["n_batches"], c["batch"], 12)
+    ).astype(np.int64)
+    # one eos per row at a varying position, padding after it
+    eos_pos = rng.integers(4, 12, (c["n_batches"], c["batch"]))
+    for b in range(c["n_batches"]):
+        for r in range(c["batch"]):
+            ids[b, r, eos_pos[b, r]:] = c["eos"]
+    probe_imgs = imgs[0, :8]
+    probe_ids = ids[0, :8]
+    ex_ids = np.stack(
+        [np.zeros(c["batch"], np.int64), np.arange(c["batch"], dtype=np.int64)],
+        axis=1,
+    )
+    return imgs, ids, probe_imgs, probe_ids, ex_ids
+
+
+def record_clip_trajectory() -> None:
+    """30-step trajectory of the reference's real ContrastivePretraining
+    with REAL towers: a 2-layer HF CLIP ViT + a 2-layer causal EOS-pooled
+    CLIP text transformer + Linear heads (reference training_step at
+    contrastive_pretraining.py:471-505). This is the transformer-under-
+    training analogue of record_contrastive_trajectory's MLP fixture —
+    the actual tower code paths (patch embed, pre-norm blocks, causal
+    mask, EOS pooling, quick-gelu) under AdamW + warmup-cosine."""
+    import torch
+    from functools import partial
+    from transformers import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPVisionConfig,
+        CLIPVisionModel,
+    )
+
+    mods = load_reference_tasks()
+    c = CLIP_TRAJ
+
+    torch.manual_seed(33)
+    text_model = CLIPTextModel(
+        CLIPTextConfig(
+            vocab_size=c["vocab"], hidden_size=c["hidden"],
+            intermediate_size=c["inter"], num_hidden_layers=c["depth"],
+            num_attention_heads=c["heads"],
+            max_position_embeddings=c["max_pos"], eos_token_id=c["eos"],
+        )
+    )
+    vision_model = CLIPVisionModel(
+        CLIPVisionConfig(
+            hidden_size=c["hidden"], intermediate_size=c["inter"],
+            num_hidden_layers=c["depth"], num_attention_heads=c["heads"],
+            image_size=c["img"], patch_size=c["patch"],
+        )
+    )
+
+    class VisionWrapper(torch.nn.Module):  # reference clip.py:194 storage
+        def __init__(self) -> None:
+            super().__init__()
+            self.model = vision_model.vision_model
+
+        def forward(self, inputs):
+            return (self.model(pixel_values=inputs["rgb"]).pooler_output,)
+
+    class TextWrapper(torch.nn.Module):  # reference clip.py:85 storage
+        def __init__(self) -> None:
+            super().__init__()
+            self.model = text_model
+
+        def forward(self, inputs):
+            return (self.model(input_ids=inputs["text"]).pooler_output,)
+
+    task = mods.cp.ContrastivePretraining(
+        encoders={"rgb": VisionWrapper(), "text": TextWrapper()},
+        heads={
+            "rgb": torch.nn.Linear(c["hidden"], c["head_out"]),
+            "text": torch.nn.Linear(c["hidden"], c["head_out"]),
+        },
+        optimizer=partial(
+            torch.optim.AdamW, lr=c["lr"], betas=c["betas"], eps=c["eps"],
+            weight_decay=c["weight_decay"],
+        ),
+        lr_scheduler={
+            "scheduler": partial(
+                mods.sched.linear_warmup_cosine_annealing_lr,
+                warmup_steps=c["warmup_steps"], max_steps=c["steps"],
+                start_factor=c["start_factor"], eta_min=c["eta_min"],
+            ),
+            "extras": {"interval": "step"},
+        },
+        loss=mods.loss.ContrastiveLoss(),
+    )
+    # the initial weights travel as a Lightning-style ckpt so the test
+    # reuses the lightning_import converter (double coverage)
+    init_ckpt = {"state_dict": task.state_dict(), "global_step": 0, "epoch": 0}
+    torch.save(
+        init_ckpt, os.path.join(OUT_DIR, "reference_clip_trajectory_init.ckpt")
+    )
+
+    conf = task.configure_optimizers()
+    opt = conf["optimizer"]
+    sched = conf["lr_scheduler"]["scheduler"]
+
+    imgs, ids, probe_imgs, probe_ids, ex_ids = make_clip_trajectory_data()
+    losses, scales, lrs = [], [], []
+    for step in range(c["steps"]):
+        i = step % c["n_batches"]
+        batch = {
+            "rgb": torch.tensor(imgs[i]),
+            "text": torch.tensor(ids[i]),
+            "example_ids": {
+                "rgb": torch.tensor(ex_ids), "text": torch.tensor(ex_ids)
+            },
+        }
+        lrs.append(opt.param_groups[0]["lr"])
+        loss = task.training_step(batch, step)
+        losses.append(float(loss.detach()))
+        scales.append(float(task.log_logit_scale.detach()))
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+        sched.step()
+
+    with torch.no_grad():
+        final = task({
+            "rgb": torch.tensor(probe_imgs), "text": torch.tensor(probe_ids)
+        })
+
+    np.savez(
+        os.path.join(OUT_DIR, "reference_clip_trajectory.npz"),
+        losses=np.asarray(losses, np.float64),
+        log_scales=np.asarray(scales, np.float64),
+        lrs=np.asarray(lrs, np.float64),
+        final_rgb=final["rgb_embedding"].numpy(),
+        final_text=final["text_embedding"].numpy(),
+    )
+    print("clip-tower trajectory recorded:",
+          [round(x, 4) for x in losses[:5]], "...",
+          [round(x, 4) for x in losses[-3:]])
+
 
 def record_lightning_ckpts() -> None:
     """Write reference-task Lightning ``.ckpt`` fixtures for the importer
@@ -989,3 +1146,4 @@ if __name__ == "__main__":
     record_ijepa_trajectory()
     record_multitask_trajectory()
     record_lightning_ckpts()
+    record_clip_trajectory()
