@@ -92,3 +92,65 @@ def test_server_embed_and_search(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_server_concurrent_requests_two_shapes(tmp_path):
+    """8 threads × mixed /embed + /search with TWO batch shapes: exercises
+    the ThreadingHTTPServer handler pool, the device-work lock, and the
+    per-shape executable cache (serving/server.py design note) under
+    contention. Every response must be correct — not merely 200."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    task, params, batch = _tiny_task_and_batch()
+    art = str(tmp_path / "artifact")
+    save_encoder(art, task, params, "rgb", batch, platforms=("cpu",))
+
+    rng = np.random.default_rng(7)
+    corpus = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    emb = np.asarray(task.encode(params, {"rgb": corpus}, "rgb", normalize=True))
+    idx_dir = tmp_path / "index"
+    idx_dir.mkdir()
+    np.savez(idx_dir / "rgb_00000.npz", embeddings=emb,
+             example_index=np.arange(8), dataset_index=np.zeros(8, np.int64))
+    (idx_dir / "manifest.json").write_text(json.dumps(
+        {"rgb": {"shards": ["rgb_00000.npz"], "rows": 8, "dim": 16,
+                 "normalized": True}}))
+
+    server = serve(art, port=0, index_dir=str(idx_dir))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    direct = {
+        1: np.asarray(task.encode(params, {"rgb": corpus[:1]}, "rgb",
+                                  normalize=True)),
+        3: np.asarray(task.encode(params, {"rgb": corpus[:3]}, "rgb",
+                                  normalize=True)),
+    }
+
+    def one_request(i):
+        b = 1 if i % 2 == 0 else 3  # alternate batch shapes
+        q = corpus[:b]
+        if i % 3 == 0:
+            status, out = _post(
+                port, "/search", {"inputs": {"rgb": q.tolist()}, "k": 2}
+            )
+            assert status == 200, out
+            assert np.asarray(out["example_index"])[:, 0].tolist() == list(
+                range(b)
+            )
+            return ("search", b)
+        status, out = _post(port, "/embed", {"inputs": {"rgb": q.tolist()}})
+        assert status == 200, out
+        np.testing.assert_allclose(
+            np.asarray(out["embeddings"], np.float32), direct[b], atol=1e-4
+        )
+        return ("embed", b)
+
+    try:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(one_request, range(32)))
+        # both shapes and both endpoints actually ran
+        assert {r[1] for r in results} == {1, 3}
+        assert {r[0] for r in results} == {"embed", "search"}
+    finally:
+        server.shutdown()
