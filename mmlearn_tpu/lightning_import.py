@@ -181,6 +181,11 @@ def _convert_sequential_head(sub: Mapping[str, Any]) -> dict:
         if "bias" in sub:
             out["bias"] = _np(sub["bias"])
         return {"fc1": out}
+    if not any(re.match(r"\d+\.", k) for k in sub):
+        # not a Sequential: a leaf-parameter module (e.g. the reference's
+        # LearnableLogitScaling postprocessor, whose `log_logit_scale`
+        # param name matches ours) — pass the leaves through
+        return {k: _np(v) for k, v in sub.items()}
     children: dict[int, dict] = {}
     for k, v in sub.items():
         m = re.match(r"(\d+)\.(weight|bias)$", k)
