@@ -40,6 +40,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _flagship_task, _synthetic_batch
+    from mmlearn_tpu.compile_opts import step_jit
 
     backend = jax.default_backend()
     batch_size = 256 if backend == "tpu" else 16
@@ -67,7 +68,7 @@ def main() -> None:
         params2 = optax.apply_updates(params, updates)
         return params2, opt_state2, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    step = step_jit(train_step, donate_argnums=(0, 1))
 
     rng = jax.random.key(1)
     # compile + warmup. NOTE: sync via float(loss) — device→host transfer is
@@ -207,6 +208,7 @@ def _ijepa_img_per_sec(batch_size: int = 256):
     import jax
     import jax.numpy as jnp
 
+    from mmlearn_tpu.compile_opts import step_jit
     from mmlearn_tpu.modules.encoders import VisionTransformer
     from mmlearn_tpu.tasks import IJEPA
 
@@ -240,7 +242,7 @@ def _ijepa_img_per_sec(batch_size: int = 256):
         p2 = optax.apply_updates(params, updates)
         return p2, o2, task.post_update(p2, e2, step), loss
 
-    jitted = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    jitted = step_jit(step_fn, donate_argnums=(0, 1, 2))
     state = [params, opt_state, extras]
 
     def one_step():

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from mmlearn_tpu.compile_opts import step_jit
 from mmlearn_tpu.parallel import (
     create_mesh,
     infer_param_specs,
@@ -438,7 +439,7 @@ class Trainer:
             return new_state, metrics
 
         donate = (0,) if self.donate_state else ()
-        return jax.jit(step_fn, donate_argnums=donate)
+        return step_jit(step_fn, donate_argnums=donate)
 
     def _make_val_step(self, task: Any):
         def val_fn(params, batch, extras, rng):
@@ -448,7 +449,7 @@ class Trainer:
             )
             return metrics
 
-        return jax.jit(val_fn)
+        return step_jit(val_fn)
 
     # -- public API --------------------------------------------------------------
     def _install_stop_handlers(self):
