@@ -25,56 +25,39 @@ from __future__ import annotations
 
 import json
 import os
-import socket
-import subprocess
 import sys
 
 import numpy as np
 import pytest
 
+from mmlearn_tpu.parallel.mp_launch import free_port, run_workers
+
 WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
 REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
-
-
 def _run(scenario: str, nproc: int, outdir: str, timeout: int = 600) -> None:
-    """Launch nproc workers, wait, fail with the tail of any dead worker."""
-    port = str(_free_port())
+    """Launch nproc workers, wait, fail with the tail of any dead worker
+    (the shared harness also used by __graft_entry__'s multiprocess stage)."""
+    port = str(free_port())
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     # the workers pick their own device count / platform (mp_worker._bootstrap)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, scenario, str(pid), str(nproc), port, outdir],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
+    try:
+        run_workers(
+            [
+                [sys.executable, WORKER, scenario, str(pid), str(nproc), port,
+                 outdir]
+                for pid in range(nproc)
+            ],
             env=env,
             cwd=REPO_ROOT,
+            timeout=timeout,
         )
-        for pid in range(nproc)
-    ]
-    outputs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outputs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for pid, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, (
-            f"{scenario} worker {pid}/{nproc} failed (rc={p.returncode}):\n"
-            + "\n".join(out.splitlines()[-40:])
-        )
+    except RuntimeError as err:
+        pytest.fail(f"{scenario}: {err}")
 
 
 @pytest.mark.slow
