@@ -74,11 +74,18 @@ class ModelCheckpoint(Callback):
         #: periodic max_to_keep GC (1x storage; VERDICT r3 item 8).
         self._monitored: dict[int, float] = {}
         #: steps saved by the periodic/last path (recent window is exempt
-        #: from explicit best-k eviction deletes)
+        #: from explicit best-k eviction deletes); rehydrated from disk on
+        #: resume so eviction never deletes checkpoints the max_to_keep
+        #: retention still promises (e.g. the step a run just resumed from)
         self._periodic_steps: list[int] = []
-        #: last step THIS run saved — epoch-end and train-end (or an
-        #: every_n_train_steps boundary) can legitimately fire for the same
-        #: step; the second save is a no-op
+        #: every step THIS run wrote (periodic or monitored) — epoch-end,
+        #: train-end, an every_n_train_steps boundary, and a monitored save
+        #: can all legitimately fire for the same step; only the first
+        #: writes bytes, and only steps NOT in this set can be "stale from a
+        #: previous run" (deleting a step in this set could race its own
+        #: in-flight async save)
+        self._steps_saved_this_run: set[int] = set()
+        #: last step the periodic path handled (kept for inspection/tests)
         self._last_saved_step: Optional[int] = None
 
     def _ckpt_dir(self, trainer: Any) -> str:
@@ -111,6 +118,11 @@ class ModelCheckpoint(Callback):
             self._monitored = {
                 s: v for s, v in self._monitored.items() if s in steps
             }
+            # steps from previous runs count as periodic history: the best-k
+            # eviction "recent window" check must see them, or a resume
+            # followed by one improving validation could delete the very
+            # checkpoint the run restored from
+            self._periodic_steps = sorted(steps)
         return self._manager
 
     def _scores_path(self, path: str) -> str:
@@ -145,13 +157,31 @@ class ModelCheckpoint(Callback):
         except OSError as err:  # non-fatal: pins rebuild from metrics
             logger.warning("Could not persist monitored scores: %s", err)
 
-    def _save(self, trainer: Any, step: int, wait: bool = False) -> None:
+    def _write(self, trainer: Any, step: int, metrics: Optional[dict] = None) -> None:
+        """The single write path (periodic and monitored saves): Orbax save
+        + the bookkeeping that makes same-step re-fires no-ops."""
         import orbax.checkpoint as ocp
 
         manager = self._ensure_manager(trainer)
-        if step == self._last_saved_step:
-            # epoch-end + train-end (or an every_n_train_steps boundary)
-            # firing for the same step: the state is already on disk
+        kwargs = {"metrics": metrics} if metrics else {}
+        manager.save(
+            step, args=ocp.args.StandardSave(trainer.state), force=True, **kwargs
+        )
+        self._steps_saved_this_run.add(step)
+        self._save_loop_position(trainer, step)
+
+    def _save(self, trainer: Any, step: int, wait: bool = False) -> None:
+        manager = self._ensure_manager(trainer)
+        if step in self._steps_saved_this_run:
+            # epoch-end + train-end (or an every_n_train_steps boundary, or
+            # a monitored save at the same step): identical state is already
+            # on disk — just record that the periodic window owns this step
+            # too, so best-k unpinning can't delete it
+            self._last_saved_step = step
+            if step not in self._periodic_steps:
+                self._periodic_steps.append(step)
+            if wait or not self.async_save:
+                manager.wait_until_finished()
             return
         if step in (manager.all_steps() or []):
             if step == getattr(trainer, "restored_step", None):
@@ -160,17 +190,17 @@ class ModelCheckpoint(Callback):
                 return
             # stale checkpoint from an *earlier run* at the same step: a
             # fresh run must overwrite it, not silently keep old state
+            # (only previous-run steps can hit this — same-step saves from
+            # THIS run returned above — so the delete cannot race an
+            # in-flight async save of the same step)
             logger.warning(
                 "Overwriting stale checkpoint at step %d from a previous "
                 "run in %s", step, self.dirpath,
             )
             manager.delete(step)
-        manager.save(
-            step, args=ocp.args.StandardSave(trainer.state), force=True
-        )
+        self._write(trainer, step)
         self._last_saved_step = step
         self._periodic_steps.append(step)
-        self._save_loop_position(trainer, step)
         # async by default: training continues while Orbax serializes in the
         # background; waits only at train end (and before restores)
         if wait or not self.async_save:
@@ -263,8 +293,6 @@ class ModelCheckpoint(Callback):
                 self.monitor, sorted(metrics),
             )
             return
-        import orbax.checkpoint as ocp
-
         import math
 
         score = float(metrics[self.monitor])
@@ -281,16 +309,19 @@ class ModelCheckpoint(Callback):
         manager = self._ensure_manager(trainer)
         if not self._improves_top_k(score):
             return
-        on_disk = step in (manager.all_steps() or []) or (
-            step == self._last_saved_step
+        on_disk = step in self._steps_saved_this_run or step == getattr(
+            trainer, "restored_step", None
         )
+        if not on_disk and step in (manager.all_steps() or []):
+            # stale bytes from a *previous run* at this step — the pin must
+            # point at THIS run's state, so overwrite
+            manager.delete(step)
         if not on_disk:
-            manager.save(
-                step,
-                args=ocp.args.StandardSave(trainer.state),
-                metrics={self.monitor: score},
-                force=True,
-            )
+            # _write also persists the loop position: a monitored step can
+            # become latest_step(), and a mid-epoch resume from it would
+            # otherwise restart unsized (iterable/streaming) loaders at
+            # batch 0
+            self._write(trainer, step, metrics={self.monitor: score})
         # pin the step (whether the bytes came from this save or an earlier
         # periodic one — 1x storage either way), evict the worst pin
         self._monitored[step] = score

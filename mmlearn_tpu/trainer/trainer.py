@@ -383,9 +383,11 @@ class Trainer:
             params = jax.device_put(merged, self._state_shardings.params)
             self.state = self.state.replace(
                 params=params,
+                # `merged` already is the host copy of the overlaid params —
+                # a device_get(params) here would round-trip the whole tree
+                # through the (possibly tunneled) transport a second time
                 extras=jax.device_put(
-                    task.init_extras(jax.device_get(params)),
-                    self._state_shardings.extras,
+                    task.init_extras(merged), self._state_shardings.extras
                 ),
             )
             logger.info("applied init overlay onto initialized parameters")

@@ -398,3 +398,88 @@ def test_best_k_tracker_nan_guard_and_resume_rehydration(tmp_path):
     ckpt2.on_train_end(trainer)
     assert ckpt2._best_scores == [1.0]
     assert ckpt2.best_model_path.endswith("4")
+
+
+def test_monitored_then_periodic_save_same_step(tmp_path, caplog):
+    """A monitored save followed by the epoch-end periodic save at the SAME
+    step must be a no-op second time — not a 'stale checkpoint' delete that
+    races the still-in-flight async save and rewrites identical bytes every
+    epoch (the epoch-end validation fires immediately before
+    on_train_epoch_end in Trainer.fit)."""
+    import logging
+    import os
+
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    task = _tiny_task()
+    loader = DataLoader(PairedDataset(size=32), batch_size=16, drop_last=True)
+    ckpt = ModelCheckpoint(
+        dirpath=str(tmp_path / "ckpts"), monitor="validation/loss",
+        mode="min", save_top_k=1, every_n_epochs=None, save_last=False,
+        async_save=True,
+    )
+    trainer = Trainer(
+        max_steps=2, log_every_n_steps=10, callbacks=[ckpt],
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(task, loader)
+    step = int(trainer.state.step)
+
+    with caplog.at_level(logging.WARNING, "mmlearn_tpu.trainer.callbacks"):
+        ckpt.on_validation_end(trainer, {"validation/loss": 1.0}, step)
+        ckpt._save(trainer, step)  # the epoch-end periodic fire
+        ckpt.on_train_end(trainer)
+    assert not any("stale" in r.message for r in caplog.records)
+    # the step is on disk once, and both owners know it: best-k pinned AND
+    # inside the periodic window
+    assert ckpt._monitored == {step: 1.0}
+    assert step in ckpt._periodic_steps
+    kept = {d for d in os.listdir(str(tmp_path / "ckpts")) if d.isdigit()}
+    assert kept == {str(step)}
+    # loop position was persisted by the MONITORED save: a mid-epoch resume
+    # from it must not restart unsized loaders at batch 0
+    assert os.path.exists(
+        str(tmp_path / "ckpts" / f"loop_position-{step}.json")
+    )
+
+
+def test_best_k_eviction_spares_resumed_checkpoint(tmp_path):
+    """After a resume, best-k eviction must not delete checkpoints the
+    periodic max_to_keep retention still promises — run 1's pinned step is
+    also one of the most recent periodic saves, so unpinning it (a better
+    score arrived) keeps its bytes."""
+    import os
+
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    task = _tiny_task()
+    loader = DataLoader(PairedDataset(size=32), batch_size=16, drop_last=True)
+
+    def make_ckpt():
+        return ModelCheckpoint(
+            dirpath=str(tmp_path / "ckpts"), monitor="validation/loss",
+            mode="min", save_top_k=1, every_n_train_steps=1, save_last=False,
+            max_to_keep=3, async_save=False,
+        )
+
+    ckpt = make_ckpt()
+    trainer = Trainer(
+        max_steps=3, log_every_n_steps=10, callbacks=[ckpt],
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(task, loader)  # periodic saves at steps 1, 2, 3
+    ckpt.on_validation_end(trainer, {"validation/loss": 2.0}, 3)  # pin 3
+    ckpt.on_train_end(trainer)
+
+    # resume: a fresh callback instance (new process) sees steps 1-3 on disk
+    ckpt2 = make_ckpt()
+    trainer.restored_step = 3
+    # first improving validation after resume evicts the pin on step 3 —
+    # but step 3 is within the last max_to_keep periodic saves, so its
+    # checkpoint must survive (it is the step the run just resumed from)
+    ckpt2._save(trainer, 4)
+    ckpt2.on_validation_end(trainer, {"validation/loss": 1.0}, 4)
+    ckpt2.on_train_end(trainer)
+    kept = {d for d in os.listdir(str(tmp_path / "ckpts")) if d.isdigit()}
+    assert "3" in kept, kept
+    assert ckpt2._monitored == {4: 1.0}
