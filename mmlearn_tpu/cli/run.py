@@ -138,6 +138,9 @@ def run_experiment(cfg: dict) -> Any:
 
         overlay, meta = import_lightning_checkpoint(str(init_from_lightning))
         task.init_overlay = overlay
+        # non-parameter state: I-JEPA's EMA anneal position must continue
+        # from the reference's num_updates, not restart at trainer step 0
+        task.apply_import_metadata(meta)
         logger.info(
             "initializing from reference Lightning checkpoint %s "
             "(global_step=%d, epoch=%d%s)",

@@ -166,3 +166,8 @@ class TrainingTask:
 
     def on_checkpoint_load(self, state_dict: dict) -> dict:
         return state_dict
+
+    def apply_import_metadata(self, meta: dict) -> None:
+        """Apply non-parameter state from an imported reference (Lightning)
+        checkpoint — e.g. I-JEPA's EMA anneal position. Default: nothing to
+        apply (parameters already arrive via ``init_overlay``)."""

@@ -620,6 +620,12 @@ class ContrastivePretraining(TrainingTask):
             )
         return new_extras
 
+    def apply_import_metadata(self, meta: dict) -> None:
+        # aux tasks carry their own non-parameter import state (I-JEPA's
+        # EMA anneal position)
+        for task in self.auxiliary_tasks.values():
+            task.apply_import_metadata(meta)
+
     def prepare_batch(
         self, batch: dict[str, Any], step: int, training: bool = True
     ) -> dict[str, Any]:

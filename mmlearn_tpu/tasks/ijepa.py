@@ -122,6 +122,12 @@ class IJEPA(TrainingTask):
             input_size=encoder.img_size, patch_size=encoder.patch_size
         )
         self.init_style = init_style
+        #: EMA anneal position offset: a run initialized from a half-trained
+        #: reference Lightning checkpoint starts at trainer step 0, but the
+        #: teacher's decay anneal must continue from the reference's
+        #: ``num_updates`` (reference tasks/ijepa.py:188-215 restores it via
+        #: on_load_checkpoint) — set by :meth:`apply_import_metadata`
+        self.ema_step_offset: int = 0
 
     # -- host-side batch hook ---------------------------------------------------
     def prepare_batch(
@@ -279,9 +285,14 @@ class IJEPA(TrainingTask):
     def post_update(self, params: Any, extras: Any, step: jnp.ndarray) -> Any:
         new = dict(extras or {})
         new["ema_encoder"] = self.ema.step(
-            extras["ema_encoder"], params["encoder"], step
+            extras["ema_encoder"], params["encoder"],
+            step + self.ema_step_offset,
         )
         return new
+
+    def apply_import_metadata(self, meta: dict) -> None:
+        if "ema" in meta:
+            self.ema_step_offset = int(meta["ema"].get("num_updates", 0))
 
     # -- auxiliary-task protocol (used inside ContrastivePretraining) -------------
     def init_aux_params(
@@ -323,6 +334,7 @@ class IJEPA(TrainingTask):
     ) -> Any:
         new = dict(aux_extras or {})
         new["ema_encoder"] = self.ema.step(
-            aux_extras["ema_encoder"], encoder_params, step
+            aux_extras["ema_encoder"], encoder_params,
+            step + self.ema_step_offset,
         )
         return new

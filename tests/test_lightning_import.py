@@ -219,3 +219,39 @@ def test_ijepa_import_matches_reference_encoder():
     np.testing.assert_allclose(
         np.asarray(out), expect["encoder_out"], atol=2e-4, rtol=1e-3
     )
+
+
+def test_ijepa_import_continues_ema_anneal():
+    """apply_import_metadata must shift the EMA decay anneal by the
+    reference's num_updates: the migrated run starts at trainer step 0, but
+    the teacher schedule continues where the reference left off (reference
+    tasks/ijepa.py:188-215 restores num_updates via on_load_checkpoint)."""
+    from mmlearn_tpu.modules.encoders import VisionTransformer
+    from mmlearn_tpu.tasks import IJEPA as IJEPATask
+
+    _, meta = import_lightning_checkpoint(IJEPA_CKPT, num_heads=4)
+    c = IJEPA
+    enc = VisionTransformer(
+        img_size=c["img"], patch_size=c["patch"], embed_dim=c["embed_dim"],
+        depth=c["depth"], num_heads=c["num_heads"],
+        use_cls_token=False, learned_pos_embed=False, final_norm=True,
+        norm_eps=1e-5, global_pool="none",
+    )
+    task = IJEPATask(
+        encoder=enc, ema_decay=0.9, ema_decay_end=1.0,
+        ema_anneal_end_step=100,
+    )
+    task.apply_import_metadata(meta)
+    assert task.ema_step_offset == 77
+
+    # one student param diverged from the teacher: the EMA update at
+    # trainer step 0 must use the decay annealed to num_updates=77
+    # (0.9 + 0.77 * 0.1 = 0.977), not the step-0 base decay 0.9
+    teacher = {"w": jnp.ones((2,))}
+    student = {"w": jnp.zeros((2,))}
+    new = task.post_update(
+        {"encoder": student}, {"ema_encoder": teacher}, jnp.asarray(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(new["ema_encoder"]["w"]), 0.977, atol=1e-6
+    )
