@@ -47,18 +47,24 @@ URLS = {
 }
 
 #: every split the loader accepts (projects/bioscan_clip/dataset.py SPLITS)
-#: and the columns each must carry for train + taxonomic eval
-REQUIRED_SPLITS = {
-    "1m": (
-        "no_split_and_seen_train", "all_keys", "val_seen", "val_unseen",
-        "test_seen", "test_unseen",
-    ),
-}
-REQUIRED_COLUMNS = (
-    "image", "image_mask", "barcode", "image_file",
+#: and the columns each must carry for train + taxonomic eval. Both HDF5
+#: variants ship the same split groups (reference dataset.py:26-40 types one
+#: split set for both); the id column differs — 5M uses ``processid``, 1M
+#: ``image_file`` (reference dataset.py:150-153)
+_SPLIT_SET = (
+    "no_split_and_seen_train", "all_keys", "val_seen", "val_unseen",
+    "test_seen", "test_unseen",
+)
+REQUIRED_SPLITS = {"1m": _SPLIT_SET, "5m": _SPLIT_SET}
+_COLUMN_SET = (
+    "image", "image_mask", "barcode",
     "language_tokens_input_ids", "language_tokens_token_type_ids",
     "language_tokens_attention_mask",
 )
+REQUIRED_COLUMNS = {
+    "1m": _COLUMN_SET + ("image_file",),
+    "5m": _COLUMN_SET + ("processid",),
+}
 EVAL_COLUMNS = ("order", "family", "genus", "species")
 
 
@@ -83,13 +89,13 @@ def cmd_verify(args: argparse.Namespace) -> int:
 
     problems = []
     with h5py.File(args.path, "r") as f:
-        for split in REQUIRED_SPLITS.get(args.variant, REQUIRED_SPLITS["1m"]):
+        for split in REQUIRED_SPLITS[args.variant]:
             if split not in f:
                 problems.append(f"missing split '{split}'")
                 continue
             g = f[split]
             n = len(g["image"]) if "image" in g else 0
-            for col in REQUIRED_COLUMNS:
+            for col in REQUIRED_COLUMNS[args.variant]:
                 if col not in g:
                     problems.append(f"{split}: missing column '{col}'")
             if split != "no_split_and_seen_train":
@@ -105,7 +111,8 @@ def cmd_verify(args: argparse.Namespace) -> int:
         for p in problems:
             print("  -", p)
         return 1
-    print("verify OK — export BIOSCAN_1M_HDF5 and run "
+    env = "BIOSCAN_1M_HDF5" if args.variant == "1m" else "BIOSCAN_5M_HDF5"
+    print(f"verify OK — export {env} and run "
           "`mmlearn_run +experiment=bioscan_1m`")
     return 0
 
