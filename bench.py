@@ -52,7 +52,10 @@ def main() -> None:
     task = _flagship_task(tiny=False)
     batch = _synthetic_batch(batch_size, 224, 77, 49408, dtype=jnp.bfloat16)
 
-    h2d_fresh = _h2d_mbps()  # before any program runs (see _h2d_mbps)
+    input_fed = os.environ.get("MMLEARN_BENCH_INPUT_FED", "1") != "0"
+    # fresh-transport bandwidth must be probed BEFORE any program runs
+    # (see _h2d_mbps); skipped entirely in synthetic-only mode
+    h2d_fresh = _h2d_mbps() if input_fed else 0.0
 
     params = task.init_params(jax.random.key(0), batch)
     tx = task.configure_optimizers(max_steps=10_000)
@@ -109,7 +112,7 @@ def main() -> None:
         "spread_pct": round(spread_pct, 2),
     }
 
-    if os.environ.get("MMLEARN_BENCH_INPUT_FED", "1") != "0":
+    if input_fed:
         # tunneled-PJRT transport throttle (measured, docs/performance.md
         # "Input pipeline"): h2d drops ~1.5 GB/s → ~45 MB/s permanently
         # after ANY program running ≳80 ms executes (reproducible with a
@@ -123,13 +126,14 @@ def main() -> None:
         result["transport_ceiling_pairs_per_sec"] = round(
             h2d_post * 1e6 / bytes_per_pair, 1
         )
+        # each input-fed phase STEPS the donated state. The phases mutate
+        # this holder in place after EVERY step call, so even a phase that
+        # raises mid-measurement leaves the live (params, opt_state) here —
+        # the next phase must never touch the original donated buffers
+        # (use-after-free)
+        state = [params, opt_state]
         try:
-            # each input-fed phase STEPS the donated state: the returned
-            # (params, opt_state) are the only live buffers afterwards —
-            # reusing the originals after donation is a use-after-free
-            fed, params, opt_state = _input_fed_pairs_per_sec(
-                step, params, opt_state, batch_size, rng
-            )
+            fed = _input_fed_pairs_per_sec(step, state, batch_size, rng)
             result["input_fed_pairs_per_sec"] = round(fed, 2)
             result["input_fed_ratio"] = round(fed / pairs_per_sec, 3)
             result["host_cores"] = os.cpu_count()
@@ -145,13 +149,12 @@ def main() -> None:
             # raw-tensor records — per-sample host cost is a memcpy. This
             # is the production input recipe; it must keep even a 1-core
             # host at ~synthetic step rate.
-            tfr, params, opt_state = _input_fed_tfrecord_pairs_per_sec(
-                step, params, opt_state, batch_size, rng
-            )
+            tfr = _input_fed_tfrecord_pairs_per_sec(step, state, batch_size, rng)
             result["input_fed_tfrecord_pairs_per_sec"] = round(tfr, 2)
             result["input_fed_tfrecord_ratio"] = round(tfr / pairs_per_sec, 3)
         except Exception as err:  # noqa: BLE001 - input-fed is best-effort
             result["input_fed_tfrecord_error"] = f"{type(err).__name__}: {err}"
+        params, opt_state = state
 
     if os.environ.get("MMLEARN_BENCH_IJEPA", "1") != "0":
         # second flagship in the bench of record (VERDICT r3 item 6): a
@@ -266,7 +269,7 @@ def _ijepa_img_per_sec(batch_size: int = 256):
     return batch_size / sec, sec * 1000
 
 
-def _input_fed_pairs_per_sec(step, params, opt_state, batch_size, rng) -> float:
+def _input_fed_pairs_per_sec(step, state, batch_size, rng) -> float:
     """Input-fed throughput: JPEG corpus → native fastloader train decode →
     uint8 host→device → device-side normalization, with a background
     prefetch thread overlapping the async device step (VERDICT r2 item 5;
@@ -333,14 +336,19 @@ def _input_fed_pairs_per_sec(step, params, opt_state, batch_size, rng) -> float:
         return item
 
     threading.Thread(target=producer, daemon=True).start()
-    p, o = params, opt_state
+    p, o = state
+    # keep `state` pointing at the live buffers after every donating step:
+    # if anything below raises, the caller's next phase must not reuse the
+    # already-donated originals
     p, o, loss = step(p, o, norm(get_batch()), rng)
+    state[:] = [p, o]
     float(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         p, o, loss = step(p, o, norm(get_batch()), rng)
+        state[:] = [p, o]
     float(loss)
-    return batch_size * n_steps / (time.perf_counter() - t0), p, o
+    return batch_size * n_steps / (time.perf_counter() - t0)
 
 
 def _photo_jpegs(n: int = 256) -> list:
@@ -405,9 +413,7 @@ def _materialized_corpus(root: str = "/tmp/mmlearn_bench_tfr") -> list:
     return res.shards
 
 
-def _input_fed_tfrecord_pairs_per_sec(
-    step, params, opt_state, batch_size, rng
-) -> float:
+def _input_fed_tfrecord_pairs_per_sec(step, state, batch_size, rng) -> float:
     """Input-fed throughput from a MATERIALIZED corpus: packed TFRecord
     records (raw uint8 224x224x3 + int32 token ids) → frombuffer memcpy →
     uint8 host→device → device-side normalization, background prefetch
@@ -464,14 +470,17 @@ def _input_fed_tfrecord_pairs_per_sec(
         return item
 
     threading.Thread(target=producer, daemon=True).start()
-    p, o = params, opt_state
+    p, o = state
+    # see _input_fed_pairs_per_sec: `state` must track the live buffers
     p, o, loss = step(p, o, norm(get_batch()), rng)
+    state[:] = [p, o]
     float(loss)
     t0 = _time.perf_counter()
     for _ in range(n_steps):
         p, o, loss = step(p, o, norm(get_batch()), rng)
+        state[:] = [p, o]
     float(loss)
-    return batch_size * n_steps / (_time.perf_counter() - t0), p, o
+    return batch_size * n_steps / (_time.perf_counter() - t0)
 
 
 def main_with_retries(attempts: int = 4) -> None:
