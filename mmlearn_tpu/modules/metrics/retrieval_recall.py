@@ -47,8 +47,73 @@ def _topk_scores_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
     return jax.lax.top_k(sim, k)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _blockwise_topk_scores_chunk(queries, targets, k, block):
+    """EXACT streaming top-k over target blocks: ``lax.scan`` over corpus
+    blocks, per-block matmul + ``top_k``, one final merge over the s*k
+    survivors. Equivalent to a full-corpus ``lax.top_k`` (the global top-k
+    is a subset of the union of block top-ks) with the (Q, T) similarity
+    matrix never materializing in HBM — (Q, block) is the peak.
+
+    This is the MEMORY-scaling path, not a speed win: end-to-end on a v5e
+    (1M x 512 corpus, k=10), the single full-axis kernel is ~10% faster
+    when its sim matrix fits (1024 queries: 6,214 vs 5,665 q/s), and
+    blockwise wins only once full-axis must shrink its query chunks to
+    avoid OOM (8192 queries: 7,179 q/s vs 7,003 at the best feasible
+    chunk — and full-axis at the native chunk would need a 32 GB sim).
+    Hence the sim-byte routing in :func:`_topk_chunk` /
+    ``EmbeddingIndex.query``. 128k blocks beat 32k at both sizes."""
+    n = targets.shape[0]
+    s = -(-n // block)
+    padded = jnp.pad(targets, ((0, s * block - n), (0, 0)))
+    blocks = padded.reshape(s, block, padded.shape[1])
+
+    def body(_, inputs):
+        blk, i = inputs
+        sim = jnp.einsum(
+            "qd,td->qt", queries, blk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        gidx = i * block + jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        # padding rows score -inf so they never enter a block's top-k
+        sim = jnp.where(gidx < n, sim, -jnp.inf)
+        bs, bi = jax.lax.top_k(sim, k)
+        return None, (bs, jnp.take_along_axis(gidx, bi, axis=1))
+
+    _, (ss, ii) = jax.lax.scan(body, None, (blocks, jnp.arange(s)))
+    ss = jnp.moveaxis(ss, 0, 1).reshape(queries.shape[0], s * k)
+    ii = jnp.moveaxis(ii, 0, 1).reshape(queries.shape[0], s * k)
+    fs, fi = jax.lax.top_k(ss, k)
+    return fs, jnp.take_along_axis(ii, fi, axis=1)
+
+
+#: target-block length for the streaming exact top-k (measured sweet spot
+#: vs 32k at 1M x 512: /tmp-bench recorded in docs/performance.md)
+TOPK_BLOCK = 131072
+
+#: f32 sim-matrix bytes above which exact top-k streams over target blocks
+#: instead of materializing the full (chunk, T) similarity. 4 GiB measured
+#: safe AND faster than blockwise on a 16 GB v5e; above it, shrinking query
+#: chunks to fit loses to blockwise (docs/performance.md, round 4)
+TOPK_SIM_BYTES_BUDGET = 4 << 30
+
+
+def _use_blockwise_topk(num_queries: int, num_targets: int, k: int) -> bool:
+    """Route by sim-matrix memory: blockwise only when the full-axis
+    (num_queries, num_targets) f32 sim would blow the budget (and the
+    per-block top-k is well-formed, k <= block)."""
+    return (
+        num_queries * num_targets * 4 > TOPK_SIM_BYTES_BUDGET
+        and num_targets > TOPK_BLOCK >= k
+    )
+
+
 def _topk_chunk(queries: jnp.ndarray, targets: jnp.ndarray, k: int):
-    """Top-k target indices only (see :func:`_topk_scores_chunk`)."""
+    """Top-k target indices only (see :func:`_topk_scores_chunk`); streams
+    over corpus blocks when the full similarity matrix would not fit HBM."""
+    if _use_blockwise_topk(queries.shape[0], targets.shape[0], k):
+        return _blockwise_topk_scores_chunk(queries, targets, k, TOPK_BLOCK)[1]
     return _topk_scores_chunk(queries, targets, k)[1]
 
 

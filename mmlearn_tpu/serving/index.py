@@ -24,7 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-from mmlearn_tpu.modules.metrics.retrieval_recall import _topk_scores_chunk
+from mmlearn_tpu.modules.metrics.retrieval_recall import (
+    _blockwise_topk_scores_chunk,
+    _topk_scores_chunk,
+    _use_blockwise_topk,
+    TOPK_BLOCK,
+)
 
 import functools
 
@@ -125,6 +130,7 @@ class EmbeddingIndex:
         k: int = 10,
         chunk_size: int = 8192,
         approx: bool = False,
+        block_size: Optional[int] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (scores, example ids) per query row.
 
@@ -132,15 +138,39 @@ class EmbeddingIndex:
         inner product). Chunked over queries to bound device memory.
         ``approx=True`` uses the TPU-optimized ``jax.lax.approx_max_k``
         (recall ≈ 0.95; exact on CPU) — the standard large-corpus trade.
+
+        Exact queries whose (chunk, corpus) f32 similarity matrix would
+        blow the HBM budget stream over corpus blocks instead (per-block
+        ``top_k`` + merge — still exact, sim never materializes whole).
+        Memory-routed because that is also the throughput order on a v5e
+        (1M x 512, k=10): full-axis wins while its sim fits (6,214 vs
+        5,665 q/s at 1024 queries); blockwise at the native chunk beats
+        full-axis at the largest feasible chunk once it doesn't (7,179 vs
+        7,003 q/s at 8192 queries — the native full-axis sim would be
+        32 GB). ``block_size`` forces blockwise with that block length.
         """
         k = min(int(k), len(self))
         q = jnp.asarray(np.asarray(queries, np.float32))
-        kernel = _approx_topk_scores_chunk if approx else _topk_scores_chunk
         scores, rows = [], []
         for start in range(0, q.shape[0], chunk_size):
-            s, i = kernel(
-                q[start : start + chunk_size], self.embeddings, k
+            qc = q[start : start + chunk_size]
+            forced = (
+                block_size is not None and len(self) > block_size >= k
             )
+            if approx:
+                s, i = _approx_topk_scores_chunk(qc, self.embeddings, k)
+            elif forced or (
+                block_size is None
+                and _use_blockwise_topk(qc.shape[0], len(self), k)
+            ):
+                # per-block top_k needs k <= block; k > block_size (odd but
+                # legal) falls through to the full-axis kernel
+                s, i = _blockwise_topk_scores_chunk(
+                    qc, self.embeddings, k,
+                    block_size if forced else TOPK_BLOCK,
+                )
+            else:
+                s, i = _topk_scores_chunk(qc, self.embeddings, k)
             scores.append(np.asarray(s))
             rows.append(np.asarray(i))
         rows_np = np.concatenate(rows)

