@@ -24,7 +24,7 @@ from __future__ import annotations
 import itertools
 import logging
 import time
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +132,43 @@ def validate_batch_shapes(batch: Mapping[str, Any], context: str = "train") -> i
     return batch_dim or 0
 
 
+def _resolve_limit(limit: Any, loader: Any, name: str) -> Optional[int]:
+    """Resolve a ``limit_*_batches`` value to an integer batch count.
+
+    Lightning float-fraction parity (reference exposes Lightning's full
+    Trainer signature, /root/reference/mmlearn/conf/__init__.py:120-129):
+    a float in [0.0, 1.0] means that fraction of the loader's batches
+    (1.0 = everything, 0.0 = phase disabled). The fraction is resolved to
+    a static integer count here, at loop setup, so jitted step shapes and
+    loop bounds stay static. Ints and None pass through unchanged.
+    """
+    if limit is None or isinstance(limit, int):
+        return limit
+    fraction = float(limit)
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(
+            f"{name}={limit!r}: float limits are fractions and must lie in "
+            "[0.0, 1.0]; pass an int for an absolute batch count"
+        )
+    if fraction == 1.0:
+        return None
+    try:
+        n = len(loader)
+    except TypeError:
+        raise ValueError(
+            f"{name}={limit!r}: float fractions need a sized dataloader; "
+            "this loader has no length (streaming/iterable) — pass an int "
+            "batch count instead"
+        ) from None
+    resolved = int(n * fraction)
+    if resolved == 0 and fraction > 0.0:
+        raise ValueError(
+            f"{name}={limit!r} of {n} batches resolves to 0 batches; "
+            "increase the fraction or pass an int"
+        )
+    return resolved
+
+
 class Trainer:
     """Explicit SPMD training loop (see module docstring)."""
 
@@ -139,11 +176,11 @@ class Trainer:
         self,
         max_epochs: Optional[int] = None,
         max_steps: Optional[int] = None,
-        limit_train_batches: Optional[int] = None,
-        limit_val_batches: Optional[int] = None,
-        limit_test_batches: Optional[int] = None,
+        limit_train_batches: Optional[Union[int, float]] = None,
+        limit_val_batches: Optional[Union[int, float]] = None,
+        limit_test_batches: Optional[Union[int, float]] = None,
         check_val_every_n_epoch: int = 1,
-        val_check_interval: Optional[int] = None,
+        val_check_interval: Optional[Union[int, float]] = None,
         log_every_n_steps: int = 50,
         precision: Optional[str] = None,
         accumulate_grad_batches: int = 1,
@@ -206,6 +243,17 @@ class Trainer:
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.limit_test_batches = limit_test_batches
+        # resolved against the concrete train loader at fit() time
+        self._limit_train: Optional[int] = (
+            limit_train_batches
+            if isinstance(limit_train_batches, int) or limit_train_batches is None
+            else None
+        )
+        self._val_interval: Optional[int] = (
+            val_check_interval
+            if isinstance(val_check_interval, int) or val_check_interval is None
+            else None
+        )
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.val_check_interval = val_check_interval
         self.log_every_n_steps = log_every_n_steps
@@ -276,10 +324,36 @@ class Trainer:
             per_epoch = len(train_loader)
         except TypeError:
             return None
-        if self.limit_train_batches is not None:
+        limit = _resolve_limit(
+            self.limit_train_batches, train_loader, "limit_train_batches"
+        )
+        if limit is not None:
             # Lightning semantics: 0 disables training batches entirely
-            per_epoch = min(per_epoch, self.limit_train_batches)
+            per_epoch = min(per_epoch, limit)
         return per_epoch
+
+    def _resolve_val_interval(self, train_loader: Any) -> Optional[int]:
+        """Lightning parity: a float ``val_check_interval`` in (0.0, 1.0]
+        means that fraction of the (limit-clipped) training epoch between
+        validations, resolved to a static step interval at fit() time."""
+        interval = self.val_check_interval
+        if interval is None or isinstance(interval, int):
+            return interval
+        fraction = float(interval)
+        if not 0.0 < fraction <= 1.0:
+            raise ValueError(
+                f"val_check_interval={interval!r}: float intervals are "
+                "fractions of the training epoch and must lie in (0.0, 1.0]; "
+                "pass an int for an absolute step interval"
+            )
+        per_epoch = self._batches_per_epoch(train_loader)
+        if per_epoch is None:
+            raise ValueError(
+                f"val_check_interval={interval!r}: float fractions need a "
+                "sized train dataloader; this loader has no length "
+                "(streaming/iterable) — pass an int step interval instead"
+            )
+        return max(1, int(per_epoch * fraction))
 
     def _resolve_max_steps(self, train_loader: Any) -> int:
         if self.max_steps is not None:
@@ -500,6 +574,11 @@ class Trainer:
     ) -> TrainState:
         max_steps = self._resolve_max_steps(train_loader)
         tx = self._build_tx(task, max_steps)
+        # float fractions become static counts once, against this loader
+        self._limit_train = _resolve_limit(
+            self.limit_train_batches, train_loader, "limit_train_batches"
+        )
+        self._val_interval = self._resolve_val_interval(train_loader)
 
         try:
             if len(train_loader) == 0:
@@ -658,8 +737,8 @@ class Trainer:
                         skip_batches = 0
             for batch_idx, batch in enumerate(epoch_iter, start=epoch_base):
                 if (
-                    self.limit_train_batches is not None
-                    and batch_idx >= self.limit_train_batches
+                    self._limit_train is not None
+                    and batch_idx >= self._limit_train
                 ):
                     break
                 if skip_batches > 0:
@@ -764,9 +843,9 @@ class Trainer:
                         cb.on_train_batch_end(self, {}, step)
 
                 if (
-                    self.val_check_interval
+                    self._val_interval
                     and val_loader is not None
-                    and step % self.val_check_interval == 0
+                    and step % self._val_interval == 0
                 ):
                     self._run_evaluation(task, val_loader, "validation", step=step)
 
@@ -906,8 +985,10 @@ class Trainer:
             self._val_loss_step = self._make_val_step(task)
 
         losses = []
-        phase_limit = (
-            self.limit_test_batches if phase == "test" else self.limit_val_batches
+        phase_limit = _resolve_limit(
+            self.limit_test_batches if phase == "test" else self.limit_val_batches,
+            loader,
+            "limit_test_batches" if phase == "test" else "limit_val_batches",
         )
         limit = limit_batches if limit_batches is not None else phase_limit
         if limit is not None and limit < 0:

@@ -374,6 +374,66 @@ def test_limit_batches_zero_disables(tmp_path):
     assert counter.steps == []  # validation produced no logged results
 
 
+def test_limit_batches_float_fractions(tmp_path):
+    """Lightning parity: float limit_*_batches are fractions of the sized
+    loader, resolved to a static batch count at loop setup."""
+    ds = CombinedDataset([PairedDataset(size=32)])
+    train_loader = DataLoader(ds, batch_size=8, drop_last=True)  # 4 batches
+
+    steps_seen = []
+
+    class StepCounter(LossRecorder):
+        def on_train_batch_end(self, trainer, metrics, step):
+            super().on_train_batch_end(trainer, metrics, step)
+            steps_seen.append(step)
+
+    trainer = Trainer(
+        max_epochs=2, limit_train_batches=0.5, log_every_n_steps=1,
+        callbacks=[StepCounter()], default_root_dir=str(tmp_path), seed=0,
+    )
+    trainer.fit(_tiny_task(), train_loader)
+    # 0.5 of 4 batches = 2 per epoch, 2 epochs -> 4 steps total
+    assert steps_seen == [1, 2, 3, 4]
+    assert trainer._limit_train == 2
+
+
+def test_val_check_interval_float_fraction(tmp_path):
+    """Float val_check_interval = fraction of the training epoch (Lightning
+    parity), resolved to a static step interval against the sized loader."""
+    ds = CombinedDataset([PairedDataset(size=64)])
+    train = DataLoader(ds, batch_size=16, drop_last=True)  # 4 batches/epoch
+    val = DataLoader(ds, batch_size=16, drop_last=True)
+    counter = ValCounter()
+    trainer = Trainer(
+        max_steps=8, val_check_interval=0.5, log_every_n_steps=1, seed=0,
+        callbacks=[counter], limit_val_batches=1,
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(_tiny_task(), train, val)
+    # 0.5 of 4 batches/epoch -> every 2 steps
+    assert counter.steps == [2, 4, 6, 8]
+    with pytest.raises(ValueError, match=r"\(0\.0, 1\.0\]"):
+        Trainer(val_check_interval=1.5)._resolve_val_interval(train)
+
+
+def test_limit_batches_float_validation():
+    """Malformed fractions fail loudly at setup, not as silent truthiness."""
+    from mmlearn_tpu.trainer.trainer import _resolve_limit
+
+    sized = [0] * 4
+    assert _resolve_limit(0.5, sized, "x") == 2
+    assert _resolve_limit(1.0, sized, "x") is None  # whole loader
+    assert _resolve_limit(0.0, sized, "x") == 0  # phase disabled
+    assert _resolve_limit(3, object(), "x") == 3  # ints skip len()
+    assert _resolve_limit(None, object(), "x") is None
+    with pytest.raises(ValueError, match=r"\[0\.0, 1\.0\]"):
+        _resolve_limit(1.5, sized, "limit_train_batches")
+    with pytest.raises(ValueError, match="sized dataloader"):
+        _resolve_limit(0.5, iter(sized), "limit_train_batches")
+    with pytest.raises(ValueError, match="resolves to 0"):
+        _resolve_limit(0.1, sized, "limit_train_batches")
+
+
 def test_resume_fast_forward_skips_dataset_reads(tmp_path):
     """Mid-epoch resume must not load/decode the already-consumed examples
     of a map-style dataset (loader-level skip)."""
