@@ -155,6 +155,7 @@ def main() -> None:
         except Exception as err:  # noqa: BLE001 - input-fed is best-effort
             result["input_fed_tfrecord_error"] = f"{type(err).__name__}: {err}"
         params, opt_state = state
+        del state  # the holder must not keep the buffers alive below
 
     if os.environ.get("MMLEARN_BENCH_IJEPA", "1") != "0":
         # second flagship in the bench of record (VERDICT r3 item 6): a

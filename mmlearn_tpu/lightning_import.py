@@ -334,9 +334,11 @@ def overlay_params(params: Any, overlay: Any, path: str = "") -> Any:
 
     Handles scan re-stacking at every subtree, validates leaf shapes, and
     casts to the target leaf dtype. Unknown overlay keys are an error
-    (catches layout drift loudly, like ``_merge_pretrained``)."""
-    import jax.numpy as jnp
-
+    (catches layout drift loudly, like ``_merge_pretrained``). Pure host
+    work: leaves come back as numpy so a ``device_get`` target tree never
+    bounces through the (possibly tunneled) device transport just for
+    shape/dtype checks — the caller ``device_put``s the merged tree onto
+    its shardings once (trainer/trainer.py ``_init_state``)."""
     if isinstance(overlay, Mapping):
         if not isinstance(params, Mapping):
             raise ValueError(f"overlay has subtree at {path or '/'}; target is a leaf")
@@ -347,10 +349,11 @@ def overlay_params(params: Any, overlay: Any, path: str = "") -> Any:
                 raise ValueError(f"overlay param {path}/{k} not in target tree")
             out[k] = overlay_params(params[k], v, f"{path}/{k}")
         return out
-    target = jnp.asarray(params)
-    if tuple(np.shape(overlay)) != tuple(target.shape):
+    target_shape = tuple(np.shape(params))
+    target_dtype = getattr(params, "dtype", None) or np.asarray(params).dtype
+    if tuple(np.shape(overlay)) != target_shape:
         raise ValueError(
             f"shape mismatch at {path or '/'}: overlay "
-            f"{np.shape(overlay)} vs target {tuple(target.shape)}"
+            f"{np.shape(overlay)} vs target {target_shape}"
         )
-    return jnp.asarray(overlay, dtype=target.dtype)
+    return np.asarray(overlay, dtype=target_dtype)

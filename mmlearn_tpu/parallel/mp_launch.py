@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import socket
 import subprocess
+import threading
+import time
 from typing import Mapping, Optional, Sequence
 
 
@@ -36,10 +38,14 @@ def run_workers(
 
     All workers are launched before any is waited on (they must rendezvous
     with each other through the jax.distributed coordinator, so sequential
-    execution would deadlock). A worker that exceeds ``timeout`` or exits
-    nonzero raises RuntimeError carrying the last ``tail`` lines of its
-    output; any still-running siblings are killed before the raise so a
-    failed rendezvous can't leak orphan processes.
+    execution would deadlock), and every worker's pipe is drained by its
+    own thread from launch — a worker that logs more than one pipe buffer
+    (~64 KB of JAX/XLA/training output is routine) must never block on
+    ``write()`` while the parent waits on a sibling. ``timeout`` is one
+    shared deadline for the whole group, not per worker. A worker that
+    exceeds it or exits nonzero raises RuntimeError carrying the last
+    ``tail`` lines of its output; any still-running siblings are killed
+    before the raise so a failed rendezvous can't leak orphan processes.
     """
     procs = [
         subprocess.Popen(
@@ -52,15 +58,38 @@ def run_workers(
         )
         for cmd in cmds
     ]
-    outputs: list[str] = []
+    outputs = [""] * len(procs)
+
+    def _drain(i: int, p: subprocess.Popen) -> None:
+        outputs[i] = p.stdout.read() or ""  # type: ignore[union-attr]
+
+    threads = [
+        threading.Thread(target=_drain, args=(i, p), daemon=True)
+        for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + timeout
+    timed_out: Optional[int] = None
     try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outputs.append(out or "")
+        for idx, p in enumerate(procs):
+            try:
+                p.wait(timeout=max(0.1, deadline - time.monotonic()))
+            except subprocess.TimeoutExpired:
+                timed_out = idx
+                break
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for t in threads:  # EOF after kill ends each drain thread
+            t.join(timeout=30)
+    if timed_out is not None:
+        snippet = "\n".join(outputs[timed_out].splitlines()[-tail:])
+        raise RuntimeError(
+            f"worker {timed_out}/{len(procs)} timed out after {timeout}s:\n"
+            f"{snippet}"
+        )
     for idx, (p, out) in enumerate(zip(procs, outputs)):
         if p.returncode != 0:
             snippet = "\n".join(out.splitlines()[-tail:])

@@ -159,12 +159,11 @@ class EmbeddingIndex:
             )
             if approx:
                 s, i = _approx_topk_scores_chunk(qc, self.embeddings, k)
-            elif forced or (
-                block_size is None
-                and _use_blockwise_topk(qc.shape[0], len(self), k)
-            ):
-                # per-block top_k needs k <= block; k > block_size (odd but
-                # legal) falls through to the full-axis kernel
+            elif forced or _use_blockwise_topk(qc.shape[0], len(self), k):
+                # an unusable block_size (>= corpus, or < k: per-block top_k
+                # needs k <= block) falls back to the MEMORY routing, not to
+                # an unconditional full-axis sim — a corpus past the HBM
+                # budget must stream regardless of the requested block
                 s, i = _blockwise_topk_scores_chunk(
                     qc, self.embeddings, k,
                     block_size if forced else TOPK_BLOCK,

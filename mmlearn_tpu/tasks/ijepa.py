@@ -225,7 +225,13 @@ class IJEPA(TrainingTask):
         return {"encoder": enc_params, "predictor": pred_params}
 
     def init_extras(self, params: Any) -> Any:
-        return {"ema_encoder": self.ema.init(params["encoder"])}
+        # the anneal offset lives IN the checkpointed extras (not only on
+        # this task object): a migrated run resumed later without
+        # re-passing init_from_lightning must keep its EMA anneal position
+        return {
+            "ema_encoder": self.ema.init(params["encoder"]),
+            "ema_step_offset": jnp.asarray(self.ema_step_offset, jnp.int32),
+        }
 
     @property
     def modalities(self) -> list[str]:
@@ -284,9 +290,11 @@ class IJEPA(TrainingTask):
 
     def post_update(self, params: Any, extras: Any, step: jnp.ndarray) -> Any:
         new = dict(extras or {})
+        # prefer the checkpointed offset (restored extras); the task-object
+        # attribute only seeds fresh inits
+        offset = new.get("ema_step_offset", self.ema_step_offset)
         new["ema_encoder"] = self.ema.step(
-            extras["ema_encoder"], params["encoder"],
-            step + self.ema_step_offset,
+            extras["ema_encoder"], params["encoder"], step + offset
         )
         return new
 
@@ -310,7 +318,10 @@ class IJEPA(TrainingTask):
         }
 
     def init_aux_extras(self, encoder_params: Any, aux_params: Any) -> Any:
-        return {"ema_encoder": self.ema.init(encoder_params)}
+        return {
+            "ema_encoder": self.ema.init(encoder_params),
+            "ema_step_offset": jnp.asarray(self.ema_step_offset, jnp.int32),
+        }
 
     def aux_loss_fn(
         self,
@@ -333,8 +344,8 @@ class IJEPA(TrainingTask):
         step: jnp.ndarray,
     ) -> Any:
         new = dict(aux_extras or {})
+        offset = new.get("ema_step_offset", self.ema_step_offset)
         new["ema_encoder"] = self.ema.step(
-            aux_extras["ema_encoder"], encoder_params,
-            step + self.ema_step_offset,
+            aux_extras["ema_encoder"], encoder_params, step + offset
         )
         return new

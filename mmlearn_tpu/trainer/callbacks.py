@@ -138,13 +138,16 @@ class ModelCheckpoint(Callback):
         try:
             with open(self._scores_path(path)) as f:
                 raw = json.load(f)
-        except (OSError, ValueError):
-            return
-        self._monitored = {
-            int(k): float(v)
-            for k, v in raw.items()
-            if math.isfinite(float(v))
-        }
+            self._monitored = {
+                int(k): float(v)
+                for k, v in raw.items()
+                if math.isfinite(float(v))
+            }
+        except (OSError, ValueError, TypeError, AttributeError) as err:
+            # non-fatal by design (pins rebuild from metrics) — a corrupt or
+            # hand-edited pin file must not abort the resumed run, including
+            # non-dict JSON or non-numeric keys/scores
+            logger.warning("Ignoring unreadable monitored scores: %s", err)
 
     def _persist_monitored(self, path: str) -> None:
         import json

@@ -483,3 +483,20 @@ def test_best_k_eviction_spares_resumed_checkpoint(tmp_path):
     kept = {d for d in os.listdir(str(tmp_path / "ckpts")) if d.isdigit()}
     assert "3" in kept, kept
     assert ckpt2._monitored == {4: 1.0}
+
+
+def test_rehydrate_monitored_tolerates_corrupt_pin_file(tmp_path):
+    """monitored_scores.json is non-fatal by design: corrupt or hand-edited
+    contents (non-dict JSON, non-numeric keys or scores) must be ignored,
+    not abort the resumed run — pins rebuild from metrics."""
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    cb = ModelCheckpoint(dirpath=str(tmp_path))
+    for payload in ("[1, 2]", '{"a": 1.0}', '{"3": "oops"}', "null", "{bad"):
+        (tmp_path / "monitored_scores.json").write_text(payload)
+        cb._monitored = {}
+        cb._rehydrate_monitored(str(tmp_path))
+        assert cb._monitored == {}
+    (tmp_path / "monitored_scores.json").write_text('{"3": 1.5, "7": 0.25}')
+    cb._rehydrate_monitored(str(tmp_path))
+    assert cb._monitored == {3: 1.5, 7: 0.25}

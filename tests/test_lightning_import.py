@@ -255,3 +255,58 @@ def test_ijepa_import_continues_ema_anneal():
     np.testing.assert_allclose(
         np.asarray(new["ema_encoder"]["w"]), 0.977, atol=1e-6
     )
+
+
+def test_ijepa_ema_offset_persists_in_extras():
+    """The anneal offset is part of the checkpointed extras: a run migrated
+    with init_from_lightning and later resumed WITHOUT re-passing the flag
+    (the task object re-initializes with offset 0) must continue the anneal
+    from the restored extras, not silently rewind to step 0."""
+    from mmlearn_tpu.modules.encoders import VisionTransformer
+    from mmlearn_tpu.tasks import IJEPA as IJEPATask
+
+    c = IJEPA
+    enc = VisionTransformer(
+        img_size=c["img"], patch_size=c["patch"], embed_dim=c["embed_dim"],
+        depth=c["depth"], num_heads=c["num_heads"],
+        use_cls_token=False, learned_pos_embed=False, final_norm=True,
+        norm_eps=1e-5, global_pool="none",
+    )
+
+    # the migrated run seeds the offset into its (checkpointed) extras
+    migrated = IJEPATask(
+        encoder=enc, ema_decay=0.9, ema_decay_end=1.0,
+        ema_anneal_end_step=100,
+    )
+    migrated.apply_import_metadata({"ema": {"decay": 0.99, "num_updates": 77}})
+    extras = migrated.init_extras({"encoder": {"w": jnp.ones((2,))}})
+    assert int(extras["ema_step_offset"]) == 77
+
+    # a FRESH task object (offset attribute 0, as on resume) must honor the
+    # restored extras leaf: decay annealed to 77 (0.9 + 0.77*0.1 = 0.977)
+    fresh = IJEPATask(
+        encoder=enc, ema_decay=0.9, ema_decay_end=1.0,
+        ema_anneal_end_step=100,
+    )
+    assert fresh.ema_step_offset == 0
+    new = fresh.post_update(
+        {"encoder": {"w": jnp.zeros((2,))}},
+        {"ema_encoder": {"w": jnp.ones((2,))},
+         "ema_step_offset": jnp.asarray(77, jnp.int32)},
+        jnp.asarray(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(new["ema_encoder"]["w"]), 0.977, atol=1e-6
+    )
+    # the leaf survives the update, so every later checkpoint keeps it
+    assert int(new["ema_step_offset"]) == 77
+    # aux (multi-task) protocol: same semantics
+    aux_new = fresh.aux_post_update(
+        {"w": jnp.zeros((2,))}, {},
+        {"ema_encoder": {"w": jnp.ones((2,))},
+         "ema_step_offset": jnp.asarray(77, jnp.int32)},
+        jnp.asarray(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_new["ema_encoder"]["w"]), 0.977, atol=1e-6
+    )

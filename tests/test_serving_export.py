@@ -241,3 +241,35 @@ def test_artifact_loads_without_model_code(tmp_path):
     out = np.asarray(serve({"rgb": batch["rgb"]}))
     assert out.shape == (4, 16)
     assert np.isfinite(out).all()
+
+
+def test_embedding_index_unusable_block_size_keeps_memory_routing(monkeypatch):
+    """A block_size that cannot be honored (>= corpus, or < k) must fall
+    back to the MEMORY routing, not to an unconditional full-axis sim — a
+    corpus past the HBM budget has to stream regardless of the requested
+    block."""
+    from mmlearn_tpu.modules.metrics import retrieval_recall as rr
+    from mmlearn_tpu.serving import EmbeddingIndex
+    from mmlearn_tpu.serving import index as index_mod
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((101, 8)).astype(np.float32)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    index = EmbeddingIndex(emb)
+    want_s, want_i = index.query(q, k=5)
+
+    # corpus "past the budget": every sim is too big, blocks of 16
+    monkeypatch.setattr(rr, "TOPK_SIM_BYTES_BUDGET", 0)
+    monkeypatch.setattr(rr, "TOPK_BLOCK", 16)
+    monkeypatch.setattr(index_mod, "TOPK_BLOCK", 16)
+
+    def full_axis_forbidden(*a, **k):
+        raise AssertionError("full-axis sim materialized past the budget")
+
+    monkeypatch.setattr(index_mod, "_topk_scores_chunk", full_axis_forbidden)
+    # block_size >= corpus and block_size < k are both unusable as given
+    for bad_block in (101, 4):
+        s, i = index.query(q, k=5, block_size=bad_block)
+        np.testing.assert_allclose(s, want_s, rtol=1e-6)
+        for row in range(q.shape[0]):
+            assert set(i[row].tolist()) == set(want_i[row].tolist())
