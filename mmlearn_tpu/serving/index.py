@@ -24,11 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# module import (not value import): TOPK_BLOCK / TOPK_SIM_BYTES_BUDGET are
+# tunable knobs — reading them through the module keeps one source of truth
+from mmlearn_tpu.modules.metrics import retrieval_recall as _rr
 from mmlearn_tpu.modules.metrics.retrieval_recall import (
     _blockwise_topk_scores_chunk,
     _topk_scores_chunk,
     _use_blockwise_topk,
-    TOPK_BLOCK,
 )
 
 import functools
@@ -166,7 +168,7 @@ class EmbeddingIndex:
                 # budget must stream regardless of the requested block
                 s, i = _blockwise_topk_scores_chunk(
                     qc, self.embeddings, k,
-                    block_size if forced else TOPK_BLOCK,
+                    block_size if forced else _rr.TOPK_BLOCK,
                 )
             else:
                 s, i = _topk_scores_chunk(qc, self.embeddings, k)

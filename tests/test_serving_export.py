@@ -258,10 +258,10 @@ def test_embedding_index_unusable_block_size_keeps_memory_routing(monkeypatch):
     index = EmbeddingIndex(emb)
     want_s, want_i = index.query(q, k=5)
 
-    # corpus "past the budget": every sim is too big, blocks of 16
+    # corpus "past the budget": every sim is too big, blocks of 16 (the
+    # index reads the knobs through the metric module — one source of truth)
     monkeypatch.setattr(rr, "TOPK_SIM_BYTES_BUDGET", 0)
     monkeypatch.setattr(rr, "TOPK_BLOCK", 16)
-    monkeypatch.setattr(index_mod, "TOPK_BLOCK", 16)
 
     def full_axis_forbidden(*a, **k):
         raise AssertionError("full-axis sim materialized past the budget")
