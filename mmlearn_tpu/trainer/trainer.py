@@ -179,6 +179,7 @@ class Trainer:
         limit_train_batches: Optional[Union[int, float]] = None,
         limit_val_batches: Optional[Union[int, float]] = None,
         limit_test_batches: Optional[Union[int, float]] = None,
+        overfit_batches: Union[int, float] = 0.0,
         check_val_every_n_epoch: int = 1,
         val_check_interval: Optional[Union[int, float]] = None,
         log_every_n_steps: int = 50,
@@ -233,6 +234,11 @@ class Trainer:
                 "precision=%r maps to 'bf16-mixed' on TPU", precision
             )
             precision = "bf16-mixed"
+        if isinstance(overfit_batches, int) and overfit_batches < 0:
+            raise ValueError(
+                f"overfit_batches={overfit_batches!r} must be >= 0 (0 "
+                "disables; an int is a batch count, a float a fraction)"
+            )
         if gradient_clip_algorithm not in ("norm", "value"):
             raise ValueError(
                 "gradient_clip_algorithm must be 'norm' or 'value', got "
@@ -243,6 +249,7 @@ class Trainer:
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.limit_test_batches = limit_test_batches
+        self.overfit_batches = overfit_batches
         # resolved against the concrete train loader at fit() time
         self._limit_train: Optional[int] = (
             limit_train_batches
@@ -564,6 +571,54 @@ class Trainer:
             except (ValueError, OSError):  # pragma: no cover
                 pass
 
+    def _apply_overfit(self, train_loader: Any, val_loader: Any) -> Any:
+        """Lightning ``overfit_batches`` semantics (the reference exposes it
+        via the full Trainer signature, reference conf/__init__.py:120-129):
+        train on a fixed leading subset of the training data with shuffling
+        disabled, and validate on the SAME batches — Lightning substitutes
+        the train dataloader for the val dataloader. An int is an absolute
+        batch count, a float a fraction of the training epoch; 0 disables.
+        """
+        if not self.overfit_batches:
+            return val_loader
+        n = _resolve_limit(
+            self.overfit_batches, train_loader, "overfit_batches"
+        )
+        if self.limit_train_batches not in (None, n) or (
+            val_loader is not None and self.limit_val_batches not in (None, n)
+        ):
+            logger.warning(
+                "overfit_batches=%r overrides limit_train_batches/"
+                "limit_val_batches",
+                self.overfit_batches,
+            )
+        self.limit_train_batches = n
+        # every epoch must replay the same leading batches, so shuffling
+        # samplers are downgraded (mirrors Lightning's warning + override)
+        sampler = getattr(train_loader, "sampler", None)
+        if sampler is not None:
+            from mmlearn_tpu.datasets.core.samplers import (
+                RandomSampler,
+                SequentialSampler,
+            )
+
+            if isinstance(sampler, RandomSampler):
+                train_loader.sampler = SequentialSampler(train_loader.dataset)
+                logger.warning(
+                    "overfit_batches: train-loader shuffling disabled so "
+                    "each epoch replays the same batches"
+                )
+            elif getattr(sampler, "shuffle", False):
+                sampler.shuffle = False
+                logger.warning(
+                    "overfit_batches: sampler shuffle=False so each epoch "
+                    "replays the same batches"
+                )
+        if val_loader is not None:
+            val_loader = train_loader
+            self.limit_val_batches = n
+        return val_loader
+
     def fit(
         self,
         task: Any,
@@ -572,6 +627,7 @@ class Trainer:
         ckpt_path: Optional[str] = None,
         strict_loading: bool = True,
     ) -> TrainState:
+        val_loader = self._apply_overfit(train_loader, val_loader)
         max_steps = self._resolve_max_steps(train_loader)
         tx = self._build_tx(task, max_steps)
         # float fractions become static counts once, against this loader
@@ -715,10 +771,12 @@ class Trainer:
         t_log, examples_since_log,
     ) -> TrainState:
         steps_since_log = 0
+        per_epoch_n = self._batches_per_epoch(train_loader)
         while not done:
             if self.max_epochs is not None and epoch >= self.max_epochs:
                 break
             epoch_base = 0
+            epoch_completed = False
             if epoch == 0 and probe_iter is not None:
                 # replay the probed batch, continue the same iterator
                 epoch_iter = itertools.chain([first_raw], probe_iter)
@@ -851,6 +909,15 @@ class Trainer:
 
                 if step >= max_steps:
                     done = True
+                    # Lightning validates at the end of EVERY epoch the
+                    # schedule completes, including the last: when the step
+                    # budget runs out exactly at an epoch boundary (the
+                    # normal max_epochs case), the epoch-end validation
+                    # below must still fire
+                    epoch_completed = (
+                        per_epoch_n is not None
+                        and batch_idx + 1 >= per_epoch_n
+                    )
                     break
                 if self.should_stop:
                     logger.warning(
@@ -863,7 +930,7 @@ class Trainer:
                     break
 
             if (
-                not done
+                (not done or epoch_completed)
                 and val_loader is not None
                 and self.val_check_interval is None
                 and (epoch + 1) % self.check_val_every_n_epoch == 0

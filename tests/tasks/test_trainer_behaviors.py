@@ -374,6 +374,43 @@ def test_limit_batches_zero_disables(tmp_path):
     assert counter.steps == []  # validation produced no logged results
 
 
+def test_overfit_batches(tmp_path):
+    """Lightning ``overfit_batches``: the same leading train batches every
+    epoch (shuffle downgraded) and validation on those identical batches."""
+    from mmlearn_tpu.datasets.core.samplers import SequentialSampler
+
+    ds = CombinedDataset([PairedDataset(size=64)])
+    train_loader = DataLoader(ds, batch_size=16, drop_last=True, shuffle=True)
+    val_loader = DataLoader(ds, batch_size=16, drop_last=True)
+
+    steps_seen = []
+
+    class StepCounter(LossRecorder):
+        def on_train_batch_end(self, trainer, metrics, step):
+            super().on_train_batch_end(trainer, metrics, step)
+            steps_seen.append(step)
+
+    counter = ValCounter()
+    trainer = Trainer(
+        max_epochs=2, overfit_batches=2, log_every_n_steps=1, seed=0,
+        check_val_every_n_epoch=1, callbacks=[StepCounter(), counter],
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(_tiny_task(), train_loader, val_loader)
+    # 2 batches per epoch x 2 epochs; validation fired at each epoch end
+    assert steps_seen == [1, 2, 3, 4]
+    assert counter.steps == [2, 4]
+    # the shuffling sampler was replaced so epochs replay identical batches
+    assert isinstance(train_loader.sampler, SequentialSampler)
+    assert trainer.limit_train_batches == 2
+    assert trainer.limit_val_batches == 2
+
+
+def test_overfit_batches_validation():
+    with pytest.raises(ValueError, match="overfit_batches"):
+        Trainer(overfit_batches=-1)
+
+
 def test_limit_batches_float_fractions(tmp_path):
     """Lightning parity: float limit_*_batches are fractions of the sized
     loader, resolved to a static batch count at loop setup."""
