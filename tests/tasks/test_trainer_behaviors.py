@@ -411,6 +411,24 @@ def test_overfit_batches_validation():
         Trainer(overfit_batches=-1)
 
 
+@pytest.mark.integration_test
+def test_final_epoch_validation_fires(tmp_path):
+    """Lightning validates at the end of EVERY completed epoch, including
+    the last: the max_epochs step budget running out exactly at the epoch
+    boundary must not skip the final epoch-end validation."""
+    ds = CombinedDataset([PairedDataset(size=32)])
+    train_loader = DataLoader(ds, batch_size=16, drop_last=True)  # 2 batches
+    val_loader = DataLoader(ds, batch_size=16, drop_last=True)
+    counter = ValCounter()
+    trainer = Trainer(
+        max_epochs=2, log_every_n_steps=1, seed=0,
+        check_val_every_n_epoch=1, callbacks=[counter], limit_val_batches=1,
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(_tiny_task(), train_loader, val_loader)
+    assert counter.steps == [2, 4]  # both epoch ends, including the final one
+
+
 def test_limit_batches_float_fractions(tmp_path):
     """Lightning parity: float limit_*_batches are fractions of the sized
     loader, resolved to a static batch count at loop setup."""
