@@ -34,6 +34,7 @@ import yaml
 from mmlearn_tpu.conf.config import (
     ConfigError,
     delete_by_path,
+    get_by_path,
     merge,
     resolve_interpolations,
     set_by_path,
@@ -208,6 +209,18 @@ def compose(
             group_spec = key
             cfg = _apply_group_default(cfg, group_spec, raw_value.strip())
             continue
+        if not additive:
+            # Hydra semantics: a plain override must target an existing key;
+            # new keys need the '+' prefix. Without this check a typo
+            # ('trainer.max_step=5') silently plants a dead config key.
+            try:
+                get_by_path(cfg, key)
+            except (KeyError, IndexError, TypeError, ValueError):
+                raise ConfigError(
+                    f"Could not override '{key}': no such key in the "
+                    f"composed config. Prefix with '+' (+{key}=...) to add "
+                    "a new key."
+                ) from None
         set_by_path(cfg, key, _parse_value(raw_value), create=True)
 
     if resolve:

@@ -97,6 +97,18 @@ def test_compose_overrides():
     assert cfg["extra"]["k"] == 2.5
 
 
+def test_compose_override_unknown_key_requires_plus():
+    """Hydra semantics: a plain override of a nonexistent key is an error
+    (a typo would otherwise plant a silently-ignored config key); the '+'
+    prefix adds new keys."""
+    base = {"a": {"b": 1}}
+    with pytest.raises(ConfigError, match=r"\+a\.typo"):
+        compose(base, overrides=["a.typo=5"])
+    # keys that exist with a None value count as existing
+    cfg = compose({"a": {"b": None}}, overrides=["a.b=3"])
+    assert cfg["a"]["b"] == 3
+
+
 def test_compose_delete():
     cfg = compose({"a": {"b": 1, "c": 2}}, overrides=["~a.b"])
     assert "b" not in cfg["a"]
