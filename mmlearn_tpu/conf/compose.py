@@ -152,6 +152,34 @@ def _compose_experiment(cfg: dict, name: str, searchpath: Sequence[str]) -> dict
     return merge(cfg, body)
 
 
+def _plain_override_allowed(cfg: dict, key: str) -> bool:
+    """Whether a plain (non-'+') override may write ``key``.
+
+    A path counts as existing when it fully resolves, OR when traversal
+    stops at an existing key whose value is ``None`` — ``set_by_path``
+    deliberately creates dicts through ``None`` placeholders (e.g.
+    ``trainer.mesh_shape`` defaults to ``None``, docs/parallelism.md), so
+    writing through one overrides an existing key rather than planting a
+    typo'd new one.
+    """
+    node = cfg
+    for part in key.split("."):
+        if node is None:
+            return True
+        if isinstance(node, list):
+            try:
+                node = node[int(part)]
+            except (ValueError, IndexError):
+                return False
+        elif isinstance(node, dict):
+            if part not in node:
+                return False
+            node = node[part]
+        else:
+            return False
+    return True
+
+
 def _is_group_override(key: str) -> bool:
     group = key.lstrip("+~").split("@", 1)[0]
     return store.has_group(group)
@@ -213,9 +241,7 @@ def compose(
             # Hydra semantics: a plain override must target an existing key;
             # new keys need the '+' prefix. Without this check a typo
             # ('trainer.max_step=5') silently plants a dead config key.
-            try:
-                get_by_path(cfg, key)
-            except (KeyError, IndexError, TypeError, ValueError):
+            if not _plain_override_allowed(cfg, key):
                 raise ConfigError(
                     f"Could not override '{key}': no such key in the "
                     f"composed config. Prefix with '+' (+{key}=...) to add "

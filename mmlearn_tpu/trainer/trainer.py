@@ -783,7 +783,11 @@ class Trainer:
                 probe_iter = None
             else:
                 if hasattr(train_loader, "set_epoch"):
-                    train_loader.set_epoch(epoch)
+                    # overfit_batches: pin the sampler epoch so epoch-seeded
+                    # samplers (e.g. CombinedDatasetRatioSampler re-seeds its
+                    # multinomial draws with seed+epoch regardless of
+                    # shuffle) replay the exact same leading batches
+                    train_loader.set_epoch(0 if self.overfit_batches else epoch)
                 epoch_iter = train_loader
                 if skip_batches > 0 and hasattr(train_loader, "iter_from_batch"):
                     # fast-forward without loading/decoding skipped examples

@@ -192,10 +192,12 @@ SMOKE_OVERRIDES = [
     "task.encoders.text.proj_dim=16",
     "task.encoders.text.max_length=16",
     "task.encoders.dna.max_length=256",
-    "datasets.train.image_size=64",
-    "datasets.val.all_keys.image_size=64",
-    "datasets.val.val_seen.image_size=64",
-    "datasets.val.val_unseen.image_size=64",
+    # '+' prefix: image_size is a dataset-constructor default the experiment
+    # YAML omits, so it is a NEW key in the composed config (Hydra semantics)
+    "+datasets.train.image_size=64",
+    "+datasets.val.all_keys.image_size=64",
+    "+datasets.val.val_seen.image_size=64",
+    "+datasets.val.val_unseen.image_size=64",
 ]
 
 

@@ -109,6 +109,22 @@ def test_compose_override_unknown_key_requires_plus():
     assert cfg["a"]["b"] == 3
 
 
+def test_compose_override_through_none_placeholder():
+    """Writing THROUGH an existing None-valued node is a plain override, not
+    a new key: set_by_path creates dicts through None placeholders, so e.g.
+    'trainer.mesh_shape.data=4' must work when trainer.mesh_shape defaults
+    to None (docs/parallelism.md; advisor r4 high)."""
+    base = {"trainer": {"mesh_shape": None}}
+    cfg = compose(base, overrides=["trainer.mesh_shape.data=4"])
+    assert cfg["trainer"]["mesh_shape"] == {"data": 4}
+    # deeper nesting through the same placeholder
+    cfg = compose(base, overrides=["trainer.mesh_shape.a.b=1"])
+    assert cfg["trainer"]["mesh_shape"]["a"]["b"] == 1
+    # but a typo'd sibling of the placeholder still errors
+    with pytest.raises(ConfigError, match=r"\+trainer\.mesh_shap\b"):
+        compose(base, overrides=["trainer.mesh_shap=4"])
+
+
 def test_compose_delete():
     cfg = compose({"a": {"b": 1, "c": 2}}, overrides=["~a.b"])
     assert "b" not in cfg["a"]

@@ -411,6 +411,41 @@ def test_overfit_batches_validation():
         Trainer(overfit_batches=-1)
 
 
+def test_overfit_batches_ratio_sampler_epoch_invariant(tmp_path):
+    """overfit_batches with the epoch-seeded CombinedDatasetRatioSampler:
+    the sampler re-seeds its multinomial draws with seed+epoch regardless of
+    ``shuffle``, so the trainer must pin ``set_epoch(0)`` for the replayed
+    leading batches to actually be identical across epochs (advisor r4)."""
+    from mmlearn_tpu.constants import EXAMPLE_INDEX_KEY
+    from mmlearn_tpu.datasets.core.samplers import CombinedDatasetRatioSampler
+
+    ds = CombinedDataset([PairedDataset(size=64)])
+    sampler = CombinedDatasetRatioSampler(ds, shuffle=True, seed=0)
+    train_loader = DataLoader(
+        ds, batch_size=16, sampler=sampler, drop_last=True
+    )
+    task = _tiny_task()
+    seen = []
+    orig_prepare = task.prepare_batch
+
+    def record(batch, step):
+        seen.append(np.asarray(batch[EXAMPLE_INDEX_KEY]).copy())
+        return orig_prepare(batch, step)
+
+    task.prepare_batch = record
+    trainer = Trainer(
+        max_epochs=2, overfit_batches=2, log_every_n_steps=1, seed=0,
+        default_root_dir=str(tmp_path),
+    )
+    trainer.fit(task, train_loader)
+    # seen = [shape probe] + 2 batches (epoch 0) + 2 batches (epoch 1);
+    # the probe batch is replayed as epoch 0's first batch
+    assert len(seen) == 5
+    np.testing.assert_array_equal(seen[0], seen[1])
+    np.testing.assert_array_equal(seen[1], seen[3])
+    np.testing.assert_array_equal(seen[2], seen[4])
+
+
 @pytest.mark.integration_test
 def test_final_epoch_validation_fires(tmp_path):
     """Lightning validates at the end of EVERY completed epoch, including
