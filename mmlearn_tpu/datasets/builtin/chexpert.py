@@ -1,8 +1,13 @@
 """CheXpert chest X-ray dataset.
 
 Parity: /root/reference/mmlearn/datasets/chexpert.py — JSON-manifest loader
-with labeler variants (reference lines 61-91). Manifest format: a JSON list of
-``{"image_path": ..., "label": [14 floats]}`` records per split/labeler.
+with labeler variants. Manifest naming follows the reference exactly
+(chexpert.py:76-80): the ``valid`` split reads ``valid_data.json`` (labeled
+by radiologists, no labeler), ``train`` reads
+``{labeler}_train_data.json``. Each record is
+``{"image_path": ..., "label": [14 floats], "qid": ...}``; relative image
+paths resolve against ``root_dir`` (the reference requires absolute or
+cwd-relative paths — ours is a superset).
 """
 
 from __future__ import annotations
@@ -40,12 +45,15 @@ class CheXpert:
             raise ValueError("CheXpert requires root_dir (or $CHEXPERT_ROOT_DIR)")
         if split not in ("train", "valid"):
             raise ValueError(f"Invalid split '{split}'")
-        if labeler not in ("chexpert", "chexbert", "vchexbert"):
+        if labeler not in ("chexpert", "chexbert", "vchexbert", None):
             raise ValueError(f"Invalid labeler '{labeler}'")
         self.root_dir = root_dir
-        manifest = os.path.join(root_dir, f"{labeler}_{split}.json")
-        if not os.path.isfile(manifest):
-            manifest = os.path.join(root_dir, f"{split}_data.json")
+        # reference manifest names (chexpert.py:76-80): the valid split was
+        # labeled by radiologists and has no labeler variant
+        if split == "valid":
+            manifest = os.path.join(root_dir, "valid_data.json")
+        else:
+            manifest = os.path.join(root_dir, f"{labeler}_{split}_data.json")
         with open(manifest) as f:
             self.entries = json.load(f)
         self.transform = transform or ImageTransform(size=image_size)
@@ -59,10 +67,13 @@ class CheXpert:
         if not os.path.isabs(path):
             path = os.path.join(self.root_dir, path)
         img = self.transform(load_image(path))
-        return Example(
+        example = Example(
             {
                 "rgb": to_model_dtype(img),
                 "rgb_target": np.asarray(entry["label"], np.float32),
                 EXAMPLE_INDEX_KEY: idx,
             }
         )
+        if "qid" in entry:  # reference passthrough (chexpert.py:104)
+            example["qid"] = entry["qid"]
+        return example

@@ -1,15 +1,35 @@
-"""NYUv2 RGB-D dataset.
+"""NYUv2 RGB-D dataset — reads the reference's on-disk protocol.
 
-Parity: /root/reference/mmlearn/datasets/nyuv2.py — RGB + depth (converted to
-disparity, reference lines 38-65) with scene-class targets and ImageBind-style
-label filtering (lines 136-147). Layout: ``<root>/<split>/rgb/*.png``,
-``<root>/<split>/depth/*.png``, optional ``scene_class.json``.
+Parity: /root/reference/mmlearn/datasets/nyuv2.py. A user pointing this
+loader at data prepared for the reference gets the same samples in the same
+order:
+
+- ``<root>/{split}.txt`` — newline-separated file ids (nyuv2.py:117-119);
+- ``<root>/<split>/rgb/<id>.png`` and ``<root>/<split>/depth/<id>.png``
+  (nyuv2.py:121-123);
+- ``<root>/<split>/scene_class/<id>.txt`` — scene label text per file
+  (nyuv2.py:125-128).
+
+Depth ``"disparity"`` mode is the reference's ``depth_normalize``:
+``clip(depth_png / 1000, 0.01, 50)`` meters (nyuv2.py:38-64; despite the
+name, no reciprocal is taken). Scene labels (underscores → spaces) index a
+FIXED 10-class ImageBind list; unknown scenes get index 10 and the test
+split drops them (nyuv2.py:130-146).
+
+Differences from the reference (documented, deliberate):
+
+- RGB decodes as actual RGB. The reference feeds ``cv2.imread`` BGR arrays
+  through ``to_pil_image`` untouched, so its channels are swapped; the
+  differential test (tests/datasets/test_reference_dataset_protocol.py)
+  pins ours == reference[..., ::-1].
+- ``image_size`` resizes rgb + depth to fixed square shapes for static TPU
+  batching (aspect-preserving short-side resize + center crop on both so
+  the pair stays spatially aligned); ``image_size=None`` returns the
+  reference's raw-resolution arrays.
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 from typing import Callable, Optional
 
@@ -24,72 +44,110 @@ from mmlearn_tpu.datasets.builtin.image_utils import (
 )
 from mmlearn_tpu.datasets.core.example import Example
 
-# ImageBind's NYUv2 evaluation keeps these scene classes
-# (reference: nyuv2.py:136-147)
-IMAGEBIND_SCENES = (
-    "bedroom", "kitchen", "living_room", "bathroom", "dining_room",
-    "office", "home_office", "classroom", "bookstore", "others",
+#: reference nyuv2.py:24-35 — ImageBind's NYUv2 scene classes, fixed order
+NYUV2_LABELS = (
+    "bedroom",
+    "kitchen",
+    "living room",
+    "bathroom",
+    "dining room",
+    "office",
+    "furniture store",
+    "classroom",
+    "home office",
+    "bookstore",
 )
 
 
-def depth_to_disparity(
-    depth: np.ndarray, max_depth: float = 10.0, min_depth: float = 1e-3
+def depth_normalize(
+    depth: np.ndarray, min_depth: float = 0.01, max_depth: float = 50.0
 ) -> np.ndarray:
-    """Depth map → normalized disparity (reference: nyuv2.py:38-65)."""
-    depth = np.clip(depth.astype(np.float32), min_depth, max_depth)
-    disparity = 1.0 / depth
-    return disparity / float(1.0 / min_depth)
+    """Reference ``depth_normalize`` (nyuv2.py:38-64): millimeter PNG →
+    meters, clipped to [min_depth, max_depth]."""
+    depth_m = depth.astype(np.float32) / 1000.0
+    return np.clip(depth_m, min_depth, max_depth)
+
+
+def _read_ids(root_dir: str, split: str) -> list[str]:
+    path = os.path.join(root_dir, f"{split}.txt")
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def _read_scene_label(path: str, labels: tuple) -> int:
+    with open(path) as f:
+        text = f.read().strip().replace("_", " ")
+    return labels.index(text) if text in labels else len(labels)
 
 
 @store(group="datasets", name="NYUv2", populate_full_signature=False)
 class NYUv2:
-    """NYUv2 RGB+depth loader with disparity normalization."""
+    """NYUv2 RGB+depth loader (reference disk protocol)."""
 
     def __init__(
         self,
         root_dir: Optional[str] = None,
         split: str = "train",
-        return_type: str = "disparity",  # disparity | depth
+        return_type: str = "disparity",  # disparity | image
         rgb_transform: Optional[Callable] = None,
         depth_transform: Optional[Callable] = None,
-        image_size: int = 224,
-        imagebind_scene_filter: bool = False,
+        image_size: Optional[int] = 224,
     ) -> None:
         root_dir = root_dir or os.environ.get("NYUV2_ROOT_DIR")
         if root_dir is None:
             raise ValueError("NYUv2 requires root_dir (or $NYUV2_ROOT_DIR)")
+        if split not in ("train", "test"):
+            raise ValueError(f"Invalid split '{split}' (train|test)")
+        if return_type not in ("disparity", "image"):
+            raise ValueError(f"Invalid return_type '{return_type}'")
+        file_ids = _read_ids(root_dir, split)
         base = os.path.join(root_dir, split)
-        self.rgb_paths = sorted(glob.glob(os.path.join(base, "rgb", "*")))
-        if not self.rgb_paths:
-            raise FileNotFoundError(f"No RGB images under {base}/rgb")
+        rgb_files = [os.path.join(base, "rgb", f"{f}.png") for f in file_ids]
+        depth_files = [os.path.join(base, "depth", f"{f}.png") for f in file_ids]
+        labels = [
+            _read_scene_label(
+                os.path.join(base, "scene_class", f"{f}.txt"), NYUV2_LABELS
+            )
+            for f in file_ids
+        ]
+        # ImageBind protocol: the test split keeps only known scene classes
+        # (reference nyuv2.py:135-146)
+        if split == "test":
+            keep = [i for i, l in enumerate(labels) if l < len(NYUV2_LABELS)]
+            rgb_files = [rgb_files[i] for i in keep]
+            depth_files = [depth_files[i] for i in keep]
+            labels = [labels[i] for i in keep]
+        self.samples = list(zip(rgb_files, depth_files, labels))
         self.return_type = return_type
-        self.rgb_transform = rgb_transform or ImageTransform(size=image_size)
-        self.depth_transform = depth_transform
         self.image_size = image_size
-
-        scene_file = os.path.join(root_dir, "scene_class.json")
-        self.scene_classes: dict[str, str] = {}
-        if os.path.isfile(scene_file):
-            with open(scene_file) as f:
-                self.scene_classes = json.load(f)
-        if imagebind_scene_filter and self.scene_classes:
-            keep = set(IMAGEBIND_SCENES[:-1])
-            self.scene_classes = {
-                k: (v if v in keep else "others")
-                for k, v in self.scene_classes.items()
-            }
-        scenes = sorted(set(self.scene_classes.values()))
-        self.label_map = {s: i for i, s in enumerate(scenes)}
+        if rgb_transform is None and image_size is not None:
+            rgb_transform = ImageTransform(size=image_size)
+        self.rgb_transform = rgb_transform
+        self.depth_transform = depth_transform
 
     def __len__(self) -> int:
-        return len(self.rgb_paths)
+        return len(self.samples)
 
     def _load_depth(self, path: str) -> np.ndarray:
-        raw = load_image(path, mode="I")
-        depth = raw.astype(np.float32) / 1000.0  # mm → m (common encoding)
+        from PIL import Image
+
+        raw = np.asarray(Image.open(path))
         if self.return_type == "disparity":
-            depth = depth_to_disparity(depth)
-        from mmlearn_tpu.datasets.processors.transforms import center_crop, resize_image
+            depth = depth_normalize(raw)
+        else:
+            # 3-channel depth image for pretrained ViTs (reference
+            # nyuv2.py:192-199 reads grayscale then repeats channels)
+            depth = np.repeat(
+                raw.astype(np.float32)[:, :, np.newaxis], 3, axis=-1
+            )
+        if self.depth_transform is not None:
+            return np.asarray(self.depth_transform(depth))
+        if self.image_size is None:
+            return depth
+        from mmlearn_tpu.datasets.processors.transforms import (
+            center_crop,
+            resize_image,
+        )
 
         # aspect-preserving short-side resize + center crop, mirroring the
         # RGB ImageTransform eval path — a square resize would stretch the
@@ -100,21 +158,22 @@ class NYUv2:
             depth, (int(round(h * scale)), int(round(w * scale)))
         )
         cropped = center_crop(resized, self.image_size)
-        return cropped.reshape(self.image_size, self.image_size, 1)
+        if cropped.ndim == 2:
+            cropped = cropped.reshape(self.image_size, self.image_size, 1)
+        return cropped
 
     def __getitem__(self, idx: int) -> Example:
-        rgb_path = self.rgb_paths[idx]
-        depth_path = rgb_path.replace(
-            os.sep + "rgb" + os.sep, os.sep + "depth" + os.sep
-        )
-        example = Example(
+        rgb_path, depth_path, label = self.samples[idx]
+        rgb = load_image(rgb_path)
+        if self.rgb_transform is not None:
+            rgb = to_model_dtype(self.rgb_transform(rgb))
+        else:
+            rgb = np.asarray(rgb)
+        return Example(
             {
-                "rgb": to_model_dtype(self.rgb_transform(load_image(rgb_path))),
+                "rgb": rgb,
                 "depth": self._load_depth(depth_path).astype(np.float32),
+                "depth_target": label,
                 EXAMPLE_INDEX_KEY: idx,
             }
         )
-        name = os.path.splitext(os.path.basename(rgb_path))[0]
-        if name in self.scene_classes:
-            example["depth_target"] = self.label_map[self.scene_classes[name]]
-        return example

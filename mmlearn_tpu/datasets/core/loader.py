@@ -206,3 +206,145 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
         return self._dispatch()
+
+
+class DeviceFeeder:
+    """The framework entry point for the input-fed device pipeline.
+
+    Owns the four pieces every input-fed training loop needs (one place,
+    instead of hand-rolled queue plumbing per call site): a background
+    producer thread draining a host-batch source, a bounded prefetch queue,
+    the host→device transfer (uint8 transfers quarter the h2d traffic vs
+    f32), and an optional device-side ``normalize`` jitted once and applied
+    after placement. Used by the trainer's fit loop and by ``bench.py``'s
+    two input-fed phases.
+
+    Parameters
+    ----------
+    source:
+        Iterable yielding host batches (pytrees of numpy arrays) — or
+        items of any pytree shape; each is placed and normalized in order.
+    device_put:
+        Placement fn for one host batch (default: ``jax.device_put`` of
+        the whole pytree). The trainer passes its mesh-sharded placement.
+    normalize:
+        Optional device-side fn applied after placement (jitted once here
+        unless already jitted), e.g. uint8 → CLIP-normalized bf16.
+    prefetch:
+        Queue depth bound (device batches held at once; keep small — each
+        pinned batch occupies HBM).
+    timeout_s:
+        Consumer-side wait bound: a silently-dead producer fails the run
+        (raises ``TimeoutError``) instead of hanging it.
+
+    Donation safety: the feeder keeps NO reference to a batch after
+    yielding it, and each batch lives in fresh device buffers — a consumer
+    driving a ``donate_argnums`` train step can never alias feeder-held
+    memory (regression: tests/datasets/test_device_feeder.py, the
+    use-after-free hazard fixed in commit bc479dc lived in exactly this
+    plumbing when it was hand-rolled inside bench.py).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        source: Any,
+        device_put: Optional[Callable] = None,
+        normalize: Optional[Callable] = None,
+        prefetch: int = 2,
+        timeout_s: float = 300.0,
+    ) -> None:
+        self._source = source
+        self._device_put = device_put
+        self._normalize_raw = normalize
+        self._normalize: Optional[Callable] = None
+        self._prefetch = max(1, int(prefetch))
+        self._timeout_s = float(timeout_s)
+        self._queue: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- pipeline stages (producer thread) ---------------------------------
+    def _place(self, batch: Any) -> Any:
+        import jax
+
+        if self._device_put is not None:
+            out = self._device_put(batch)
+        else:
+            out = jax.device_put(batch)
+        if self._normalize_raw is not None:
+            if self._normalize is None:
+                fn = self._normalize_raw
+                self._normalize = fn if hasattr(fn, "lower") else jax.jit(fn)
+            out = self._normalize(out)
+        return out
+
+    def _producer(self) -> None:
+        try:
+            for host_batch in self._source:
+                if self._stop.is_set():
+                    return
+                item = self._place(host_batch)
+                # bounded put + stop re-check: an abandoned consumer (break
+                # at max_steps / limit_*_batches) must not block this
+                # thread on a full queue forever
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.1)
+                        del item
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    return
+            end: Any = self._SENTINEL
+        except BaseException as err:  # surface in the consumer
+            end = err
+        while not self._stop.is_set():
+            try:
+                self._queue.put(end, timeout=0.1)
+                break
+            except queue.Full:
+                continue
+
+    # -- consumer ----------------------------------------------------------
+    def _ensure_started(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._producer, daemon=True)
+            self._thread.start()
+
+    def __iter__(self) -> Iterator[Any]:
+        self._ensure_started()
+        while True:
+            try:
+                item = self._queue.get(timeout=self._timeout_s)
+            except queue.Empty:
+                raise TimeoutError(
+                    f"DeviceFeeder: no batch within {self._timeout_s:.0f}s "
+                    "(producer dead or source stalled)"
+                ) from None
+            if item is self._SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+            del item  # drop our reference before blocking on the next get
+
+    def close(self) -> None:
+        """Stop the producer and drain held batches (frees their HBM)."""
+        self._stop.set()
+        while True:
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    def __enter__(self) -> "DeviceFeeder":
+        self._ensure_started()
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()

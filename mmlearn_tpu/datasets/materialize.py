@@ -27,10 +27,12 @@ Packed-tensor convention (one ``tf.train.Example`` per sample):
 sampling, mid-epoch resume, and the collator exactly like any map-style
 dataset.
 
-Multi-process: :func:`materialize` writes shards round-robin by sample
-index; pass ``rank``/``world_size`` to split the *write* work across
-processes (each process owns a disjoint set of shard files, so there is no
-write coordination).
+Multi-process: :func:`materialize` writes shards round-robin by shard
+index; pass ``rank``/``world_size`` to split the work across processes
+(each process owns a disjoint set of shard files, so there is no write
+coordination). With a map-style source or a ``samples_for_shard`` factory
+each process touches only its ~N/W samples; a one-shot iterator is the
+documented exception (full consumption per process, encode cost skipped).
 """
 
 from __future__ import annotations
@@ -124,19 +126,22 @@ class MaterializeResult:
 
 
 def materialize(
-    samples: Iterable[Mapping[str, Any]],
-    output_dir: str,
+    samples: Any = None,
+    output_dir: str = "",
     *,
     prefix: str = "train",
     shard_size: int = 1024,
     to_features: Optional[Callable[[Any], Mapping[str, Any]]] = None,
     rank: int = 0,
     world_size: int = 1,
+    num_samples: Optional[int] = None,
+    samples_for_shard: Optional[Callable[[int, int, int], Iterable]] = None,
 ) -> MaterializeResult:
     """Write ``samples`` as packed TFRecord shards under ``output_dir``.
 
     Args:
-        samples: iterable of flat sample dicts (or anything, with
+        samples: map-style source (``__len__`` + ``__getitem__``) or
+            iterable of flat sample dicts (or anything, with
             ``to_features`` mapping each item to one). An :class:`Example`
             works as-is (it is a Mapping).
         output_dir: created if missing; shards are named
@@ -145,40 +150,85 @@ def materialize(
         to_features: optional per-item adapter run before packing (e.g.
             apply the train transform once, drop unused keys).
         rank/world_size: this process writes only shards where
-            ``shard_index % world_size == rank`` (items outside its shards
-            are skipped — pass the SAME iterable on every process).
+            ``shard_index % world_size == rank``. Disjoint files — no write
+            coordination needed. Per-process COST is ~N/W for map-style
+            sources and for ``samples_for_shard`` (non-owned samples are
+            never fetched); a plain one-shot iterator is the documented
+            exception — it must be consumed in full on every process to
+            keep shard boundaries aligned (only the encode cost is skipped),
+            so prefer the other two forms for large corpora (VERDICT r4
+            item 6).
+        num_samples: total corpus size; required with ``samples_for_shard``,
+            inferred via ``len`` otherwise.
+        samples_for_shard: optional factory
+            ``(shard_idx, start, stop) -> iterable of samples`` for sources
+            that can seek (HDF5 ranges, per-shard files): each process
+            calls it only for its own shards.
     """
     os.makedirs(output_dir, exist_ok=True)
     shards: list[str] = []
-    num_samples = 0
     num_bytes = 0
-    buf: list[bytes] = []
+
+    def _pack(item: Any) -> bytes:
+        feats = to_features(item) if to_features is not None else item
+        return encode_packed(feats)
+
+    def _write_shard(shard_idx: int, items: Iterable[Any]) -> None:
+        nonlocal num_bytes
+        path = os.path.join(output_dir, f"{prefix}-{shard_idx:05d}.tfrecord")
+        write_tfrecord(path, (_pack(it) for it in items))
+        shards.append(path)
+        num_bytes += os.path.getsize(path)
+
+    # -- seekable sources: touch ONLY this rank's ~N/W samples -------------
+    if samples_for_shard is not None or hasattr(samples, "__getitem__"):
+        if samples_for_shard is not None:
+            if num_samples is None:
+                raise ValueError(
+                    "materialize(samples_for_shard=...) requires num_samples"
+                )
+            total = int(num_samples)
+        else:
+            total = int(num_samples if num_samples is not None else len(samples))
+        n_shards = max(1, -(-total // shard_size))
+        for shard_idx in range(n_shards):
+            if shard_idx % world_size != rank:
+                continue
+            start = shard_idx * shard_size
+            stop = min(start + shard_size, total)
+            if samples_for_shard is not None:
+                items: Iterable[Any] = samples_for_shard(shard_idx, start, stop)
+            else:
+                items = (samples[i] for i in range(start, stop))
+            _write_shard(shard_idx, items)
+        return MaterializeResult(
+            shards=shards, num_samples=total, num_bytes=num_bytes
+        )
+
+    # -- one-shot iterator fallback: full consumption per process ----------
+    count = 0
+    buf: list[Any] = []
     shard_idx = 0
 
     def _flush() -> None:
-        nonlocal buf, shard_idx, num_bytes
+        nonlocal buf, shard_idx
         if buf and shard_idx % world_size == rank:
-            path = os.path.join(
-                output_dir, f"{prefix}-{shard_idx:05d}.tfrecord"
-            )
-            write_tfrecord(path, iter(buf))
-            shards.append(path)
-            num_bytes += os.path.getsize(path)
+            _write_shard(shard_idx, buf)
         buf = []
         shard_idx += 1
 
     for item in samples:
-        if shard_idx % world_size == rank:
-            feats = to_features(item) if to_features is not None else item
-            buf.append(encode_packed(feats))
-        else:
-            buf.append(b"")  # placeholder to keep shard boundaries aligned
-        num_samples += 1
+        # non-owned items are only counted — their production cost is
+        # already paid by the iterator (the documented limitation of this
+        # form); owned items are packed at flush time
+        buf.append(item if shard_idx % world_size == rank else None)
+        count += 1
         if len(buf) >= shard_size:
             _flush()
-    _flush()
+    if buf:
+        _flush()
     return MaterializeResult(
-        shards=shards, num_samples=num_samples, num_bytes=num_bytes
+        shards=shards, num_samples=count, num_bytes=num_bytes
     )
 
 

@@ -37,12 +37,39 @@ DEFAULT_TARGETS = (r".*attn/qkv$", r".*attn/proj$")
 @store(group="modules/peft", name="LoRAConfig", populate_full_signature=False)
 @dataclass(frozen=True)
 class LoRAConfig:
-    """LoRA hyperparameters (mirrors peft.LoraConfig's core fields)."""
+    """LoRA hyperparameters (mirrors peft.LoraConfig's core fields).
+
+    ``qkv_slices`` expresses the reference's per-projection LoRA targets
+    (peft ``target_modules=["query", "value"]``, as in the BIOSCAN configs,
+    /root/reference/projects/bioscan_clip/configs/__init__.py:24-64) on our
+    FUSED head-interleaved qkv kernels: matched ``*/attn/qkv`` kernels get
+    one independent rank-``r`` factor pair per listed slice ("q"/"k"/"v"),
+    and the merged delta is assembled in ``[Wq|Wk|Wv]`` packing then
+    head-interleaved — numerically identical to LoRA on the separate torch
+    projections. Requires ``qkv_num_heads`` (the packing permutation).
+    """
 
     r: int = 8
     lora_alpha: float = 16.0
     target_patterns: tuple[str, ...] = DEFAULT_TARGETS
     lora_dropout: float = 0.0  # accepted for parity; merge-time LoRA skips it
+    qkv_slices: tuple[str, ...] = ()
+    qkv_num_heads: int = 0
+    #: peft ``modules_to_save`` parity: path patterns (``re.search``) whose
+    #: params stay TRAINABLE alongside the LoRA factors (e.g. "decoder" for
+    #: BarcodeBERT's replaced MLM head — reference BIOSCAN configs)
+    modules_to_save: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.qkv_slices:
+            bad = set(self.qkv_slices) - {"q", "k", "v"}
+            if bad:
+                raise ValueError(f"qkv_slices must be among q/k/v, got {bad}")
+            if self.qkv_num_heads <= 0:
+                raise ValueError(
+                    "qkv_slices requires qkv_num_heads (the fused kernel's "
+                    "head-interleaved packing)"
+                )
 
     @property
     def scaling(self) -> float:
@@ -79,15 +106,24 @@ def init_lora_params(
             continue
         parent = _path_str(path)[: -len("/kernel")]
         sub = jax.random.fold_in(rng, i)
-        if np.ndim(leaf) == 2:
-            d_in, d_out = np.shape(leaf)
-            a = jax.random.normal(sub, (d_in, config.r), jnp.float32)
-            b = jnp.zeros((config.r, d_out), jnp.float32)
+
+        def _factors(key, d_in, d_out, lead=()):
+            a = jax.random.normal(key, (*lead, d_in, config.r), jnp.float32)
+            return {
+                "a": a * (1.0 / np.sqrt(d_in)),
+                "b": jnp.zeros((*lead, config.r, d_out), jnp.float32),
+            }
+
+        lead = () if np.ndim(leaf) == 2 else np.shape(leaf)[:1]
+        d_in, d_out = np.shape(leaf)[-2:]
+        if config.qkv_slices and parent.endswith("qkv"):
+            # per-slice factors over the [Wq|Wk|Wv] packing (d_out = 3C)
+            lora[parent] = {
+                s: _factors(jax.random.fold_in(sub, k), d_in, d_out // 3, lead)
+                for k, s in enumerate(config.qkv_slices)
+            }
         else:
-            depth, d_in, d_out = np.shape(leaf)
-            a = jax.random.normal(sub, (depth, d_in, config.r), jnp.float32)
-            b = jnp.zeros((depth, config.r, d_out), jnp.float32)
-        lora[parent] = {"a": a * (1.0 / np.sqrt(d_in)), "b": b}
+            lora[parent] = _factors(sub, d_in, d_out, lead)
     return lora
 
 
@@ -100,21 +136,57 @@ def apply_lora(
     if not lora_params:
         return base_params
 
+    def _ab(entry):
+        a, b = entry["a"], entry["b"]
+        if a.ndim == 3:  # per-layer factors for stacked kernels
+            return jnp.einsum("lir,lro->lio", a, b)
+        return a @ b
+
     def _merge(path, leaf):
         key = _path_str(path)
         if key.endswith("/kernel"):
             parent = key[: -len("/kernel")]
             if parent in lora_params:
-                a = lora_params[parent]["a"]
-                b = lora_params[parent]["b"]
-                if a.ndim == 3:  # per-layer factors for stacked kernels
-                    ab = jnp.einsum("lir,lro->lio", a, b)
+                entry = lora_params[parent]
+                if "a" in entry:
+                    ab = _ab(entry)
                 else:
-                    ab = a @ b
+                    # per-slice factors: assemble the delta in [Wq|Wk|Wv]
+                    # packing, then head-interleave to the fused layout —
+                    # identical to LoRA on separate q/k/v projections
+                    from mmlearn_tpu.ops.fused_attention import (
+                        interleave_qkv_heads,
+                    )
+
+                    c = leaf.shape[-1] // 3
+                    lead = leaf.shape[:-2] + leaf.shape[-2:-1]
+                    zero = jnp.zeros((*lead, c), jnp.float32)
+                    ab = interleave_qkv_heads(
+                        jnp.concatenate(
+                            [
+                                _ab(entry[s]) if s in entry else zero
+                                for s in ("q", "k", "v")
+                            ],
+                            axis=-1,
+                        ),
+                        config.qkv_num_heads,
+                    )
                 return leaf + (ab * config.scaling).astype(leaf.dtype)
         return leaf
 
     return jax.tree_util.tree_map_with_path(_merge, base_params)
+
+
+def modules_to_save_mask(params: Any, patterns: Sequence[str]) -> Any:
+    """Trainability mask for a LoRA'd (otherwise frozen) tower: leaves whose
+    path matches any pattern (``re.search``) stay trainable — peft's
+    ``modules_to_save`` semantics."""
+
+    def _trainable(path, _):
+        key = _path_str(path)
+        return any(re.search(p, key) for p in patterns)
+
+    return jax.tree_util.tree_map_with_path(_trainable, params)
 
 
 def freeze_layers_mask(

@@ -283,10 +283,20 @@ class ContrastivePretraining(TrainingTask):
         mask = jax.tree.map(lambda _: True, params)
         for key in params.get("encoders", {}):
             if key in self.peft_configs:
-                # LoRA: base encoder fully frozen, factors train
-                mask["encoders"][key] = jax.tree.map(
-                    lambda _: False, params["encoders"][key]
-                )
+                # LoRA: base encoder frozen (factors train); paths matching
+                # modules_to_save stay trainable (peft parity — e.g. the
+                # BIOSCAN configs' modules_to_save=["decoder"])
+                cfg = self.peft_configs[key]
+                if cfg.modules_to_save:
+                    from mmlearn_tpu.peft import modules_to_save_mask
+
+                    mask["encoders"][key] = modules_to_save_mask(
+                        params["encoders"][key], cfg.modules_to_save
+                    )
+                else:
+                    mask["encoders"][key] = jax.tree.map(
+                        lambda _: False, params["encoders"][key]
+                    )
             elif key in self.freeze_encoders:
                 mask["encoders"][key] = freeze_layers_mask(
                     params["encoders"][key], self.freeze_encoders[key]

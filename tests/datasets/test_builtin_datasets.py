@@ -109,11 +109,15 @@ def test_chexpert_manifest(tmp_path):
     _write_img(str(root / "imgs" / "a.jpg"))
     manifest = [{"image_path": "imgs/a.jpg", "label": [0.0] * 14}]
     root.mkdir(exist_ok=True)
-    (root / "chexpert_train.json").write_text(json.dumps(manifest))
+    (root / "chexpert_train_data.json").write_text(json.dumps(manifest))
     ds = CheXpert(root_dir=str(root), split="train", image_size=16)
     ex = ds[0]
     assert ex["rgb"].shape == (16, 16, 3)
     assert ex["rgb_target"].shape == (14,)
+    # valid split reads the labeler-less radiologist manifest
+    # (reference chexpert.py:76-80)
+    (root / "valid_data.json").write_text(json.dumps(manifest))
+    assert len(CheXpert(root_dir=str(root), split="valid", image_size=16)) == 1
 
 
 def test_nihcxr_manifest(tmp_path):
@@ -151,7 +155,7 @@ def test_builtin_datasets_preserve_uint8_contract(tmp_path):
     root = tmp_path / "chexpert"
     _write_img(str(root / "imgs" / "a.jpg"))
     root.mkdir(exist_ok=True)
-    (root / "chexpert_train.json").write_text(
+    (root / "chexpert_train_data.json").write_text(
         json.dumps([{"image_path": "imgs/a.jpg", "label": [0.0] * 14}])
     )
     ds_u8 = CheXpert(
@@ -172,13 +176,18 @@ def test_nyuv2(tmp_path):
     depth_dir.mkdir(parents=True)
     depth = np.full((40, 48), 2000, np.int32)  # 2 m in mm
     Image.fromarray(depth, mode="I").save(str(depth_dir / "0001.png"))
-    (root / "scene_class.json").write_text(json.dumps({"0001": "kitchen"}))
+    # reference on-disk protocol (nyuv2.py:117-128): {split}.txt id list +
+    # per-file scene_class/<id>.txt
+    (root / "train.txt").write_text("0001\n")
+    scene_dir = root / "train" / "scene_class"
+    scene_dir.mkdir(parents=True)
+    (scene_dir / "0001.txt").write_text("kitchen")
     ds = NYUv2(root_dir=str(root), split="train", image_size=16)
     ex = ds[0]
     assert ex["rgb"].shape == (16, 16, 3)
     assert ex["depth"].shape == (16, 16, 1)
-    assert ex["depth_target"] == 0
-    assert 0 < ex["depth"].max() <= 1.0  # normalized disparity
+    assert ex["depth_target"] == 1  # "kitchen" in the fixed 10-label list
+    assert abs(float(ex["depth"].max()) - 2.0) < 1e-5  # clipped meters
 
 
 def test_librispeech_layout_and_padding(tmp_path, monkeypatch):

@@ -98,6 +98,83 @@ def test_materialize_rank_split_is_disjoint_and_covering(tmp_path):
     assert sorted(seen) == list(range(10))
 
 
+class _CountingMapSource:
+    def __init__(self, n):
+        self.n = n
+        self.reads: list[int] = []
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        self.reads.append(i)
+        return _sample(i)
+
+
+def test_materialize_map_style_touches_only_owned_shards(tmp_path):
+    """VERDICT r4 item 6: multi-process materialize over a map-style source
+    must cost ~N/W per process — non-owned samples are never fetched."""
+    world = 2
+    all_shards = []
+    reads = []
+    for rank in range(world):
+        src = _CountingMapSource(10)
+        res = materialize(
+            src, str(tmp_path / f"r{rank}"), shard_size=3,
+            rank=rank, world_size=world,
+        )
+        assert res.num_samples == 10
+        reads.append(list(src.reads))
+        all_shards.extend(res.shards)
+    # shards: 0:[0..2] 1:[3..5] 2:[6..8] 3:[9]; rank0 owns 0,2 rank1 owns 1,3
+    assert reads[0] == [0, 1, 2, 6, 7, 8]
+    assert reads[1] == [3, 4, 5, 9]
+    # disjoint + covering
+    seen = []
+    for shard in all_shards:
+        for rec in read_tfrecord(shard):
+            seen.append(
+                int(decode_packed(parse_tf_example(rec))["example_index"])
+            )
+    assert sorted(seen) == list(range(10))
+    # byte-identical to the single-process iterator path (same shard
+    # boundaries, same packing)
+    full = materialize(
+        (_sample(i) for i in range(10)), str(tmp_path / "full"), shard_size=3
+    )
+    by_name = {s.rsplit("/", 1)[-1]: s for s in all_shards}
+    for shard in full.shards:
+        name = shard.rsplit("/", 1)[-1]
+        with open(shard, "rb") as a, open(by_name[name], "rb") as b:
+            assert a.read() == b.read(), name
+
+
+def test_materialize_samples_for_shard_factory(tmp_path):
+    """Seekable sources (HDF5 ranges, per-shard files) hand materialize a
+    factory; each process calls it only for its own shards."""
+    calls = []
+
+    def factory(shard_idx, start, stop):
+        calls.append((shard_idx, start, stop))
+        return (_sample(i) for i in range(start, stop))
+
+    res = materialize(
+        output_dir=str(tmp_path), shard_size=4, num_samples=10,
+        samples_for_shard=factory, rank=1, world_size=2,
+    )
+    assert calls == [(1, 4, 8)]  # shard 1 only (rank 1 of 2; shards 0,1,2)
+    assert [s.rsplit("/", 1)[-1] for s in res.shards] == ["train-00001.tfrecord"]
+    ids = [
+        int(decode_packed(parse_tf_example(rec))["example_index"])
+        for rec in read_tfrecord(res.shards[0])
+    ]
+    assert ids == [4, 5, 6, 7]
+    with pytest.raises(ValueError, match="num_samples"):
+        materialize(
+            output_dir=str(tmp_path / "x"), samples_for_shard=factory
+        )
+
+
 def test_packed_to_example_is_attr_dict():
     ex = packed_to_example(parse_tf_example(encode_packed(_sample(0))))
     assert ex.rgb.shape == (8, 8, 3)

@@ -1,0 +1,327 @@
+"""Differential tests: our loaders vs the REFERENCE dataset classes on a
+shared reference-layout fixture tree (VERDICT r4 item 2).
+
+The reference modules are loaded by file path with their unavailable deps
+(hydra_zen, lightning_utilities, torchvision, the mmlearn package) stubbed,
+so the arithmetic that runs is the reference's ACTUAL code
+(/root/reference/mmlearn/datasets/{nyuv2,sunrgbd,chexpert}.py) — not a
+transcription. Outputs must match: same sample count/order, identical
+labels, depth tensors to rtol 1e-5, and pixel-identical images (the
+reference reads RGB via cv2 as BGR and never swaps — ours decodes real
+RGB, so images match after a channel flip, pinned here)."""
+
+import importlib.util
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from PIL import Image
+
+from mmlearn_tpu.datasets.builtin.chexpert import CheXpert
+from mmlearn_tpu.datasets.builtin.nyuv2 import NYUv2
+from mmlearn_tpu.datasets.builtin.sunrgbd import SUNRGBD
+
+REFERENCE_DIR = "/root/reference/mmlearn/datasets"
+
+
+class _RefExample(dict):
+    pass
+
+
+class _Mod:
+    def __init__(self, name):
+        self.name = name
+        self.target = f"{name}_target"
+
+
+def _stub_modules():
+    """sys.modules stubs for the reference files' imports that are not
+    installed here. Only names the three dataset files actually touch."""
+    hydra_zen = types.ModuleType("hydra_zen")
+    hydra_zen.MISSING = "???"
+
+    def _store(*args, **kwargs):
+        def deco(cls):
+            return cls
+
+        return deco
+
+    hydra_zen.store = _store
+
+    lu = types.ModuleType("lightning_utilities")
+    lu_core = types.ModuleType("lightning_utilities.core")
+    lu_imports = types.ModuleType("lightning_utilities.core.imports")
+
+    class RequirementCache:
+        def __init__(self, *a, **k):
+            pass
+
+        def __bool__(self):
+            return True
+
+    lu_imports.RequirementCache = RequirementCache
+    lu.core = lu_core
+    lu_core.imports = lu_imports
+
+    tv = types.ModuleType("torchvision")
+    tv_t = types.ModuleType("torchvision.transforms")
+    tv_v2 = types.ModuleType("torchvision.transforms.v2")
+    tv_f = types.ModuleType("torchvision.transforms.v2.functional")
+
+    def to_pil_image(arr):
+        return Image.fromarray(np.asarray(arr))
+
+    tv_f.to_pil_image = to_pil_image
+    for name in ("CenterCrop", "Compose", "Resize", "ToTensor"):
+        setattr(tv_t, name, object)  # imported by chexpert.py, unused here
+
+    mm = types.ModuleType("mmlearn")
+    mm_const = types.ModuleType("mmlearn.constants")
+    mm_const.EXAMPLE_INDEX_KEY = "example_index"
+    mm_ds = types.ModuleType("mmlearn.datasets")
+    mm_core = types.ModuleType("mmlearn.datasets.core")
+    mm_core.Modalities = types.SimpleNamespace(
+        RGB=_Mod("rgb"), DEPTH=_Mod("depth")
+    )
+    mm_ex = types.ModuleType("mmlearn.datasets.core.example")
+    mm_ex.Example = _RefExample
+    mm_core.example = mm_ex
+
+    return {
+        "hydra_zen": hydra_zen,
+        "lightning_utilities": lu,
+        "lightning_utilities.core": lu_core,
+        "lightning_utilities.core.imports": lu_imports,
+        "torchvision": tv,
+        "torchvision.transforms": tv_t,
+        "torchvision.transforms.v2": tv_v2,
+        "torchvision.transforms.v2.functional": tv_f,
+        "mmlearn": mm,
+        "mmlearn.constants": mm_const,
+        "mmlearn.datasets": mm_ds,
+        "mmlearn.datasets.core": mm_core,
+        "mmlearn.datasets.core.example": mm_ex,
+    }
+
+
+@pytest.fixture(scope="module")
+def reference_datasets():
+    """Import the three reference dataset modules by path, stubs injected."""
+    stubs = _stub_modules()
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    mods = {}
+    try:
+        for name in ("nyuv2", "sunrgbd", "chexpert"):
+            spec = importlib.util.spec_from_file_location(
+                f"_reference_{name}", os.path.join(REFERENCE_DIR, f"{name}.py")
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            mods[name] = mod
+        yield mods
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _write_rgb(path, shape=(24, 30, 3), seed=0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.random.default_rng(seed).integers(0, 256, shape, np.uint8)
+    # PNG content regardless of extension (cv2 + PIL both sniff content):
+    # keeps the comparison lossless even for the .jpg SUNRGBD files
+    Image.fromarray(arr).save(path, format="PNG")
+    return arr
+
+
+def _write_depth(path, values, shape=(24, 30)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.zeros(shape, np.uint16)
+    arr[:] = np.asarray(values, np.uint16).reshape(-1, 1)[: shape[0] % 7 + 1].max()
+    # straddle the clip bounds: a few mm (clips at 0.01 m) and 60 m (clips
+    # at 50 m) plus ordinary values
+    flat = arr.reshape(-1)
+    flat[:3] = [5, 2000, 60000]
+    Image.fromarray(arr, mode="I;16").save(path)
+    return arr
+
+
+def _write_text(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+# ---------------------------------------------------------------- NYUv2 ----
+@pytest.fixture(scope="module")
+def nyu_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nyu_ref")
+    ids = {"train": ["0001", "0002"], "test": ["0003", "0004", "0005"]}
+    scenes = {
+        "0001": "kitchen",
+        "0002": "living_room",  # underscore → space
+        "0003": "office",
+        "0004": "weird_place",  # unknown: filtered from the test split
+        "0005": "bookstore",
+    }
+    for split, file_ids in ids.items():
+        _write_text(
+            str(root / f"{split}.txt"), "".join(f"{i}\n" for i in file_ids)
+        )
+        for k, fid in enumerate(file_ids):
+            _write_rgb(str(root / split / "rgb" / f"{fid}.png"), seed=hash(fid) % 97)
+            _write_depth(str(root / split / "depth" / f"{fid}.png"), [5, 900 * (k + 1)])
+            _write_text(
+                str(root / split / "scene_class" / f"{fid}.txt"), scenes[fid]
+            )
+    return str(root)
+
+
+@pytest.mark.parametrize("split", ["train", "test"])
+def test_nyuv2_matches_reference(reference_datasets, nyu_root, split):
+    ref = reference_datasets["nyuv2"].NYUv2Dataset(
+        root_dir=nyu_root, split=split
+    )
+    ours = NYUv2(root_dir=nyu_root, split=split, image_size=None)
+    assert len(ours) == len(ref)
+    if split == "test":
+        assert len(ours) == 2  # the unknown-scene sample was filtered
+    for i in range(len(ours)):
+        r, o = ref[i], ours[i]
+        assert o["example_index"] == r["example_index"] == i
+        assert int(o["depth_target"]) == int(r["depth_target"])
+        np.testing.assert_allclose(
+            np.asarray(o["depth"]), np.asarray(r["depth"]), rtol=1e-5
+        )
+        # reference rgb is the raw cv2 BGR array; ours is real RGB
+        np.testing.assert_array_equal(
+            np.asarray(o["rgb"])[..., ::-1], np.asarray(r["rgb"])
+        )
+
+
+def test_nyuv2_labels_match_reference_table(reference_datasets):
+    from mmlearn_tpu.datasets.builtin.nyuv2 import NYUV2_LABELS
+
+    assert list(NYUV2_LABELS) == reference_datasets["nyuv2"]._LABELS
+
+
+# -------------------------------------------------------------- SUNRGBD ----
+@pytest.fixture(scope="module")
+def sunrgbd_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sunrgbd_ref")
+    ids = {
+        "train": ["kv1/roomA/0001", "realsense/roomB/0002"],
+        "test": ["kv2/roomC/0003", "xtion/roomD/0004"],
+    }
+    scenes = {
+        "0001": "kitchen",
+        "0002": "home_office",
+        "0003": "nonexistent_scene",  # unknown: filtered from the test split
+        "0004": "library",
+    }
+    focals = {"0001": 518.85, "0002": 620.0, "0003": 530.1, "0004": 570.3}
+    for split, file_ids in ids.items():
+        _write_text(
+            str(root / f"{split}.txt"), "".join(f"{i}\n" for i in file_ids)
+        )
+        for k, fid in enumerate(file_ids):
+            stem = fid.rsplit("/", 1)[1]
+            _write_rgb(str(root / split / "rgb" / f"{fid}.jpg"), seed=k + 11)
+            _write_depth(str(root / split / "depth" / f"{fid}.png"), [5, 1500 * (k + 1)])
+            _write_text(
+                str(root / split / "intrinsics" / f"{fid}.txt"),
+                f"{focals[stem]} 0.0 0.0\n0.0 {focals[stem]} 0.0\n",
+            )
+            _write_text(
+                str(root / split / "scene_class" / f"{fid}.txt"), scenes[stem]
+            )
+    return str(root)
+
+
+@pytest.mark.parametrize("split", ["train", "test"])
+def test_sunrgbd_matches_reference(reference_datasets, sunrgbd_root, split):
+    ref = reference_datasets["sunrgbd"].SUNRGBDDataset(
+        root_dir=sunrgbd_root, split=split
+    )
+    ours = SUNRGBD(root_dir=sunrgbd_root, split=split, image_size=None)
+    assert len(ours) == len(ref)
+    if split == "test":
+        assert len(ours) == 1  # the unknown-scene sample was filtered
+    for i in range(len(ours)):
+        r, o = ref[i], ours[i]
+        assert o["example_index"] == r["example_index"] == i
+        assert int(o["depth_target"]) == int(r["depth_target"])
+        # sensor baseline + per-file focal length + depth/1000 +
+        # clip[0.01, 50] must reproduce the reference disparity exactly
+        np.testing.assert_allclose(
+            np.asarray(o["depth"]), np.asarray(r["depth"]), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o["rgb"])[..., ::-1], np.asarray(r["rgb"])
+        )
+
+
+def test_sunrgbd_sensor_table_matches_reference(reference_datasets):
+    from mmlearn_tpu.datasets.builtin.sunrgbd import (
+        SENSOR_TO_PARAMS,
+        SUNRGBD_LABELS,
+    )
+
+    assert SENSOR_TO_PARAMS == reference_datasets["sunrgbd"].sensor_to_params
+    assert list(SUNRGBD_LABELS) == reference_datasets["sunrgbd"]._LABELS
+
+
+# ------------------------------------------------------------- CheXpert ----
+@pytest.fixture(scope="module")
+def chexpert_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("chexpert_ref")
+    rng = np.random.default_rng(3)
+    entries = {"chexbert_train_data.json": [], "valid_data.json": []}
+    for mf, n in (("chexbert_train_data.json", 3), ("valid_data.json", 2)):
+        for i in range(n):
+            img_path = str(root / "imgs" / mf.split("_")[0] / f"{i}.png")
+            _write_rgb(img_path, seed=i + 31)
+            entries[mf].append(
+                {
+                    # absolute paths: the reference opens them verbatim
+                    "image_path": img_path,
+                    "label": rng.integers(0, 2, 14).astype(float).tolist(),
+                    "qid": f"q{mf[:2]}{i}",
+                }
+            )
+        (root / mf).write_text(json.dumps(entries[mf]))
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "split,labeler", [("train", "chexbert"), ("valid", None)]
+)
+def test_chexpert_matches_reference(
+    reference_datasets, chexpert_root, split, labeler
+):
+    arr = lambda img: np.asarray(img)  # noqa: E731 - shared identity transform
+    ref = reference_datasets["chexpert"].CheXpert(
+        root_dir=chexpert_root, split=split, labeler=labeler, transform=arr
+    )
+    ours = CheXpert(
+        root_dir=chexpert_root, split=split, labeler=labeler, transform=arr
+    )
+    assert len(ours) == len(ref)
+    for i in range(len(ours)):
+        r, o = ref[i], ours[i]
+        assert o["example_index"] == r["example_index"] == i
+        assert o["qid"] == r["qid"]
+        np.testing.assert_allclose(
+            np.asarray(o["rgb_target"]), np.asarray(r["rgb_target"])
+        )
+        # both open with PIL .convert("RGB"): byte-identical pixels
+        np.testing.assert_array_equal(np.asarray(o["rgb"]), np.asarray(r["rgb"]))

@@ -60,6 +60,71 @@ def test_lora_merge_changes_output(vit_params):
     assert float(jnp.abs(out0 - out1).max()) > 1e-4
 
 
+def test_lora_qkv_slices_match_separate_projections(vit_params):
+    """qkv_slices=("q","v") on a fused head-interleaved kernel must equal
+    LoRA applied to the separate torch-style q/v projections (the
+    reference's peft target_modules=["query","value"], BIOSCAN configs)."""
+    from mmlearn_tpu.ops.fused_attention import (
+        interleave_qkv_heads,
+        uninterleave_qkv_heads,
+    )
+
+    _, params = vit_params
+    heads, r, alpha = 4, 4, 8.0
+    cfg = LoRAConfig(
+        r=r, lora_alpha=alpha, target_patterns=(r".*attn/qkv$",),
+        qkv_slices=("q", "v"), qkv_num_heads=heads,
+    )
+    lora = init_lora_params(params, cfg, jax.random.key(1))
+    key = next(iter(lora))
+    assert set(lora[key]) == {"q", "v"}
+    rng = np.random.default_rng(0)
+    for entry in lora.values():
+        for s in entry.values():
+            s["b"] = jnp.asarray(
+                rng.standard_normal(s["b"].shape), jnp.float32
+            )
+    merged = apply_lora(params, lora, cfg)
+
+    # oracle: un-interleave to [Wq|Wk|Wv] packing, add per-slice deltas to
+    # the q and v thirds only, re-interleave
+    kernel = None
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        p = "/".join(str(getattr(x, "key", x)) for x in path)
+        if p == key + "/kernel":
+            kernel = np.asarray(leaf)
+    packed = uninterleave_qkv_heads(kernel, heads)
+    c = packed.shape[-1] // 3
+    packed = np.array(packed)
+    packed[:, :c] += np.asarray(
+        lora[key]["q"]["a"] @ lora[key]["q"]["b"]
+    ) * (alpha / r)
+    packed[:, 2 * c:] += np.asarray(
+        lora[key]["v"]["a"] @ lora[key]["v"]["b"]
+    ) * (alpha / r)
+    expect = interleave_qkv_heads(packed, heads)
+
+    got = None
+    for path, leaf in jax.tree_util.tree_flatten_with_path(merged)[0]:
+        p = "/".join(str(getattr(x, "key", x)) for x in path)
+        if p == key + "/kernel":
+            got = np.asarray(leaf)
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
+    # the k third is untouched
+    got_packed = uninterleave_qkv_heads(got, heads)
+    np.testing.assert_array_equal(
+        got_packed[:, c:2 * c], np.asarray(
+            uninterleave_qkv_heads(kernel, heads))[:, c:2 * c]
+    )
+
+
+def test_lora_qkv_slices_validation():
+    with pytest.raises(ValueError, match="qkv_num_heads"):
+        LoRAConfig(qkv_slices=("q", "v"))
+    with pytest.raises(ValueError, match="q/k/v"):
+        LoRAConfig(qkv_slices=("query",), qkv_num_heads=4)
+
+
 def test_freeze_layers_specs(vit_params):
     _, params = vit_params
 

@@ -260,11 +260,87 @@ def scenario_ckpt(outdir: str, pid: int, nproc: int) -> None:
     )
 
 
+def _sgd_task():
+    """SGD variant for cross-topology parity (linear in the gradient — see
+    scenario_fit's note on why AdamW makes rounding unassertable)."""
+    import functools
+
+    import optax
+
+    task = _tiny_task()
+    task.optimizer = functools.partial(optax.sgd, momentum=0.9)
+    return task
+
+
+def scenario_reshard_save(outdir: str, pid: int, nproc: int) -> None:
+    """First half of the WORLD-SIZE-CHANGE resume scenario (VERDICT r4
+    item 7): fit 2 steps under THIS topology and save; the other topology
+    restores it (the torch reference gets cross-world-size restore free
+    from process-count-agnostic .ckpt files — here Orbax must do it)."""
+    import numpy as np
+
+    from mmlearn_tpu.trainer import Trainer
+    from mmlearn_tpu.trainer.callbacks import ModelCheckpoint
+
+    trainer = Trainer(
+        max_steps=2,
+        log_every_n_steps=1,
+        mesh_shape={"data": 8},
+        default_root_dir=os.path.join(outdir, f"save_root_p{pid}"),
+        callbacks=[
+            ModelCheckpoint(
+                dirpath=os.path.join(outdir, "ckpt"),
+                save_last=True,
+                async_save=False,
+            )
+        ],
+        seed=0,
+    )
+    state = trainer.fit(_sgd_task(), _train_loader(nproc))
+    np.savez(
+        os.path.join(outdir, f"reshard_save_p{pid}.npz"),
+        params=_flat_params(state.params),
+    )
+
+
+def scenario_reshard_resume(outdir: str, pid: int, nproc: int) -> None:
+    """Second half: restore the checkpoint written by the OTHER topology,
+    continue to step 4, and compare against an uninterrupted 4-step fit in
+    this topology (same seed/data order → identical up to reduction-order
+    rounding)."""
+    import numpy as np
+
+    from mmlearn_tpu.trainer import Trainer
+
+    def _trainer():
+        return Trainer(
+            max_steps=4,
+            log_every_n_steps=1,
+            mesh_shape={"data": 8},
+            default_root_dir=os.path.join(outdir, f"resume_root_p{pid}"),
+            seed=0,
+        )
+
+    resumed = _trainer().fit(
+        _sgd_task(), _train_loader(nproc),
+        ckpt_path=os.path.join(outdir, "ckpt"),
+    )
+    assert int(resumed.step) == 4, int(resumed.step)
+    straight = _trainer().fit(_sgd_task(), _train_loader(nproc))
+    np.savez(
+        os.path.join(outdir, f"reshard_resume_p{pid}.npz"),
+        resumed=_flat_params(resumed.params),
+        straight=_flat_params(straight.params),
+    )
+
+
 SCENARIOS = {
     "fit": scenario_fit,
     "eval": scenario_eval,
     "export": scenario_export,
     "ckpt": scenario_ckpt,
+    "reshard_save": scenario_reshard_save,
+    "reshard_resume": scenario_reshard_resume,
 }
 
 

@@ -142,3 +142,33 @@ def test_checkpoint_resume_two_processes(tmp_path):
         np.testing.assert_allclose(
             z["straight"], z["resumed"], rtol=1e-6, atol=1e-8
         )
+
+
+@pytest.mark.slow
+def test_world_size_change_resume(tmp_path):
+    """VERDICT r4 item 7: an Orbax checkpoint written by a 2-process run
+    restores into a 1-process run AND vice versa, continuing training to
+    the same params as an uninterrupted fit (the torch reference gets this
+    free from process-count-agnostic .ckpt files)."""
+    # 2-process save → 1-process resume
+    a = str(tmp_path / "two_to_one")
+    os.makedirs(a)
+    _run("reshard_save", 2, a)
+    _run("reshard_resume", 1, a)
+    r = np.load(os.path.join(a, "reshard_resume_p0.npz"))
+    np.testing.assert_allclose(
+        r["resumed"], r["straight"], rtol=1e-5, atol=1e-6
+    )
+
+    # 1-process save → 2-process resume
+    b = str(tmp_path / "one_to_two")
+    os.makedirs(b)
+    _run("reshard_save", 1, b)
+    _run("reshard_resume", 2, b)
+    r0 = np.load(os.path.join(b, "reshard_resume_p0.npz"))
+    r1 = np.load(os.path.join(b, "reshard_resume_p1.npz"))
+    # both processes observe the identical restored-and-trained state
+    np.testing.assert_array_equal(r0["resumed"], r1["resumed"])
+    np.testing.assert_allclose(
+        r0["resumed"], r0["straight"], rtol=1e-5, atol=1e-6
+    )
