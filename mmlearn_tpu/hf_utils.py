@@ -464,6 +464,42 @@ def convert_timm_vit(
                 "fc2": _linear(sd, f"{lp}.mlp.fc2"),
             },
         }
+    if "head.weight" in sd:
+        # TimmViT's projection head (timm num_classes=projection_dim →
+        # biased Linear named ``head``, reference vision.py:33-176) → our
+        # ``proj`` (build the module with proj_bias=True)
+        params["proj"] = _linear(sd, "head")
+    return params
+
+
+def convert_bert_mlm(
+    state_dict: Mapping[str, Any],
+    depth: int,
+    prefix: str = "",
+    num_heads: Optional[int] = None,
+) -> dict:
+    """HF ``BertForMaskedLM``-shaped tower → BarcodeBERT-style params.
+
+    Target layout is ``projects.bioscan_clip.encoders.BarcodeBERT``: the
+    ``bert`` trunk (via :func:`convert_bert`), the MLM prediction-head
+    ``transform`` dense + ``transform_norm``, and the ``decoder`` projection
+    (the reference swaps the MLM decoder for a ``Linear(projection_dim)`` —
+    reference projects/bioscan_clip/encoders.py:72-75)."""
+    p = f"{prefix}." if prefix else ""
+    params: dict[str, Any] = {
+        "bert": convert_bert(
+            state_dict, depth, prefix=f"{p}bert", num_heads=num_heads
+        )
+    }
+    if f"{p}cls.predictions.transform.dense.weight" in state_dict:
+        params["transform"] = _linear(
+            state_dict, f"{p}cls.predictions.transform.dense"
+        )
+        params["transform_norm"] = _layernorm(
+            state_dict, f"{p}cls.predictions.transform.LayerNorm"
+        )
+    if f"{p}cls.predictions.decoder.weight" in state_dict:
+        params["decoder"] = _linear(state_dict, f"{p}cls.predictions.decoder")
     return params
 
 

@@ -37,10 +37,24 @@ key signature                                     converter
   (``HFCLIPVisionEncoder`` stores the unwrapped
   ``model.vision_model`` — reference clip.py:194)
 ``model.embeddings.word_embeddings.weight``       convert_bert
+``model.bert.embeddings.word_embeddings.weight``  convert_bert_mlm
+  (BarcodeBERT-style ``BertForMaskedLM`` tower —
+  reference projects/bioscan_clip/encoders.py)
 ``model.patch_embed.proj.weight``                 convert_timm_vit
 ``patch_embed.proj.weight``                       convert_ijepa_vit
 ``predictor_embed.weight``                        convert_ijepa_predictor
 ================================================  =========================
+
+`peft`-wrapped encoders (reference ``_wrap_peft_model``, hf_utils.py:80-94)
+are unwrapped before detection: the base tower converts normally (with the
+TRAINED ``modules_to_save`` copies), and the LoRA ``A``/``B`` factors land in
+``overlay["lora"][<encoder>]`` in :mod:`mmlearn_tpu.peft`'s layout —
+per-slice entries for per-projection targets (``["query", "value"]``),
+head-interleaved full factors for fused-qkv targets (timm's ``["qkv"]``).
+The target task must be built with the matching ``peft_configs`` so
+``init_params`` creates the factor slots the overlay fills. LoRA import
+requires the loop block layout (``scan_blocks=False``) — the factor dict is
+keyed by per-layer paths.
 
 Blocks come back unstacked (``blocks_0..blocks_{d-1}``);
 :func:`overlay_params` re-stacks them when the target tree uses the
@@ -101,6 +115,167 @@ def _count_blocks(sd: Mapping[str, Any], pattern: str) -> int:
     return max(idx) + 1 if idx else 0
 
 
+def _unwrap_peft_state_dict(
+    sub: Mapping[str, Any],
+) -> tuple[dict, dict[str, dict[str, Any]]]:
+    """Undo `peft` wrapping in one encoder's stripped state dict.
+
+    The reference wraps encoders with ``peft.get_peft_model`` (reference
+    hf_utils.py:80-94; LoRA configs in
+    projects/bioscan_clip/configs/__init__.py:24-64), which rewrites the
+    state-dict namespace: a ``base_model.model.`` prefix on the wrapped
+    tower, target Linears renamed to ``<mod>.base_layer.*`` with sibling
+    ``<mod>.lora_A.default.weight`` / ``<mod>.lora_B.default.weight``
+    factors, and ``modules_to_save`` modules duplicated as
+    ``<mod>.original_module.*`` (frozen) + ``<mod>.modules_to_save.default.*``
+    (trained). Returns ``(clean_sd, lora_raw)``: ``clean_sd`` uses the
+    unwrapped module names (with the TRAINED copy of modules_to_save), and
+    ``lora_raw`` maps each target module's clean path to its
+    ``{"A": (r, in), "B": (out, r)}`` tensors.
+    """
+    clean: dict[str, Any] = {}
+    lora: dict[str, dict[str, Any]] = {}
+    for key, value in sub.items():
+        key = key.replace("base_model.model.", "", 1)
+        if ".original_module." in key or key.startswith("original_module."):
+            continue
+        key = key.replace(".modules_to_save.default", "").replace(
+            "modules_to_save.default.", ""
+        )
+        m = re.match(r"(.*)\.lora_([AB])\.[^.]+\.weight$", key)
+        if m is not None:
+            lora.setdefault(m.group(1), {})[m.group(2)] = value
+            continue
+        if ".lora_" in key:  # e.g. lora embedding / dora variants
+            raise ValueError(f"unsupported peft parameter {key!r}")
+        key = key.replace(".base_layer.", ".")
+        clean[key] = value
+    return clean, lora
+
+
+def _is_peft_state_dict(sub: Mapping[str, Any]) -> bool:
+    return any(
+        "base_model.model." in k or ".lora_A." in k or ".lora_B." in k
+        for k in sub
+    )
+
+
+#: torch attention-projection module name → fused-qkv slice letter
+_QKV_SLICES = {
+    "query": "q", "key": "k", "value": "v",
+    "q_proj": "q", "k_proj": "k", "v_proj": "v",
+}
+
+#: per converter family: (regex over the torch module path → our parent path
+#: template). ``{i}`` is the block index; a ``slice`` group marks a
+#: per-projection LoRA target on our fused qkv kernel.
+_LORA_PATH_TABLES: dict[str, list[tuple[str, str]]] = {
+    "bert": [
+        (r"model\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.(?P<slice>query|key|value)$",
+         "blocks_{i}/attn/qkv"),
+        (r"model\.encoder\.layer\.(?P<i>\d+)\.attention\.output\.dense$",
+         "blocks_{i}/attn/proj"),
+        (r"model\.encoder\.layer\.(?P<i>\d+)\.intermediate\.dense$",
+         "blocks_{i}/mlp/fc1"),
+        (r"model\.encoder\.layer\.(?P<i>\d+)\.output\.dense$",
+         "blocks_{i}/mlp/fc2"),
+    ],
+    "bert_mlm": [
+        (r"model\.bert\.encoder\.layer\.(?P<i>\d+)\.attention\.self\.(?P<slice>query|key|value)$",
+         "bert/blocks_{i}/attn/qkv"),
+        (r"model\.bert\.encoder\.layer\.(?P<i>\d+)\.attention\.output\.dense$",
+         "bert/blocks_{i}/attn/proj"),
+        (r"model\.bert\.encoder\.layer\.(?P<i>\d+)\.intermediate\.dense$",
+         "bert/blocks_{i}/mlp/fc1"),
+        (r"model\.bert\.encoder\.layer\.(?P<i>\d+)\.output\.dense$",
+         "bert/blocks_{i}/mlp/fc2"),
+    ],
+    "timm_vit": [
+        (r"model\.blocks\.(?P<i>\d+)\.attn\.qkv$", "blocks_{i}/attn/qkv"),
+        (r"model\.blocks\.(?P<i>\d+)\.attn\.proj$", "blocks_{i}/attn/proj"),
+        (r"model\.blocks\.(?P<i>\d+)\.mlp\.fc1$", "blocks_{i}/mlp/fc1"),
+        (r"model\.blocks\.(?P<i>\d+)\.mlp\.fc2$", "blocks_{i}/mlp/fc2"),
+    ],
+    "clip_text": [
+        (r"model\.(?:text_model\.)?encoder\.layers\.(?P<i>\d+)\.self_attn\.(?P<slice>q_proj|k_proj|v_proj)$",
+         "blocks_{i}/attn/qkv"),
+        (r"model\.(?:text_model\.)?encoder\.layers\.(?P<i>\d+)\.self_attn\.out_proj$",
+         "blocks_{i}/attn/proj"),
+        (r"model\.(?:text_model\.)?encoder\.layers\.(?P<i>\d+)\.mlp\.fc1$",
+         "blocks_{i}/mlp/fc1"),
+        (r"model\.(?:text_model\.)?encoder\.layers\.(?P<i>\d+)\.mlp\.fc2$",
+         "blocks_{i}/mlp/fc2"),
+    ],
+}
+_LORA_PATH_TABLES["clip_vision"] = [
+    (pat.replace("text_model", "vision_model"), tmpl)
+    for pat, tmpl in _LORA_PATH_TABLES["clip_text"]
+]
+
+
+def _convert_lora_factors(
+    family: str,
+    lora_raw: Mapping[str, Mapping[str, Any]],
+    num_heads: Optional[int],
+) -> dict:
+    """peft LoRA factors → our ``params["lora"][<encoder>]`` layout.
+
+    torch LoRA adds ``B @ A`` to the (out, in) weight, i.e. ``A.T @ B.T``
+    to our (in, out) kernel — so ``a = A.T``, ``b = B.T``
+    (mmlearn_tpu.peft.apply_lora merges ``a @ b``; scaling ``alpha/r`` is
+    applied at merge time on both sides, so factors travel unscaled).
+    Per-projection targets (peft ``target_modules=["query", "value"]``)
+    become slice entries on our fused qkv kernel; a fused-qkv target (timm's
+    ``["qkv"]``) needs its ``b`` head-interleaved exactly like the base
+    kernel conversion.
+    """
+    table = _LORA_PATH_TABLES.get(family)
+    if table is None:
+        raise ValueError(
+            f"LoRA import not supported for encoder family {family!r}"
+        )
+    out: dict[str, dict] = {}
+    for mod_path, ab in lora_raw.items():
+        if set(ab) != {"A", "B"}:
+            raise ValueError(
+                f"incomplete LoRA factor pair for {mod_path!r}: {sorted(ab)}"
+            )
+        for pattern, template in table:
+            m = re.match(pattern, mod_path)
+            if m is None:
+                continue
+            parent = template.format(i=m.group("i"))
+            a = _np(ab["A"]).T
+            b = _np(ab["B"]).T
+            slice_name = m.groupdict().get("slice")
+            if slice_name is not None:
+                out.setdefault(parent, {})[_QKV_SLICES[slice_name]] = {
+                    "a": a, "b": b,
+                }
+            elif parent.endswith("/attn/qkv"):
+                if num_heads is None:
+                    raise ValueError(
+                        "fused-qkv LoRA import needs num_heads (the fused "
+                        "kernel's head-interleaved packing)"
+                    )
+                from mmlearn_tpu.ops.fused_attention import (
+                    interleave_qkv_heads,
+                )
+
+                out[parent] = {
+                    "a": a, "b": interleave_qkv_heads(b, num_heads),
+                }
+            else:
+                out[parent] = {"a": a, "b": b}
+            break
+        else:
+            raise ValueError(
+                f"no LoRA path mapping for module {mod_path!r} "
+                f"(family {family!r})"
+            )
+    return out
+
+
 def _detect_encoder_converter(
     sub: Mapping[str, Any],
     num_heads: Optional[int] = None,
@@ -139,6 +314,13 @@ def _detect_encoder_converter(
         return "clip_vision", lambda sd: H.convert_clip_vision(
             sd, depth, prefix="model", projection_key=None,
             num_heads=num_heads,
+        )
+    if "model.bert.embeddings.word_embeddings.weight" in sub:
+        # BarcodeBERT-style BertForMaskedLM tower (reference
+        # projects/bioscan_clip/encoders.py:14-95 stores the full MLM model)
+        depth = _count_blocks(sub, r"model\.bert\.encoder\.layer\.(\d+)\.")
+        return "bert_mlm", lambda sd: H.convert_bert_mlm(
+            sd, depth, prefix="model", num_heads=num_heads
         )
     if "model.embeddings.word_embeddings.weight" in sub:
         depth = _count_blocks(sub, r"model\.encoder\.layer\.(\d+)\.")
@@ -235,13 +417,25 @@ def convert_reference_state_dict(
     if "encoders" in top:  # ContrastivePretraining layout
         enc_keys = {k.split(".")[1] for k in sd if k.startswith("encoders.")}
         overlay["encoders"] = {}
+        lora_overlay: dict[str, dict] = {}
         for key in sorted(enc_keys):
             sub = _strip(sd, f"encoders.{key}.")
+            lora_raw: dict[str, dict[str, Any]] = {}
+            if _is_peft_state_dict(sub):
+                sub, lora_raw = _unwrap_peft_state_dict(sub)
             conv = (converters or {}).get(key)
             if conv is None:
                 name, conv = _detect_encoder_converter(sub, _heads_for(key))
                 logger.info("encoders.%s: converting as %s", key, name)
+            elif lora_raw:
+                name, _ = _detect_encoder_converter(sub, _heads_for(key))
             overlay["encoders"][key] = conv(sub)
+            if lora_raw:
+                lora_overlay[key] = _convert_lora_factors(
+                    name, lora_raw, _heads_for(key)
+                )
+        if lora_overlay:
+            overlay["lora"] = lora_overlay
         head_keys = {k.split(".")[1] for k in sd if k.startswith("heads.")}
         if head_keys:
             overlay["heads"] = {

@@ -91,6 +91,11 @@ class VisionTransformer(nn.Module):
     #: per token); pooler_output is then None — consumers pool downstream
     proj_all_tokens: bool = False
     proj_dim: Optional[int] = None
+    #: bias on the proj head: False for CLIP-style projections (clip.py:241),
+    #: True for a timm classifier-head projection (TimmViT passes
+    #: num_classes=projection_dim to timm, whose head is a biased Linear —
+    #: reference vision.py:33-176)
+    proj_bias: bool = False
     patch_drop_rate: float = 0.0
     patch_embed_bias: bool = True
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
@@ -242,7 +247,7 @@ class VisionTransformer(nn.Module):
         if self.proj_all_tokens:
             if self.proj_dim is not None:
                 x = nn.Dense(
-                    self.proj_dim, use_bias=False, dtype=self.dtype,
+                    self.proj_dim, use_bias=self.proj_bias, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="proj",
                 )(x)
             return EncoderOutput(
@@ -262,7 +267,7 @@ class VisionTransformer(nn.Module):
         if pooled is not None and self.proj_dim is not None:
             pooled = nn.Dense(
                 self.proj_dim,
-                use_bias=False,
+                use_bias=self.proj_bias,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="proj",

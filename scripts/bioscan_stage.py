@@ -189,9 +189,13 @@ SMOKE_OVERRIDES = [
     "task.encoders.text.embed_dim=32",
     "task.encoders.text.depth=1",
     "task.encoders.text.num_heads=4",
-    "task.encoders.text.proj_dim=16",
     "task.encoders.text.max_length=16",
     "task.encoders.dna.max_length=256",
+    "task.heads.text.out_dim=16",
+    # qkv_num_heads must track the shrunken head counts (the fused-kernel
+    # packing permutation the per-slice LoRA factors assemble through)
+    "task.peft_configs.text.qkv_num_heads=4",
+    "task.peft_configs.dna.qkv_num_heads=4",
     # '+' prefix: image_size is a dataset-constructor default the experiment
     # YAML omits, so it is a NEW key in the composed config (Hydra semantics)
     "+datasets.train.image_size=64",

@@ -1135,15 +1135,513 @@ def record_lightning_ckpts() -> None:
     )
 
 
+# BIOSCAN trimodal trajectory hyperparameters shared by recorder and test
+# (tiny versions of the reference bioscan_1m.yaml towers: timm-ViT-style rgb,
+# BERT+MeanPooler text, BarcodeBERT dna — reference
+# projects/bioscan_clip/configs/__init__.py:24-64)
+BIOSCAN_TRAJ = dict(
+    img=32, patch=8, vit_dim=48, vit_depth=2, vit_heads=4, vit_mlp=4.0,
+    txt_vocab=99, txt_dim=48, txt_depth=2, txt_heads=4, txt_inter=192,
+    txt_len=12, txt_max_pos=64,
+    dna_vocab=19, dna_dim=48, dna_depth=2, dna_heads=4, dna_inter=192,
+    dna_len=16, dna_max_pos=64,
+    emb=32, batch=16, n_batches=6, steps=20,
+    lr=1e-3, eps=1e-6, weight_decay=0.01,
+    pct_start=0.3, div_factor=25.0, final_div_factor=1e4,
+    lora_r=4, lora_alpha=8,
+    n_keys=24, n_queries=12,
+)
+
+
+def make_bioscan_trajectory_data():
+    """Fixed synthetic trimodal batches, identical for both frameworks.
+
+    Images are NCHW float (transpose for JAX); DNA rows lead with the
+    k-mer tokenizer's CLS id (1); text ids avoid 0 (BERT pad)."""
+    rng = np.random.default_rng(97531)
+    c = BIOSCAN_TRAJ
+    imgs = rng.standard_normal(
+        (c["n_batches"], c["batch"], 3, c["img"], c["img"])
+    ).astype(np.float32)
+    txt = rng.integers(
+        1, c["txt_vocab"], (c["n_batches"], c["batch"], c["txt_len"])
+    ).astype(np.int64)
+    dna = rng.integers(
+        3, c["dna_vocab"], (c["n_batches"], c["batch"], c["dna_len"])
+    ).astype(np.int64)
+    dna[..., 0] = 1  # [CLS] (dna_tokenizer vocab: MASK=0, CLS=1, UNK=2)
+    ex_ids = np.stack(
+        [np.zeros(c["batch"], np.int64), np.arange(c["batch"], dtype=np.int64)],
+        axis=1,
+    )
+    return imgs, txt, dna, ex_ids
+
+
+def make_bioscan_eval_data():
+    """Synthetic eval sets for the taxonomic-classification parity check.
+
+    Three splits mirroring the reference BIOSCAN protocol: ``all_keys`` (the
+    kNN gallery), ``val_seen`` (labels drawn from gallery labels), and
+    ``val_unseen`` (novel genus/species, seen order/family). Returns
+    ``{split: {"rgb": ..., "text": ..., "dna": ..., "labels": [...]}}``."""
+    rng = np.random.default_rng(13579)
+    c = BIOSCAN_TRAJ
+
+    def _inputs(n):
+        img = rng.standard_normal((n, 3, c["img"], c["img"])).astype(np.float32)
+        txt = rng.integers(1, c["txt_vocab"], (n, c["txt_len"])).astype(np.int64)
+        dna = rng.integers(3, c["dna_vocab"], (n, c["dna_len"])).astype(np.int64)
+        dna[:, 0] = 1
+        return img, txt, dna
+
+    nk, nq = c["n_keys"], c["n_queries"]
+    key_labels = [
+        {
+            "order": f"order{i % 2}",
+            "family": f"family{i % 4}",
+            "genus": f"genus{i % 6}",
+            "species": f"species{i % 8}",
+        }
+        for i in range(nk)
+    ]
+    seen_labels = [dict(key_labels[(2 * j) % nk]) for j in range(nq)]
+    unseen_labels = [
+        {
+            "order": f"order{j % 2}",
+            "family": f"family{j % 4}",
+            "genus": f"novel_genus{j}",
+            "species": f"novel_species{j}",
+        }
+        for j in range(nq)
+    ]
+    splits = {}
+    for split, n, labels in (
+        ("all_keys", nk, key_labels),
+        ("val_seen", nq, seen_labels),
+        ("val_unseen", nq, unseen_labels),
+    ):
+        img, txt, dna = _inputs(n)
+        splits[split] = {"rgb": img, "text": txt, "dna": dna, "labels": labels}
+    return splits
+
+
+def load_reference_bioscan():
+    """Load the reference's real BIOSCAN project modules (BarcodeBERT +
+    TaxonomicClassification) with peft live and faiss/conf stubbed."""
+    mods = load_reference_tasks()
+    M = mods.modalities.Modalities
+    if not M.has_modality("dna"):
+        # the reference registers this at projects/bioscan_clip/dataset.py:19
+        M.register_modality("dna")
+
+    class _IndexFlatIP:
+        """faiss.IndexFlatIP stand-in: exact inner-product top-k (numpy)."""
+
+        def __init__(self, d):
+            self.d = d
+            self.vecs = None
+
+        def add(self, x):
+            self.vecs = np.asarray(x)
+
+        def search(self, q, k):
+            sims = np.asarray(q) @ self.vecs.T
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            return np.take_along_axis(sims, idx, axis=1), idx
+
+    stub("faiss", {"IndexFlatIP": _IndexFlatIP})
+    sys.modules["lightning.pytorch.utilities"].move_data_to_device = (
+        lambda batch, device: batch
+    )
+    conf = stub("mmlearn.conf", {"external_store": _Store()})
+    sys.modules["mmlearn"].conf = conf
+
+    def _wrap_peft_model(model, peft_config):
+        from peft import get_peft_model
+
+        return get_peft_model(model, peft_config)
+
+    hf = stub("mmlearn.hf_utils", {"_wrap_peft_model": _wrap_peft_model})
+    sys.modules["mmlearn"].hf_utils = hf
+    mlp = load_file(
+        "mmlearn.modules.layers.mlp", f"{REFERENCE}/mmlearn/modules/layers/mlp.py"
+    )
+    encoders = load_file(
+        "projects_ref.bioscan_clip.encoders",
+        f"{REFERENCE}/projects/bioscan_clip/encoders.py",
+    )
+    eval_task = load_file(
+        "projects_ref.bioscan_clip.eval_task",
+        f"{REFERENCE}/projects/bioscan_clip/eval_task.py",
+    )
+    return types.SimpleNamespace(
+        tasks=mods, mlp=mlp, encoders=encoders, eval_task=eval_task,
+        Modalities=M,
+    )
+
+
+def _make_timm_vit_modules(c):
+    """Hand-written torch modules with timm ViT naming/architecture.
+
+    timm isn't installed here, so the reference's ``TimmViT`` wrapper
+    (reference vision.py:33-176: ``timm.create_model(...,
+    num_classes=projection_dim)`` + LoRA via peft) is reproduced with a
+    minimal torch ViT whose state-dict names and forward match timm's
+    ``vit_base_patch16_224`` family exactly: ``patch_embed.proj`` conv,
+    ``cls_token``/``pos_embed`` (cls position included, added after concat),
+    pre-norm blocks with a fused ``attn.qkv`` Linear, GELU MLP, final
+    ``norm``, classifier ``head``."""
+    import torch
+
+    class PatchEmbed(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = torch.nn.Conv2d(
+                3, c["vit_dim"], kernel_size=c["patch"], stride=c["patch"]
+            )
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class Attention(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.num_heads = c["vit_heads"]
+            self.qkv = torch.nn.Linear(c["vit_dim"], c["vit_dim"] * 3)
+            self.proj = torch.nn.Linear(c["vit_dim"], c["vit_dim"])
+
+        def forward(self, x):
+            b, n, d = x.shape
+            h = self.num_heads
+            qkv = self.qkv(x).reshape(b, n, 3, h, d // h).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv.unbind(0)
+            attn = (q @ k.transpose(-2, -1)) * (d // h) ** -0.5
+            x = (attn.softmax(dim=-1) @ v).transpose(1, 2).reshape(b, n, d)
+            return self.proj(x)
+
+    class Mlp(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            hidden = int(c["vit_dim"] * c["vit_mlp"])
+            self.fc1 = torch.nn.Linear(c["vit_dim"], hidden)
+            self.fc2 = torch.nn.Linear(hidden, c["vit_dim"])
+
+        def forward(self, x):
+            return self.fc2(torch.nn.functional.gelu(self.fc1(x)))
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = torch.nn.LayerNorm(c["vit_dim"], eps=1e-6)
+            self.attn = Attention()
+            self.norm2 = torch.nn.LayerNorm(c["vit_dim"], eps=1e-6)
+            self.mlp = Mlp()
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class TimmStyleViT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            n_patches = (c["img"] // c["patch"]) ** 2
+            self.patch_embed = PatchEmbed()
+            self.cls_token = torch.nn.Parameter(
+                torch.randn(1, 1, c["vit_dim"]) * 0.02
+            )
+            self.pos_embed = torch.nn.Parameter(
+                torch.randn(1, n_patches + 1, c["vit_dim"]) * 0.02
+            )
+            self.blocks = torch.nn.ModuleList(
+                [Block() for _ in range(c["vit_depth"])]
+            )
+            self.norm = torch.nn.LayerNorm(c["vit_dim"], eps=1e-6)
+            self.head = torch.nn.Linear(c["vit_dim"], c["emb"])
+
+        def forward(self, x):
+            x = self.patch_embed(x)
+            cls = self.cls_token.expand(x.shape[0], -1, -1)
+            x = torch.cat([cls, x], dim=1) + self.pos_embed
+            for blk in self.blocks:
+                x = blk(x)
+            return self.head(self.norm(x)[:, 0])
+
+    return TimmStyleViT
+
+
+def record_bioscan_trajectory() -> None:
+    """20-step trajectory + taxonomic eval of the reference's real trimodal
+    BIOSCAN-CLIP recipe (VERDICT r4 item 3): ContrastivePretraining over
+    rgb/text/dna with the reference's REAL ``BarcodeBERT`` class, real peft
+    LoRA on all three towers (query/value on text+dna with
+    ``modules_to_save=["decoder"]``, fused ``qkv`` + ``modules_to_save=
+    ["head"]`` on rgb — reference projects/bioscan_clip/configs/
+    __init__.py:24-64), 3 modality loss pairs, torch ``OneCycleLR``, AdamW
+    (lr 1e-3, eps 1e-6), then the reference's real
+    ``_inference_and_print_result`` scoring (eval_task.py:407-523) on
+    synthetic keys/seen/unseen splits."""
+    import json
+
+    import torch
+    from functools import partial
+    from peft import LoraConfig
+    from transformers import BertConfig, BertModel
+
+    ref = load_reference_bioscan()
+    mods = ref.tasks
+    c = BIOSCAN_TRAJ
+
+    torch.manual_seed(99)
+    TimmStyleViT = _make_timm_vit_modules(c)
+
+    from mmlearn.hf_utils import _wrap_peft_model
+
+    class TimmViTEncoder(torch.nn.Module):
+        """Mirror of reference TimmViT: peft-wrapped model with the head
+        inside (``modules_to_save=["head"]``)."""
+
+        def __init__(self) -> None:
+            super().__init__()
+            self.model = _wrap_peft_model(
+                TimmStyleViT(),
+                LoraConfig(
+                    r=c["lora_r"], lora_alpha=c["lora_alpha"],
+                    target_modules=["qkv"], modules_to_save=["head"],
+                ),
+            )
+
+        def forward(self, inputs):
+            return (self.model(inputs["rgb"]),)
+
+    class BertMeanEncoder(torch.nn.Module):
+        """Mirror of reference HFTextEncoder(bert-small) + MeanPooler
+        (reference text.py:60-141 + bioscan configs MeanPooler)."""
+
+        def __init__(self) -> None:
+            super().__init__()
+            self.model = _wrap_peft_model(
+                BertModel(
+                    BertConfig(
+                        vocab_size=c["txt_vocab"],
+                        hidden_size=c["txt_dim"],
+                        num_hidden_layers=c["txt_depth"],
+                        num_attention_heads=c["txt_heads"],
+                        intermediate_size=c["txt_inter"],
+                        max_position_embeddings=c["txt_max_pos"],
+                        # determinism: BERT defaults to 0.1 dropout, which
+                        # would randomize the recorded trajectory
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0,
+                    ),
+                    add_pooling_layer=False,
+                ),
+                LoraConfig(
+                    r=c["lora_r"], lora_alpha=c["lora_alpha"],
+                    target_modules=["query", "value"],
+                ),
+            )
+
+        def forward(self, inputs):
+            out = self.model(input_ids=inputs["text"])
+            return (out.last_hidden_state.mean(dim=1),)
+
+    dna_encoder = ref.encoders.BarcodeBERT(
+        vocab_size=c["dna_vocab"],
+        projection_dim=c["emb"],
+        peft_config=LoraConfig(
+            r=c["lora_r"], lora_alpha=c["lora_alpha"],
+            target_modules=["query", "value"], modules_to_save=["decoder"],
+        ),
+        model_config_kwargs=dict(
+            hidden_size=c["dna_dim"],
+            num_hidden_layers=c["dna_depth"],
+            num_attention_heads=c["dna_heads"],
+            intermediate_size=c["dna_inter"],
+            max_position_embeddings=c["dna_max_pos"],
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        ),
+    )
+    with torch.no_grad():
+        # widen the freshly-replaced MLM decoder: at default Linear init the
+        # softmax-pooled DNA embeddings are near-uniform (logits ≈ 0 →
+        # softmax ≈ 1/proj_dim), which makes every kNN margin degenerate.
+        # The scaled weights travel through the init ckpt, so this changes
+        # only the fixture's operating point, not the parity claim. Both
+        # peft modules_to_save copies are scaled (forward uses `.default`).
+        for n, p in dna_encoder.named_parameters():
+            if "cls.predictions.decoder" in n and n.endswith("weight"):
+                p.mul_(12.0)
+
+    task = mods.cp.ContrastivePretraining(
+        encoders={
+            "rgb": TimmViTEncoder(),
+            "text": BertMeanEncoder(),
+            "dna": dna_encoder,
+        },
+        heads={"text": ref.mlp.MLP(in_dim=c["txt_dim"], out_dim=c["emb"])},
+        optimizer=partial(
+            torch.optim.AdamW, lr=c["lr"], eps=c["eps"],
+            weight_decay=c["weight_decay"],
+        ),
+        lr_scheduler={
+            "scheduler": partial(
+                torch.optim.lr_scheduler.OneCycleLR,
+                max_lr=c["lr"], total_steps=c["steps"],
+                pct_start=c["pct_start"], anneal_strategy="cos",
+                cycle_momentum=False, div_factor=c["div_factor"],
+                final_div_factor=c["final_div_factor"],
+            ),
+            "extras": {"interval": "step"},
+        },
+        loss=mods.loss.ContrastiveLoss(gather_with_grad=True),
+    )
+    init_ckpt = {"state_dict": task.state_dict(), "global_step": 0, "epoch": 0}
+    torch.save(
+        init_ckpt,
+        os.path.join(OUT_DIR, "reference_bioscan_trajectory_init.ckpt"),
+    )
+
+    conf = task.configure_optimizers()
+    opt = conf["optimizer"]
+    sched = conf["lr_scheduler"]["scheduler"]
+
+    imgs, txt, dna, ex_ids = make_bioscan_trajectory_data()
+    losses, scales, lrs = [], [], []
+    for step in range(c["steps"]):
+        i = step % c["n_batches"]
+        batch = {
+            "rgb": torch.tensor(imgs[i]),
+            "text": torch.tensor(txt[i]),
+            "dna": torch.tensor(dna[i]),
+            "example_ids": {
+                m: torch.tensor(ex_ids) for m in ("rgb", "text", "dna")
+            },
+        }
+        lrs.append(opt.param_groups[0]["lr"])
+        loss = task.training_step(batch, step)
+        losses.append(float(loss.detach()))
+        scales.append(float(task.log_logit_scale.detach()))
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+        sched.step()
+
+    with torch.no_grad():
+        probe = {
+            "rgb": torch.tensor(imgs[0, :8]),
+            "text": torch.tensor(txt[0, :8]),
+            "dna": torch.tensor(dna[0, :8]),
+        }
+        final = task(probe)
+
+    # -- taxonomic eval through the reference's real scoring machinery -------
+    eval_data = make_bioscan_eval_data()
+    stores: dict[str, dict] = {}
+    emb_record: dict[str, np.ndarray] = {}
+    M = ref.Modalities
+    for split, data in eval_data.items():
+        with torch.no_grad():
+            out = task({
+                "rgb": torch.tensor(data["rgb"]),
+                "text": torch.tensor(data["text"]),
+                "dna": torch.tensor(data["dna"]),
+            })
+        rgb_e = out[M.RGB.embedding]
+        dna_e = out[M.DNA.embedding]
+        txt_e = out[M.TEXT.embedding]
+        store = {
+            M.RGB.embedding: rgb_e,
+            M.DNA.embedding: dna_e,
+            M.TEXT.embedding: txt_e,
+            "concatenated_embedding": torch.cat([rgb_e, dna_e], dim=1),
+            "averaged_embedding": torch.mean(torch.stack([rgb_e, dna_e]), dim=0),
+            "labels": data["labels"],
+        }
+        if split == "all_keys":
+            store["all_key_embedding"] = torch.cat([rgb_e, dna_e, txt_e], dim=0)
+            store["all_key_labels"] = (
+                data["labels"] + data["labels"] + data["labels"]
+            )
+        stores[split] = store
+        for mod, e in (("rgb", rgb_e), ("dna", dna_e), ("text", txt_e)):
+            emb_record[f"eval_{split}_{mod}"] = e.numpy()
+
+    # top-1 margin guard: parity comparison needs the kNN argmax to be
+    # stable under ~1e-3 embedding differences between frameworks
+    from sklearn.preprocessing import normalize as _l2
+
+    key_types = (
+        M.DNA.embedding, "averaged_embedding", "concatenated_embedding",
+        "all_key_embedding",
+    )
+    for split in ("val_seen", "val_unseen"):
+        for key_type in key_types:
+            qt = (
+                M.RGB.embedding
+                if key_type in (M.DNA.embedding, "all_key_embedding")
+                else key_type
+            )
+            q = _l2(stores[split][qt].numpy())
+            t = _l2(stores["all_keys"][key_type].numpy())
+            sims = np.sort(q @ t.T, axis=1)
+            margin = (sims[:, -1] - sims[:, -2]).min()
+            print(f"  margin {split} vs {key_type}: {margin:.2e}")
+            # softmax-pooled DNA embeddings cluster on the simplex, so
+            # dna-gallery margins are inherently small; the parity test
+            # asserts the cross-framework similarity error is far below
+            # these margins before comparing accuracies (self-validating)
+            if margin < 1e-4:
+                raise RuntimeError(
+                    f"{split} vs {key_type}: top-1 margin {margin:.2e} too "
+                    "small for a stable cross-framework fixture — change "
+                    "the eval data seed"
+                )
+
+    acc_dict, _, _ = ref.eval_task._inference_and_print_result(
+        stores["all_keys"], stores["val_seen"], stores["val_unseen"],
+        k_list=[1],
+    )
+
+    np.savez(
+        os.path.join(OUT_DIR, "reference_bioscan_trajectory.npz"),
+        losses=np.asarray(losses, np.float64),
+        log_scales=np.asarray(scales, np.float64),
+        lrs=np.asarray(lrs, np.float64),
+        final_rgb=final[M.RGB.embedding].numpy(),
+        final_text=final[M.TEXT.embedding].numpy(),
+        final_dna=final[M.DNA.embedding].numpy(),
+        acc_json=np.array(json.dumps(acc_dict)),
+        **emb_record,
+    )
+    print("bioscan trimodal trajectory recorded:",
+          [round(x, 4) for x in losses[:5]], "...",
+          [round(x, 4) for x in losses[-3:]])
+    print("  rgb->dna seen micro top-1:",
+          acc_dict[M.RGB.embedding][M.DNA.embedding]["seen"]["micro_acc"][1])
+
+
+RECORDERS = [
+    record_contrastive,
+    record_lr_schedule,
+    record_d2v_ema,
+    record_ijepa_targets,
+    record_contrastive_trajectory,
+    record_ijepa_trajectory,
+    record_multitask_trajectory,
+    record_lightning_ckpts,
+    record_clip_trajectory,
+    record_bioscan_trajectory,
+]
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     install_stubs()
-    record_contrastive()
-    record_lr_schedule()
-    record_d2v_ema()
-    record_ijepa_targets()
-    record_contrastive_trajectory()
-    record_ijepa_trajectory()
-    record_multitask_trajectory()
-    record_lightning_ckpts()
-    record_clip_trajectory()
+    # optional argv selection: substring match on recorder names, e.g.
+    # `python scripts/record_reference_fixtures.py bioscan` re-records only
+    # the BIOSCAN trimodal fixture
+    wanted = sys.argv[1:]
+    for rec in RECORDERS:
+        if not wanted or any(w in rec.__name__ for w in wanted):
+            rec()

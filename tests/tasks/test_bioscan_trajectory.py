@@ -1,0 +1,362 @@
+"""Trimodal BIOSCAN-CLIP trajectory + taxonomic-eval parity (VERDICT r4 #3).
+
+The reference's real trimodal recipe — ContrastivePretraining over
+rgb/text/dna with the reference's real ``BarcodeBERT`` class, real peft LoRA
+on all three towers, 3 modality loss pairs, torch ``OneCycleLR``, and the
+reference's real taxonomic kNN scoring (reference
+projects/bioscan_clip/eval_task.py:407-523) — was driven for 20 optimizer
+steps on fixed synthetic data by
+``scripts/record_reference_fixtures.py::record_bioscan_trajectory``.
+
+This test composes OUR ``bioscan_1m.yaml`` experiment (shrunk to the fixture
+geometry by overrides), imports the recorded peft-wrapped init checkpoint
+through ``lightning_import`` (LoRA factors, modules_to_save, all three tower
+families), trains with our Trainer on the same batches, and asserts: per-step
+losses / LRs (torch OneCycleLR parity) / logit scale, final probe embeddings
+for all three modalities, eval-split embeddings, and micro+macro taxonomic
+accuracies — converting the flagship project from "runs green" to "trains
+identically".
+"""
+
+import json
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")  # projects package lives at repo root
+
+from mmlearn_tpu.trainer import Trainer
+from mmlearn_tpu.trainer.callbacks import LearningRateMonitor
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+FIXTURE = os.path.join(FIXTURE_DIR, "reference_bioscan_trajectory.npz")
+INIT_CKPT = os.path.join(FIXTURE_DIR, "reference_bioscan_trajectory_init.ckpt")
+
+# must match scripts/record_reference_fixtures.py::BIOSCAN_TRAJ
+BIOSCAN_TRAJ = dict(
+    img=32, patch=8, vit_dim=48, vit_depth=2, vit_heads=4, vit_mlp=4.0,
+    txt_vocab=99, txt_dim=48, txt_depth=2, txt_heads=4, txt_inter=192,
+    txt_len=12, txt_max_pos=64,
+    dna_vocab=19, dna_dim=48, dna_depth=2, dna_heads=4, dna_inter=192,
+    dna_len=16, dna_max_pos=64,
+    emb=32, batch=16, n_batches=6, steps=20,
+    lr=1e-3, eps=1e-6, weight_decay=0.01,
+    pct_start=0.3, div_factor=25.0, final_div_factor=1e4,
+    lora_r=4, lora_alpha=8,
+    n_keys=24, n_queries=12,
+)
+
+
+def make_bioscan_trajectory_data():
+    """Identical to the recorder's data generation (seeded)."""
+    rng = np.random.default_rng(97531)
+    c = BIOSCAN_TRAJ
+    imgs = rng.standard_normal(
+        (c["n_batches"], c["batch"], 3, c["img"], c["img"])
+    ).astype(np.float32)
+    txt = rng.integers(
+        1, c["txt_vocab"], (c["n_batches"], c["batch"], c["txt_len"])
+    ).astype(np.int64)
+    dna = rng.integers(
+        3, c["dna_vocab"], (c["n_batches"], c["batch"], c["dna_len"])
+    ).astype(np.int64)
+    dna[..., 0] = 1
+    ex_ids = np.stack(
+        [np.zeros(c["batch"], np.int64), np.arange(c["batch"], dtype=np.int64)],
+        axis=1,
+    )
+    return imgs, txt, dna, ex_ids
+
+
+def make_bioscan_eval_data():
+    """Identical to the recorder's eval-set generation (seeded)."""
+    rng = np.random.default_rng(13579)
+    c = BIOSCAN_TRAJ
+
+    def _inputs(n):
+        img = rng.standard_normal((n, 3, c["img"], c["img"])).astype(np.float32)
+        txt = rng.integers(1, c["txt_vocab"], (n, c["txt_len"])).astype(np.int64)
+        dna = rng.integers(3, c["dna_vocab"], (n, c["dna_len"])).astype(np.int64)
+        dna[:, 0] = 1
+        return img, txt, dna
+
+    nk, nq = c["n_keys"], c["n_queries"]
+    key_labels = [
+        {
+            "order": f"order{i % 2}",
+            "family": f"family{i % 4}",
+            "genus": f"genus{i % 6}",
+            "species": f"species{i % 8}",
+        }
+        for i in range(nk)
+    ]
+    seen_labels = [dict(key_labels[(2 * j) % nk]) for j in range(nq)]
+    unseen_labels = [
+        {
+            "order": f"order{j % 2}",
+            "family": f"family{j % 4}",
+            "genus": f"novel_genus{j}",
+            "species": f"novel_species{j}",
+        }
+        for j in range(nq)
+    ]
+    splits = {}
+    for split, n, labels in (
+        ("all_keys", nk, key_labels),
+        ("val_seen", nq, seen_labels),
+        ("val_unseen", nq, unseen_labels),
+    ):
+        img, txt, dna = _inputs(n)
+        splits[split] = {"rgb": img, "text": txt, "dna": dna, "labels": labels}
+    return splits
+
+
+class FixedLoader:
+    """Yields precomputed raw batches in a fixed order every epoch."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter([dict(b) for b in self.batches])
+
+
+class Recorder:
+    def __init__(self):
+        self.losses, self.scales, self.lrs = [], [], []
+
+    def on_train_start(self, trainer): ...
+
+    def on_train_batch_end(self, trainer, metrics, step):
+        if "loss" in metrics:
+            self.losses.append(metrics["loss"])
+        if "logit_scale" in metrics:
+            self.scales.append(metrics["logit_scale"])
+        if "lr" in metrics:
+            self.lrs.append(metrics["lr"])
+
+    def on_train_epoch_end(self, trainer, epoch): ...
+
+    def on_validation_end(self, trainer, metrics, step): ...
+
+    def on_train_end(self, trainer): ...
+
+
+def _compose_tiny_bioscan_task(monkeypatch):
+    """Our bioscan_1m.yaml experiment, shrunk to the fixture geometry."""
+    from mmlearn_tpu.cli.run import build_experiment
+    from mmlearn_tpu.conf import instantiate
+
+    c = BIOSCAN_TRAJ
+    monkeypatch.setenv("BIOSCAN_1M_HDF5", "/tmp/fixture.hdf5")
+    cfg = build_experiment(
+        [
+            "searchpath=[pkg://projects.bioscan_clip.configs]",
+            "+experiment=bioscan_1m",
+            f"task.encoders.rgb.img_size={c['img']}",
+            f"task.encoders.rgb.patch_size={c['patch']}",
+            f"task.encoders.rgb.embed_dim={c['vit_dim']}",
+            f"task.encoders.rgb.depth={c['vit_depth']}",
+            f"task.encoders.rgb.num_heads={c['vit_heads']}",
+            f"+task.encoders.rgb.mlp_ratio={c['vit_mlp']}",
+            f"task.encoders.rgb.proj_dim={c['emb']}",
+            "task.encoders.rgb.scan_blocks=false",
+            "task.encoders.rgb.remat=false",
+            "task.encoders.rgb.dtype=float32",
+            f"task.encoders.text.vocab_size={c['txt_vocab']}",
+            f"task.encoders.text.max_length={c['txt_max_pos']}",
+            f"task.encoders.text.embed_dim={c['txt_dim']}",
+            f"task.encoders.text.depth={c['txt_depth']}",
+            f"task.encoders.text.num_heads={c['txt_heads']}",
+            "task.encoders.text.scan_blocks=false",
+            "task.encoders.text.remat=false",
+            "task.encoders.text.dtype=float32",
+            f"task.encoders.dna.vocab_size={c['dna_vocab']}",
+            f"task.encoders.dna.projection_dim={c['emb']}",
+            f"task.encoders.dna.embed_dim={c['dna_dim']}",
+            f"task.encoders.dna.depth={c['dna_depth']}",
+            f"task.encoders.dna.num_heads={c['dna_heads']}",
+            f"task.encoders.dna.max_length={c['dna_max_pos']}",
+            "task.encoders.dna.scan_blocks=false",
+            "task.encoders.dna.remat=false",
+            "task.encoders.dna.dtype=float32",
+            f"task.heads.text.out_dim={c['emb']}",
+            f"task.peft_configs.text.qkv_num_heads={c['txt_heads']}",
+            f"task.peft_configs.dna.qkv_num_heads={c['dna_heads']}",
+            f"task.lr_scheduler.total_steps={c['steps']}",
+        ]
+    )
+    return instantiate(cfg["task"])
+
+
+@pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="bioscan trajectory fixture not recorded"
+)
+def test_bioscan_trimodal_trajectory_matches_reference(tmp_path, monkeypatch):
+    pytest.importorskip("torch")
+    from mmlearn_tpu.lightning_import import import_lightning_checkpoint
+
+    c = BIOSCAN_TRAJ
+    fx = np.load(FIXTURE)
+    imgs, txt, dna, ex_ids = make_bioscan_trajectory_data()
+
+    task = _compose_tiny_bioscan_task(monkeypatch)
+    assert set(task.encoders) == {"rgb", "text", "dna"}
+    assert len(task.peft_configs) == 3
+
+    overlay, _ = import_lightning_checkpoint(
+        INIT_CKPT,
+        num_heads={
+            "rgb": c["vit_heads"], "text": c["txt_heads"], "dna": c["dna_heads"],
+        },
+    )
+    assert set(overlay["lora"]) == {"rgb", "text", "dna"}
+    # per-slice factors for query/value targets; full factors for timm's
+    # fused qkv target
+    assert "q" in overlay["lora"]["text"]["blocks_0/attn/qkv"]
+    assert "a" in overlay["lora"]["rgb"]["blocks_0/attn/qkv"]
+    task.init_overlay = overlay
+
+    batches = [
+        {
+            "rgb": np.transpose(imgs[i], (0, 2, 3, 1)),
+            "text": txt[i].astype(np.int32),
+            "dna": dna[i].astype(np.int32),
+            "example_ids": {
+                m: ex_ids for m in ("rgb", "text", "dna")
+            },
+        }
+        for i in range(c["n_batches"])
+    ]
+    rec = Recorder()
+    trainer = Trainer(
+        max_steps=c["steps"], log_every_n_steps=1,
+        callbacks=[LearningRateMonitor(), rec],
+        mesh_shape={"data": 1}, default_root_dir=str(tmp_path), seed=0,
+    )
+    state = trainer.fit(task, FixedLoader(batches))
+    assert int(state.step) == c["steps"]
+
+    ref_losses = fx["losses"]
+    got = np.asarray(rec.losses)
+    # step 0 is pre-update: peft-aware converted init + tower forwards
+    np.testing.assert_allclose(got[0], ref_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(got[:10], ref_losses[:10], rtol=3e-4)
+    np.testing.assert_allclose(got, ref_losses, rtol=5e-3)
+    # torch OneCycleLR parity, step for step
+    np.testing.assert_allclose(np.asarray(rec.lrs), fx["lrs"], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rec.scales), np.exp(fx["log_scales"]), rtol=5e-3
+    )
+
+    probe = {
+        "rgb": jnp.asarray(np.transpose(imgs[0, :8], (0, 2, 3, 1))),
+        "text": jnp.asarray(txt[0, :8].astype(np.int32)),
+        "dna": jnp.asarray(dna[0, :8].astype(np.int32)),
+    }
+    out = task.forward(state.params, probe, deterministic=True)
+    for mod in ("rgb", "text", "dna"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"{mod}_embedding"]), fx[f"final_{mod}"], atol=2e-3
+        )
+
+    # -- taxonomic classification parity (reference eval_task.py scoring) ----
+    from projects.bioscan_clip.eval_task import (
+        knn_predict,
+        top_k_macro_accuracy,
+        top_k_micro_accuracy,
+    )
+
+    eval_data = make_bioscan_eval_data()
+    emb = {}
+    for split, data in eval_data.items():
+        eout = task.forward(
+            state.params,
+            {
+                "rgb": jnp.asarray(np.transpose(data["rgb"], (0, 2, 3, 1))),
+                "text": jnp.asarray(data["text"].astype(np.int32)),
+                "dna": jnp.asarray(data["dna"].astype(np.int32)),
+            },
+            deterministic=True,
+        )
+        store = {m: np.asarray(eout[f"{m}_embedding"]) for m in ("rgb", "dna", "text")}
+        for mod in ("rgb", "dna", "text"):
+            np.testing.assert_allclose(
+                store[mod], fx[f"eval_{split}_{mod}"], atol=2e-3
+            )
+        store["averaged"] = (store["rgb"] + store["dna"]) / 2.0
+        store["concatenated"] = np.concatenate(
+            [store["rgb"], store["dna"]], axis=1
+        )
+        store["labels"] = data["labels"]
+        emb[split] = store
+    emb["all_keys"]["all_key"] = np.concatenate(
+        [emb["all_keys"][m] for m in ("rgb", "dna", "text")], axis=0
+    )
+    emb["all_keys"]["all_key_labels"] = emb["all_keys"]["labels"] * 3
+
+    ref_acc = json.loads(str(fx["acc_json"]))
+    combos = [  # (our query type, our key type, ref query key, ref key key)
+        ("rgb", "dna", "rgb_embedding", "dna_embedding"),
+        ("averaged", "averaged", "averaged_embedding", "averaged_embedding"),
+        ("concatenated", "concatenated",
+         "concatenated_embedding", "concatenated_embedding"),
+        ("rgb", "all_key", "rgb_embedding", "all_key_embedding"),
+    ]
+    def _l2(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    # reference-side embeddings, to prove the argmaxes are stable: the
+    # cross-framework similarity error must sit far below the fixture's own
+    # top-1 margins, otherwise accuracy equality would be luck, not parity
+    ref_emb = {
+        split: {m: fx[f"eval_{split}_{m}"] for m in ("rgb", "dna", "text")}
+        for split in ("all_keys", "val_seen", "val_unseen")
+    }
+    for split, store in ref_emb.items():
+        store["averaged"] = (store["rgb"] + store["dna"]) / 2.0
+        store["concatenated"] = np.concatenate(
+            [store["rgb"], store["dna"]], axis=1
+        )
+    ref_emb["all_keys"]["all_key"] = np.concatenate(
+        [ref_emb["all_keys"][m] for m in ("rgb", "dna", "text")], axis=0
+    )
+
+    for split, ref_split in (("val_seen", "seen"), ("val_unseen", "unseen")):
+        gt = emb[split]["labels"]
+        for q_type, k_type, ref_q, ref_k in combos:
+            keys = emb["all_keys"][k_type]
+            k_labels = (
+                emb["all_keys"]["all_key_labels"]
+                if k_type == "all_key"
+                else emb["all_keys"]["labels"]
+            )
+            ref_sims = _l2(ref_emb[split][q_type]) @ _l2(
+                ref_emb["all_keys"][k_type]
+            ).T
+            our_sims = _l2(emb[split][q_type]) @ _l2(keys).T
+            top2 = np.sort(ref_sims, axis=1)[:, -2:]
+            margin = (top2[:, 1] - top2[:, 0]).min()
+            sim_err = np.abs(our_sims - ref_sims).max()
+            assert sim_err < margin / 4, (
+                f"{split} {q_type}->{k_type}: similarity error {sim_err:.2e} "
+                f"not far below the top-1 margin {margin:.2e} — argmax "
+                "parity would be unstable"
+            )
+            preds = knn_predict(emb[split][q_type], keys, k_labels, max_k=1)
+            micro = top_k_micro_accuracy(preds, gt, [1])
+            macro, _ = top_k_macro_accuracy(preds, gt, [1])
+            ref_entry = ref_acc[ref_q][ref_k][ref_split]
+            for level in ("order", "family", "genus", "species"):
+                assert micro[1][level] == pytest.approx(
+                    ref_entry["micro_acc"]["1"][level]
+                ), (split, q_type, k_type, level, "micro")
+                assert macro[1][level] == pytest.approx(
+                    ref_entry["macro_acc"]["1"][level]
+                ), (split, q_type, k_type, level, "macro")

@@ -60,11 +60,12 @@ def test_compose_bioscan_project(monkeypatch):
     )
     assert cfg["task"]["peft_configs"]["rgb"]["r"] == 4
     assert len(cfg["task"]["modality_loss_pairs"]) == 3
-    # the full trimodal task (ViT + TextTransformer + BarcodeBERT, LoRA,
-    # taxonomic eval) must instantiate without touching data
+    # the full trimodal task (timm-style ViT + BERT-small + BarcodeBERT,
+    # LoRA on all three towers, taxonomic eval) must instantiate without
+    # touching data
     task = instantiate(cfg["task"])
     assert set(task.encoders) == {"rgb", "text", "dna"}
-    assert "rgb" in task.peft_configs and "text" in task.peft_configs
+    assert set(task.peft_configs) == {"rgb", "text", "dna"}
     assert "taxonomic" in task.evaluation_tasks
 
 
