@@ -771,7 +771,9 @@ class Trainer:
             self._close_feeder()  # abnormal exits must release the producer
             self._restore_stop_handlers(prev_handlers)
 
-    def _epoch_feeder(self, task, epoch_iter, epoch_base, skip_batches, step0):
+    def _epoch_feeder(
+        self, task, epoch_iter, epoch_base, skip_batches, step0, max_steps
+    ):
         """One epoch's batches through the framework ``DeviceFeeder``:
         limit/skip accounting, ``task.prepare_batch`` (pure per-step), input
         casting, and the mesh-sharded host→device transfer all run on the
@@ -796,6 +798,11 @@ class Trainer:
                     continue
                 yield batch_idx, task.prepare_batch(dict(raw), step=s)
                 s += 1
+                if s >= max_steps:
+                    # stop the producer at the run's last step: without this
+                    # bound the prefetch thread reads (and decodes) batches
+                    # past max_steps that no step will ever consume
+                    return
 
         def place(item):
             batch_idx, batch = item
@@ -848,7 +855,7 @@ class Trainer:
                         epoch_iter, epoch_base = fast, skip_batches
                         skip_batches = 0
             feeder = self._epoch_feeder(
-                task, epoch_iter, epoch_base, skip_batches, step
+                task, epoch_iter, epoch_base, skip_batches, step, max_steps
             )
             skip_batches = 0  # consumed by the feeder's source
             for batch_idx, batch, device_batch in feeder:
