@@ -52,9 +52,9 @@ TRAINED ``modules_to_save`` copies), and the LoRA ``A``/``B`` factors land in
 per-slice entries for per-projection targets (``["query", "value"]``),
 head-interleaved full factors for fused-qkv targets (timm's ``["qkv"]``).
 The target task must be built with the matching ``peft_configs`` so
-``init_params`` creates the factor slots the overlay fills. LoRA import
-requires the loop block layout (``scan_blocks=False``) — the factor dict is
-keyed by per-layer paths.
+``init_params`` creates the factor slots the overlay fills; per-layer
+imported factors re-stack onto ``nn.scan`` towers automatically
+(:func:`_stack_lora_entries`).
 
 Blocks come back unstacked (``blocks_0..blocks_{d-1}``);
 :func:`overlay_params` re-stacks them when the target tree uses the
@@ -502,6 +502,58 @@ def import_lightning_checkpoint(
     return overlay, meta
 
 
+def _stack_lora_entries(target: Mapping[str, Any], overlay: Mapping[str, Any]) -> dict:
+    """Re-key per-layer LoRA factors onto a scan-stacked target layout.
+
+    ``init_lora_params`` on an ``nn.scan`` tower creates ONE factor pair per
+    qkv with a leading depth axis, keyed by the stacked path (e.g.
+    ``block_stack/blocks/block/attn/qkv`` for our ViT,
+    ``bert/blocks/block/attn/qkv`` for BERT trunks). Imported checkpoints
+    carry per-layer keys (``blocks_{i}/attn/qkv``); stack them along axis 0
+    in layer order. Entries whose keys already match pass through.
+    """
+    out: dict[str, Any] = {}
+    remaining = dict(overlay)
+
+    def _stack(entries: list) -> dict:
+        if "a" in entries[0]:
+            return {
+                "a": np.stack([np.asarray(e["a"]) for e in entries]),
+                "b": np.stack([np.asarray(e["b"]) for e in entries]),
+            }
+        slices = sorted(entries[0])
+        return {s: _stack([e[s] for e in entries]) for s in slices}
+
+    for tk, tv in target.items():
+        if tk in remaining:
+            out[tk] = remaining.pop(tk)
+            continue
+        if "blocks/block/" not in tk:
+            raise ValueError(f"overlay has no LoRA entry for target {tk!r}")
+        prefix, suffix = tk.rsplit("blocks/block/", 1)
+        # scan container modules (BlockStack wraps its scan in block_stack/)
+        if prefix.endswith("block_stack/"):
+            prefix = prefix[: -len("block_stack/")]
+        leaf = tv
+        while isinstance(leaf, Mapping) and "a" not in leaf:
+            leaf = next(iter(leaf.values()))
+        depth = int(np.shape(leaf["a"])[0])
+        entries = []
+        for i in range(depth):
+            key = f"{prefix}blocks_{i}/{suffix}"
+            if key not in remaining:
+                raise ValueError(
+                    f"overlay LoRA entry {key!r} missing (stacking {tk!r})"
+                )
+            entries.append(remaining.pop(key))
+        out[tk] = _stack(entries)
+    if remaining:
+        raise ValueError(
+            f"overlay LoRA entries not in target: {sorted(remaining)[:4]}"
+        )
+    return out
+
+
 def _stack_if_scanned(target: Mapping[str, Any], node: dict) -> dict:
     """Re-pack ``blocks_{i}`` into the target's nn.scan layout if needed."""
     if "blocks_0" not in node or "blocks_0" in target:
@@ -536,7 +588,14 @@ def overlay_params(params: Any, overlay: Any, path: str = "") -> Any:
     if isinstance(overlay, Mapping):
         if not isinstance(params, Mapping):
             raise ValueError(f"overlay has subtree at {path or '/'}; target is a leaf")
-        overlay = _stack_if_scanned(params, dict(overlay))
+        if re.fullmatch(r"/lora/[^/]+", path) and (
+            set(overlay) - set(params)
+        ):
+            # per-encoder LoRA factor dict whose keys don't line up: the
+            # target tower is scan-stacked, the import is per-layer
+            overlay = _stack_lora_entries(params, overlay)
+        else:
+            overlay = _stack_if_scanned(params, dict(overlay))
         out = dict(params)
         for k, v in overlay.items():
             if k not in params:

@@ -148,12 +148,13 @@ class Recorder:
     def on_train_end(self, trainer): ...
 
 
-def _compose_tiny_bioscan_task(monkeypatch):
+def _compose_tiny_bioscan_task(monkeypatch, scan_blocks=False):
     """Our bioscan_1m.yaml experiment, shrunk to the fixture geometry."""
     from mmlearn_tpu.cli.run import build_experiment
     from mmlearn_tpu.conf import instantiate
 
     c = BIOSCAN_TRAJ
+    scan = "true" if scan_blocks else "false"
     monkeypatch.setenv("BIOSCAN_1M_HDF5", "/tmp/fixture.hdf5")
     cfg = build_experiment(
         [
@@ -166,7 +167,7 @@ def _compose_tiny_bioscan_task(monkeypatch):
             f"task.encoders.rgb.num_heads={c['vit_heads']}",
             f"+task.encoders.rgb.mlp_ratio={c['vit_mlp']}",
             f"task.encoders.rgb.proj_dim={c['emb']}",
-            "task.encoders.rgb.scan_blocks=false",
+            f"task.encoders.rgb.scan_blocks={scan}",
             "task.encoders.rgb.remat=false",
             "task.encoders.rgb.dtype=float32",
             f"task.encoders.text.vocab_size={c['txt_vocab']}",
@@ -174,7 +175,7 @@ def _compose_tiny_bioscan_task(monkeypatch):
             f"task.encoders.text.embed_dim={c['txt_dim']}",
             f"task.encoders.text.depth={c['txt_depth']}",
             f"task.encoders.text.num_heads={c['txt_heads']}",
-            "task.encoders.text.scan_blocks=false",
+            f"task.encoders.text.scan_blocks={scan}",
             "task.encoders.text.remat=false",
             "task.encoders.text.dtype=float32",
             f"task.encoders.dna.vocab_size={c['dna_vocab']}",
@@ -183,7 +184,7 @@ def _compose_tiny_bioscan_task(monkeypatch):
             f"task.encoders.dna.depth={c['dna_depth']}",
             f"task.encoders.dna.num_heads={c['dna_heads']}",
             f"task.encoders.dna.max_length={c['dna_max_pos']}",
-            "task.encoders.dna.scan_blocks=false",
+            f"task.encoders.dna.scan_blocks={scan}",
             "task.encoders.dna.remat=false",
             "task.encoders.dna.dtype=float32",
             f"task.heads.text.out_dim={c['emb']}",
@@ -360,3 +361,46 @@ def test_bioscan_trimodal_trajectory_matches_reference(tmp_path, monkeypatch):
                 assert macro[1][level] == pytest.approx(
                     ref_entry["macro_acc"]["1"][level]
                 ), (split, q_type, k_type, level, "macro")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="bioscan trajectory fixture not recorded"
+)
+def test_peft_overlay_restacks_onto_scan_towers(tmp_path, monkeypatch):
+    """The SAME peft-wrapped reference checkpoint lands on scan_blocks=True
+    towers: per-layer LoRA factors re-stack onto the nn.scan factor slots
+    (lightning_import._stack_lora_entries), and the first training step
+    reproduces the reference's step-0 loss — so a user can import a
+    full-size LoRA run into the compile-fast stacked layout directly."""
+    pytest.importorskip("torch")
+    from mmlearn_tpu.lightning_import import import_lightning_checkpoint
+
+    c = BIOSCAN_TRAJ
+    fx = np.load(FIXTURE)
+    imgs, txt, dna, ex_ids = make_bioscan_trajectory_data()
+
+    task = _compose_tiny_bioscan_task(monkeypatch, scan_blocks=True)
+    overlay, _ = import_lightning_checkpoint(
+        INIT_CKPT,
+        num_heads={
+            "rgb": c["vit_heads"], "text": c["txt_heads"], "dna": c["dna_heads"],
+        },
+    )
+    task.init_overlay = overlay
+
+    batches = [
+        {
+            "rgb": np.transpose(imgs[0], (0, 2, 3, 1)),
+            "text": txt[0].astype(np.int32),
+            "dna": dna[0].astype(np.int32),
+            "example_ids": {m: ex_ids for m in ("rgb", "text", "dna")},
+        }
+    ]
+    rec = Recorder()
+    trainer = Trainer(
+        max_steps=1, log_every_n_steps=1, callbacks=[rec],
+        mesh_shape={"data": 1}, default_root_dir=str(tmp_path), seed=0,
+    )
+    state = trainer.fit(task, FixedLoader(batches))
+    assert int(state.step) == 1
+    np.testing.assert_allclose(rec.losses[0], fx["losses"][0], rtol=1e-5)
