@@ -83,6 +83,40 @@ def test_dna_tokenizer():
     assert ids2.shape == ids.shape
 
 
+def test_dna_tokenizer_matches_reference():
+    """Differential: our dict-lookup tokenizer produces the exact ids of the
+    reference's HF `tokenizers` WordLevel pipeline
+    (/root/reference/projects/bioscan_clip/dna_tokenizer.py) on real-shaped
+    barcodes — same vocab order, CLS prepend, N-pad → UNK kmers, trim."""
+    pytest.importorskip("tokenizers")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_dna_tokenizer",
+        "/root/reference/projects/bioscan_clip/dna_tokenizer.py",
+    )
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    from projects.bioscan_clip.dna_tokenizer import DNAProcessor
+
+    rng = np.random.default_rng(7)
+    ours = DNAProcessor(max_length=60, kmers=5, stride=5)
+    ref = ref_mod.DNAProcessor(max_length=60, kmers=5, stride=5)
+    cases = [
+        "".join(rng.choice(list("ACGT"), 60)),      # exact length
+        "".join(rng.choice(list("ACGT"), 80)),      # trimmed
+        "".join(rng.choice(list("ACGT"), 23)),      # N-padded → UNK kmers
+        "".join(rng.choice(list("ACGTN"), 60)),     # ambiguous bases
+        "",                                          # all padding
+    ]
+    for seq in cases:
+        np.testing.assert_array_equal(
+            ours(seq), np.asarray(ref(seq)), err_msg=repr(seq[:12])
+        )
+    assert ours.vocab_size == ref.tokenizer.vocab_size
+
+
 def _make_bioscan_h5(path, splits, n_per_split=8, seed=0):
     import h5py
     from PIL import Image
