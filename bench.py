@@ -199,8 +199,8 @@ def main() -> None:
     _emit()
 
     # achieved TFLOP/s + MFU for the flagship step (VERDICT r4 item 4):
-    # XLA's cost analysis of the already-compiled executable (cheap — the
-    # persistent cache + jit cache make lower().compile() a lookup)
+    # analytic jaxpr counter (trace-only — XLA's cost_analysis counts scan
+    # bodies once and Pallas kernels as zero, measured round 5)
     try:
         from mmlearn_tpu.trainer.trainer import (
             _compiled_step_flops,

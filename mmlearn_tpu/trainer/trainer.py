@@ -78,17 +78,19 @@ def _device_peak_tflops() -> Optional[float]:
 
 
 def _compiled_step_flops(jitted: Any, *args: Any) -> float:
-    """PER-DEVICE FLOPs of one compiled step from XLA's cost analysis.
+    """GLOBAL analytic FLOPs of one step (jaxpr walk, not XLA cost analysis).
 
-    Under SPMD the analysis covers the per-device partitioned module
-    (verified: a batch-sharded matmul on a 4-device mesh reports 1/4 the
-    unsharded flops), so callers multiply by the mesh size for global
-    figures. Counts what the hardware executes — rematerialized recompute
-    included — so flops/elapsed is achieved hardware FLOP/s."""
-    cost = jitted.lower(*args).compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):  # older jax: one dict per device
-        cost = cost[0] if cost else {}
-    return float((cost or {}).get("flops", 0.0))
+    XLA's ``compiled.cost_analysis()`` counts a ``lax.scan`` body once
+    regardless of trip count and Pallas custom-calls as zero, so every
+    ``scan_blocks=True`` tower under-reported by ~depth× (measured round 5).
+    The jaxpr walker in :mod:`mmlearn_tpu.trainer.flops` multiplies scan
+    bodies by their length and recurses into Pallas kernels/remat, and
+    needs no device compile. Returns the GLOBAL (logical) figure: compare
+    against ``peak × n_devices``, or divide by the mesh size for
+    per-device."""
+    from mmlearn_tpu.trainer.flops import step_flops
+
+    return step_flops(jitted, *args)
 
 
 def validate_batch_shapes(batch: Mapping[str, Any], context: str = "train") -> int:
@@ -870,8 +872,8 @@ class Trainer:
                                 rng,
                             )
                         logger.info(
-                            "Train step: %.2f GFLOPs/device × %d devices "
-                            "(incl. remat recompute)",
+                            "Train step: %.2f GFLOPs global across %d "
+                            "devices (incl. remat recompute)",
                             self._step_flops / 1e9, self.mesh.size,
                         )
                     except Exception as err:
@@ -927,9 +929,9 @@ class Trainer:
                             now - t_log
                         )
                         if self._step_flops:
-                            # _step_flops is per-device; × mesh.size = global
+                            # _step_flops is already the GLOBAL figure
                             tflops = (
-                                self._step_flops * self.mesh.size
+                                self._step_flops
                                 * steps_since_log / (now - t_log) / 1e12
                             )
                             host_metrics["tflops_per_sec"] = tflops

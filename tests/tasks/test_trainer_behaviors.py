@@ -64,8 +64,8 @@ def test_lr_monitor_and_timer():
 
 @pytest.mark.integration_test
 def test_log_mfu_metrics(monkeypatch):
-    """log_mfu=True logs achieved TFLOP/s from XLA cost analysis, and MFU
-    when the chip peak is known (MMLEARN_PEAK_TFLOPS overrides for CPU)."""
+    """log_mfu=True logs achieved TFLOP/s from the analytic jaxpr counter,
+    and MFU when the chip peak is known (MMLEARN_PEAK_TFLOPS for CPU)."""
     monkeypatch.setenv("MMLEARN_PEAK_TFLOPS", "0.5")
     ds = CombinedDataset([PairedDataset(size=32)])
     loader = DataLoader(ds, batch_size=16, drop_last=True)
@@ -88,11 +88,8 @@ def test_log_mfu_metrics(monkeypatch):
         metrics_seen["tflops_per_sec"] / (0.5 * trainer.mesh.size)
     )
 
-    # XLA cost analysis is PER-DEVICE under SPMD (the trainer scales by
-    # mesh.size for the global tflops_per_sec figure): a batch-sharded
-    # matmul on a 4-way mesh must report ~1/4 the unsharded flops.
-    # (A full tiny train step is a bad probe: on toy models the collective
-    # /reshard flops dominate and can exceed the single-device count.)
+    # the analytic counter is GLOBAL (logical computation): sharding must
+    # not change the figure, and the count must be exact for a known bmm
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -107,8 +104,65 @@ def test_log_mfu_metrics(monkeypatch):
         bmm, in_shardings=NamedSharding(mesh, P("data"))
     )
     flops_4 = _compiled_step_flops(sharded, x)
-    assert flops_1 > 0
-    assert flops_4 == pytest.approx(flops_1 / 4, rel=0.05)
+    assert flops_1 == 2 * 8 * 64**3
+    assert flops_4 == flops_1
+
+
+def test_analytic_flops_counts_scan_and_pallas():
+    """The XLA cost-analysis failure modes the analytic counter exists for
+    (measured on TPU: scan bodies counted once, Pallas kernels zero):
+    scan×length equals the unrolled count, and in-kernel dots are counted
+    grid× (mmlearn_tpu/trainer/flops.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mmlearn_tpu.trainer.flops import step_flops
+
+    x = np.zeros((64, 64), np.float32)
+    w = np.zeros((64, 64), np.float32)
+
+    def scanned(x, w):
+        y, _ = lax.scan(lambda c, _: (jnp.tanh(c @ w), None), x, None, length=12)
+        return y
+
+    def unrolled(x, w):
+        for _ in range(12):
+            x = jnp.tanh(x @ w)
+        return x
+
+    expect = 12 * 2 * 64**3
+    assert step_flops(scanned, x, w) == expect
+    assert step_flops(unrolled, x, w) == expect
+
+    # grad of a remat'd scan: recompute counted (3x fwd matmul work for
+    # fwd+recompute+bwd-dots is a lower bound)
+    def loss(w):
+        return scanned(x, w).sum()
+
+    g = step_flops(jax.grad(loss), w)
+    assert g >= 3 * expect * 0.9
+
+    from jax.experimental import pallas as pl
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = jnp.dot(a_ref[...], b_ref[...])
+
+    @jax.jit
+    def pallas_mm(a, b):
+        return pl.pallas_call(
+            kernel,
+            grid=(2,),
+            in_specs=[
+                pl.BlockSpec((32, 64), lambda i: (i, 0)),
+                pl.BlockSpec((64, 64), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((32, 64), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((64, 64), jnp.float32),
+        )(a, b)
+
+    # grid 2 × (2·32·64·64) = full 2·64³
+    assert step_flops(pallas_mm, x, w) == 2 * 64**3
 
 
 def test_compilation_cache_dir(tmp_path):
