@@ -147,3 +147,36 @@ def test_ijepa_target_pipeline_matches_reference():
     )
     loss = smooth_l1(jnp.asarray(fx["z"]), target, beta=1.0).mean()
     np.testing.assert_allclose(float(loss), float(fx["loss"]), rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(max_lr=1e-3, total_steps=20, pct_start=0.3),
+        dict(max_lr=3e-4, total_steps=137, pct_start=0.1,
+             div_factor=10.0, final_div_factor=100.0),
+        dict(max_lr=1e-3, total_steps=50, pct_start=0.45,
+             anneal_strategy="linear"),
+    ],
+)
+def test_onecycle_lr_matches_torch(kwargs):
+    """onecycle_lr must equal torch.optim.lr_scheduler.OneCycleLR step for
+    step — including the off-by-one phase boundaries (pct*T-1 / T-1) that
+    make optax.cosine_onecycle_schedule diverge at every interior step.
+    (BIOSCAN-CLIP trains with OneCycleLR: reference bioscan_1m.yaml:74-80.)"""
+    torch = pytest.importorskip("torch")
+    from mmlearn_tpu.modules.lr_schedulers import onecycle_lr
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=kwargs["max_lr"])
+    sch = torch.optim.lr_scheduler.OneCycleLR(
+        opt, cycle_momentum=False, **kwargs
+    )
+    expected = []
+    for _ in range(kwargs["total_steps"]):
+        expected.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sch.step()
+    ours = onecycle_lr(**kwargs)
+    got = np.asarray([float(ours(s)) for s in range(kwargs["total_steps"])])
+    np.testing.assert_allclose(got, expected, rtol=2e-5)
