@@ -14,6 +14,7 @@ instead of per-step ``all_gather_object`` (reference lines 222-229).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Mapping, Sequence
 
 import jax.numpy as jnp
@@ -120,6 +121,7 @@ class TaxonomicClassification(EvaluationHooks):
         query_splits: Sequence[str] = ("val_seen", "val_unseen"),
         key_split: str = "all_keys",
         report_combos: Sequence[Sequence[str]] = (("rgb", "dna"),),
+        print_table: bool = True,
     ) -> None:
         self.top_k = [int(k) for k in top_k]
         self.query_splits = list(query_splits)
@@ -129,6 +131,9 @@ class TaxonomicClassification(EvaluationHooks):
         # (reference eval_task.py:193-201); computing unreported combos is
         # wasted eval compute
         self.report_combos = [tuple(c) for c in report_combos]
+        #: log a per-level accuracy table at epoch end (process 0 only) —
+        #: the reference's rich-table report (eval_task.py:352-404)
+        self.print_table = bool(print_table)
 
     def on_evaluation_epoch_start(self, runtime: EvalRuntime) -> None:
         self._store: dict[str, dict[str, list]] = {}
@@ -232,7 +237,48 @@ class TaxonomicClassification(EvaluationHooks):
                             f"{split}_{q_type}_2_{k_type}_top_{k}_macro_{level}"
                         ] = macro[k][level]
         self._store.clear()
+        if self.print_table and results and jax.process_index() == 0:
+            _log_accuracy_table(results, self.top_k)
         return results
+
+
+def _log_accuracy_table(results: Mapping[str, float], top_k: Sequence[int]) -> None:
+    """Compact stdlib rendering of the reference's rich accuracy table
+    (reference eval_task.py:352-404): one row per (query→key, acc type, k),
+    one column per (split, level)."""
+    import logging
+
+    logger = logging.getLogger(__name__)
+    # parse keys: {split}_{q}_2_{k}_top_{n}_{micro|macro}_{level}
+    parsed = []
+    for key, value in results.items():
+        m = re.match(
+            r"(?P<split>.+)_(?P<q>rgb|dna|text|averaged|concatenated)_2_"
+            r"(?P<k>rgb|dna|text|averaged|concatenated|all_key)_top_"
+            r"(?P<n>\d+)_(?P<type>micro|macro)_"
+            r"(?P<level>order|family|genus|species)$",
+            key,
+        )
+        if m:
+            parsed.append((m.groupdict(), value))
+    if not parsed:
+        return
+    splits = sorted({p["split"] for p, _ in parsed})
+    rows: dict[tuple, dict] = {}
+    for p, value in parsed:
+        rows.setdefault(
+            (f"{p['q']}→{p['k']}", p["type"], int(p["n"])), {}
+        )[(p["split"], p["level"])] = value
+    cols = [(s, lv) for s in splits for lv in LEVELS]
+    header = " | ".join(f"{s[:6]}.{lv[:4]}" for s, lv in cols)
+    lines = [f"{'query→key (acc, k)':34s} | {header}"]
+    for (combo, acc_type, k), cells in sorted(rows.items()):
+        label = f"{combo} ({acc_type} top-{k})"
+        vals = " | ".join(
+            f"{cells.get(c, float('nan')):11.4f}" for c in cols
+        )
+        lines.append(f"{label:34s} | {vals}")
+    logger.info("taxonomic classification results:\n%s", "\n".join(lines))
 
 
 def _merge_stores(stores: Sequence[Mapping[str, Mapping[str, list]]]) -> dict:

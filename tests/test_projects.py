@@ -406,3 +406,27 @@ def test_medvqa_vocab_from_train_split(tmp_path):
     test = MedVQA(root_dir=str(tmp_path), split="test", image_size=16)
     assert test.answer_to_id == train.answer_to_id
     assert test[0]["rgb_target"] == train.answer_to_id["yes"]
+
+
+def test_taxonomic_accuracy_table_logging(caplog):
+    """Epoch-end table report (reference eval_task.py:352-404 parity): the
+    flattened result keys parse back into (query->key, acc, k) rows x
+    (split, level) columns and log as one table on process 0."""
+    import logging
+
+    from projects.bioscan_clip.eval_task import _log_accuracy_table
+
+    results = {
+        f"{split}_{q}_2_{k}_top_1_{t}_{lv}": 0.5
+        for split in ("val_seen", "val_unseen")
+        for q, k in (("rgb", "dna"), ("rgb", "all_key"))
+        for t in ("micro", "macro")
+        for lv in ("order", "family", "genus", "species")
+    }
+    with caplog.at_level(logging.INFO, logger="projects.bioscan_clip.eval_task"):
+        _log_accuracy_table(results, [1])
+    text = "\n".join(r.message for r in caplog.records)
+    assert "rgb→dna (micro top-1)" in text
+    assert "rgb→all_key (macro top-1)" in text
+    assert "val_se.orde" in text and "val_un.spec" in text
+    assert text.count("0.5000") == 32
