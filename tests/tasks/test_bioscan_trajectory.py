@@ -404,3 +404,60 @@ def test_peft_overlay_restacks_onto_scan_towers(tmp_path, monkeypatch):
     state = trainer.fit(task, FixedLoader(batches))
     assert int(state.step) == 1
     np.testing.assert_allclose(rec.losses[0], fx["losses"][0], rtol=1e-5)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="bioscan trajectory fixture not recorded"
+)
+def test_bioscan_trajectory_data_parallel_8dev(tmp_path, monkeypatch):
+    """The SAME trimodal LoRA trajectory on an 8-device data-parallel mesh:
+    global-batch InfoNCE over sharded towers + LoRA factor updates +
+    OneCycleLR must still trace the torch reference step for step — SPMD is
+    a layout, not a different computation."""
+    pytest.importorskip("torch")
+    from mmlearn_tpu.lightning_import import import_lightning_checkpoint
+
+    c = BIOSCAN_TRAJ
+    fx = np.load(FIXTURE)
+    imgs, txt, dna, ex_ids = make_bioscan_trajectory_data()
+
+    task = _compose_tiny_bioscan_task(monkeypatch)
+    overlay, _ = import_lightning_checkpoint(
+        INIT_CKPT,
+        num_heads={
+            "rgb": c["vit_heads"], "text": c["txt_heads"], "dna": c["dna_heads"],
+        },
+    )
+    task.init_overlay = overlay
+
+    batches = [
+        {
+            "rgb": np.transpose(imgs[i], (0, 2, 3, 1)),
+            "text": txt[i].astype(np.int32),
+            "dna": dna[i].astype(np.int32),
+            "example_ids": {m: ex_ids for m in ("rgb", "text", "dna")},
+        }
+        for i in range(c["n_batches"])
+    ]
+    rec = Recorder()
+    trainer = Trainer(
+        max_steps=c["steps"], log_every_n_steps=1,
+        callbacks=[LearningRateMonitor(), rec],
+        mesh_shape={"data": 8}, default_root_dir=str(tmp_path), seed=0,
+    )
+    state = trainer.fit(task, FixedLoader(batches))
+    assert int(state.step) == c["steps"]
+    np.testing.assert_allclose(rec.losses[0], fx["losses"][0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec.losses), fx["losses"], rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(rec.lrs), fx["lrs"], rtol=1e-5)
+
+    probe = {
+        "rgb": jnp.asarray(np.transpose(imgs[0, :8], (0, 2, 3, 1))),
+        "text": jnp.asarray(txt[0, :8].astype(np.int32)),
+        "dna": jnp.asarray(dna[0, :8].astype(np.int32)),
+    }
+    out = task.forward(state.params, probe, deterministic=True)
+    for mod in ("rgb", "text", "dna"):
+        np.testing.assert_allclose(
+            np.asarray(out[f"{mod}_embedding"]), fx[f"final_{mod}"], atol=2e-3
+        )
