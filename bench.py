@@ -80,6 +80,16 @@ def _maybe_wedge(phase: str) -> None:
         time.sleep(10**9)
 
 
+def _mark(msg: str) -> None:
+    """Stderr breadcrumb with elapsed seconds: a stalled run's captured tail
+    shows WHICH phase wedged (one observed tunnel stall left 20 min of
+    silence with nothing attributable)."""
+    import sys
+
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _start_watchdog() -> None:
     def watchdog() -> None:
         while not _FINAL_EMITTED.is_set():
@@ -115,6 +125,7 @@ def main() -> None:
 
     force_platform_from_env()
     _maybe_wedge("backend")
+    _mark("backend init")
     import jax
 
     # persistent compilation cache: repeat bench runs skip the (minutes-long
@@ -139,8 +150,10 @@ def main() -> None:
     # fresh-transport bandwidth must be probed BEFORE any program runs
     # (see _h2d_mbps); skipped entirely in synthetic-only mode. Watchdogged:
     # a wedged transport fails the probe in 120 s instead of hanging the run.
+    _mark("h2d fresh probe" if input_fed else "h2d probe skipped")
     h2d_fresh = _h2d_mbps_watchdogged("h2d") if input_fed else 0.0
 
+    _mark("flagship init_params")
     params = task.init_params(jax.random.key(0), batch)
     tx = task.configure_optimizers(max_steps=10_000)
     opt_state = tx.init(params)
@@ -159,6 +172,7 @@ def main() -> None:
 
     rng = jax.random.key(1)
     _maybe_wedge("synthetic")
+    _mark("synthetic compile+warmup")
     # compile + warmup. NOTE: sync via float(loss) — device→host transfer is
     # the only reliable fence on tunneled PJRT platforms where
     # block_until_ready can return early; the step chain (donated state)
@@ -171,6 +185,7 @@ def main() -> None:
 
     # three steady-state windows: the median is the number of record and the
     # spread makes round-over-round deltas attributable (VERDICT r2 item 8)
+    _mark("synthetic windows")
     n_steps, n_windows = 10, 3
     windows = []
     for _ in range(n_windows):
@@ -246,6 +261,7 @@ def main() -> None:
         state = [params, opt_state]
         if _phase_allowed("input_fed", 180.0):
             _maybe_wedge("input_fed")
+            _mark("input-fed phase")
             try:
                 fed = _input_fed_pairs_per_sec(step, state, batch_size, rng)
                 _update(
@@ -262,6 +278,7 @@ def main() -> None:
                 _update(input_fed_error=f"{type(err).__name__}: {err}")
         if _phase_allowed("tfrecord", 180.0):
             _maybe_wedge("tfrecord")
+            _mark("tfrecord-fed phase")
             try:
                 # materialized-corpus mode: decode/resize ONCE offline into
                 # packed TFRecord shards (datasets/materialize.py), train
@@ -292,6 +309,7 @@ def main() -> None:
 
         gc.collect()
         _maybe_wedge("ijepa")
+        _mark("ijepa phase")
         try:
             img_ps, ms, ij_tflops, ij_mfu = _ijepa_img_per_sec()
             _update(
