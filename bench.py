@@ -645,6 +645,12 @@ def main_with_retries(attempts: int = 4) -> None:
     compile_failures = backend_failures = 0
     while True:
         try:
+            # a fresh attempt owns the record: clear residue from failed
+            # attempts (stale `error` from a transient failure would make a
+            # SUCCESSFUL retry read as failed; `skipped_phases` re-appends)
+            with _RESULT_LOCK:
+                RESULT.pop("error", None)
+                RESULT.pop("skipped_phases", None)
             main()
             return
         except Exception as e:  # noqa: BLE001

@@ -53,6 +53,12 @@ class CheXpert:
         if split == "valid":
             manifest = os.path.join(root_dir, "valid_data.json")
         else:
+            if labeler is None:
+                raise ValueError(
+                    "CheXpert train split requires a labeler "
+                    "(chexpert|chexbert|vchexbert) — only the "
+                    "radiologist-labeled valid split has none"
+                )
             manifest = os.path.join(root_dir, f"{labeler}_{split}_data.json")
         with open(manifest) as f:
             self.entries = json.load(f)

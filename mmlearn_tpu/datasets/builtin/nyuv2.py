@@ -136,7 +136,10 @@ class NYUv2:
             depth = depth_normalize(raw)
         else:
             # 3-channel depth image for pretrained ViTs (reference
-            # nyuv2.py:192-199 reads grayscale then repeats channels)
+            # nyuv2.py:192-199 reads via cv2.IMREAD_GRAYSCALE, which strips
+            # 16-bit PNGs to their HIGH byte — libpng png_set_strip_16)
+            if raw.dtype == np.uint16:
+                raw = (raw >> 8).astype(np.uint8)
             depth = np.repeat(
                 raw.astype(np.float32)[:, :, np.newaxis], 3, axis=-1
             )

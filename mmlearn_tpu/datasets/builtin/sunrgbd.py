@@ -164,6 +164,11 @@ class SUNRGBD:
                 raw, _read_focal_length(intrinsics_path), sensor_type
             )
         else:
+            # reference sunrgbd.py:257-263 reads via cv2.IMREAD_GRAYSCALE:
+            # 16-bit PNGs are stripped to their HIGH byte (libpng
+            # png_set_strip_16) before the 3-channel repeat
+            if raw.dtype == np.uint16:
+                raw = (raw >> 8).astype(np.uint8)
             depth = np.repeat(
                 raw.astype(np.float32)[:, :, np.newaxis], 3, axis=-1
             )

@@ -173,10 +173,10 @@ def materialize(
         feats = to_features(item) if to_features is not None else item
         return encode_packed(feats)
 
-    def _write_shard(shard_idx: int, items: Iterable[Any]) -> None:
+    def _write_shard(shard_idx: int, packed: Iterable[bytes]) -> None:
         nonlocal num_bytes
         path = os.path.join(output_dir, f"{prefix}-{shard_idx:05d}.tfrecord")
-        write_tfrecord(path, (_pack(it) for it in items))
+        write_tfrecord(path, packed)
         shards.append(path)
         num_bytes += os.path.getsize(path)
 
@@ -190,7 +190,9 @@ def materialize(
             total = int(num_samples)
         else:
             total = int(num_samples if num_samples is not None else len(samples))
-        n_shards = max(1, -(-total // shard_size))
+        # an empty source writes no shard files (a zero-record .tfrecord
+        # would still be globbed by downstream consumers)
+        n_shards = -(-total // shard_size)
         for shard_idx in range(n_shards):
             if shard_idx % world_size != rank:
                 continue
@@ -200,7 +202,7 @@ def materialize(
                 items: Iterable[Any] = samples_for_shard(shard_idx, start, stop)
             else:
                 items = (samples[i] for i in range(start, stop))
-            _write_shard(shard_idx, items)
+            _write_shard(shard_idx, (_pack(it) for it in items))
         return MaterializeResult(
             shards=shards, num_samples=total, num_bytes=num_bytes
         )
@@ -213,15 +215,18 @@ def materialize(
     def _flush() -> None:
         nonlocal buf, shard_idx
         if buf and shard_idx % world_size == rank:
-            _write_shard(shard_idx, buf)
+            _write_shard(shard_idx, iter(buf))
         buf = []
         shard_idx += 1
 
     for item in samples:
         # non-owned items are only counted — their production cost is
         # already paid by the iterator (the documented limitation of this
-        # form); owned items are packed at flush time
-        buf.append(item if shard_idx % world_size == rank else None)
+        # form). Owned items are packed IMMEDIATELY: generators commonly
+        # yield views into a reused buffer, so deferring the encode to
+        # flush time would serialize the buffer's final contents
+        # shard_size times over
+        buf.append(_pack(item) if shard_idx % world_size == rank else None)
         count += 1
         if len(buf) >= shard_size:
             _flush()

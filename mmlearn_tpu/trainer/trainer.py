@@ -198,6 +198,7 @@ class Trainer:
         enable_profiling: bool = False,
         donate_state: bool = True,
         prefetch_batches: int = 2,
+        prefetch_timeout_s: float = 300.0,
         device_normalize: Optional[Mapping[str, Mapping[str, Any]]] = None,
         fast_dev_run: Any = False,
         detect_anomaly: bool = False,
@@ -281,6 +282,10 @@ class Trainer:
         #: DeviceFeeder queue depth for the fit loop (prepared host batches
         #: + their device buffers held ahead of the step; keep small)
         self.prefetch_batches = max(1, int(prefetch_batches))
+        #: per-batch wait bound before the fit loop declares the producer
+        #: dead — raise it for sources with legitimately slow batches
+        #: (cold remote storage, first batch of a heavy stream)
+        self.prefetch_timeout_s = float(prefetch_timeout_s)
         self._active_feeder: Optional[Any] = None
         self.device_normalize = dict(device_normalize or {})
         #: log achieved TFLOP/s (+ MFU where the chip's peak is known) from
@@ -814,7 +819,8 @@ class Trainer:
             return batch_idx, batch, device_batch
 
         feeder = DeviceFeeder(
-            source(), device_put=place, prefetch=self.prefetch_batches
+            source(), device_put=place, prefetch=self.prefetch_batches,
+            timeout_s=self.prefetch_timeout_s,
         )
         self._active_feeder = feeder
         return feeder
@@ -879,7 +885,8 @@ class Trainer:
                     except Exception as err:
                         self._step_flops = 0.0  # don't retry every step
                         logger.warning(
-                            "log_mfu: XLA cost analysis unavailable (%s)",
+                            "log_mfu: analytic FLOPs trace failed "
+                            "(mmlearn_tpu/trainer/flops.py): %s",
                             err,
                         )
                 if self.enable_profiling and step == 5:

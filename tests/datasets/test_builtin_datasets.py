@@ -118,6 +118,10 @@ def test_chexpert_manifest(tmp_path):
     # (reference chexpert.py:76-80)
     (root / "valid_data.json").write_text(json.dumps(manifest))
     assert len(CheXpert(root_dir=str(root), split="valid", image_size=16)) == 1
+    # train without a labeler is a clear validation error, not a
+    # FileNotFoundError for 'None_train_data.json'
+    with pytest.raises(ValueError, match="requires a labeler"):
+        CheXpert(root_dir=str(root), split="train", labeler=None)
 
 
 def test_nihcxr_manifest(tmp_path):

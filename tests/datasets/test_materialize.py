@@ -6,6 +6,7 @@ docs/performance.md "Input pipeline". The reference has no equivalent
 (torchvision re-decodes every epoch)."""
 
 from __future__ import annotations
+import os
 
 import numpy as np
 import pytest
@@ -178,3 +179,32 @@ def test_materialize_samples_for_shard_factory(tmp_path):
 def test_packed_to_example_is_attr_dict():
     ex = packed_to_example(parse_tf_example(encode_packed(_sample(0))))
     assert ex.rgb.shape == (8, 8, 3)
+
+
+def test_materialize_iterator_packs_reused_buffers_eagerly(tmp_path):
+    """A generator that yields views into one reused buffer (the common
+    fill-and-yield loader pattern) must serialize each iteration's
+    contents — deferring the encode to shard-flush time would write the
+    buffer's FINAL contents for every record in the shard."""
+    buf = {"rgb": np.zeros((4, 4, 3), np.uint8), "example_index": 0}
+
+    def gen():
+        for i in range(6):
+            buf["rgb"][:] = i + 1
+            buf["example_index"] = i
+            yield dict(buf)  # shallow copy: the array is still shared
+
+    res = materialize(gen(), str(tmp_path), shard_size=3, prefix="train")
+    assert res.num_samples == 6
+    ds = MaterializedDataset(res.shards)
+    for i in range(6):
+        np.testing.assert_array_equal(
+            ds[i]["rgb"], np.full((4, 4, 3), i + 1, np.uint8), err_msg=str(i)
+        )
+
+
+def test_materialize_empty_map_source_writes_no_shards(tmp_path):
+    res = materialize([], str(tmp_path), shard_size=4, prefix="train")
+    assert res.num_samples == 0
+    assert res.shards == []
+    assert not any(f.endswith(".tfrecord") for f in os.listdir(tmp_path))

@@ -325,3 +325,37 @@ def test_chexpert_matches_reference(
         )
         # both open with PIL .convert("RGB"): byte-identical pixels
         np.testing.assert_array_equal(np.asarray(o["rgb"]), np.asarray(r["rgb"]))
+
+
+@pytest.mark.parametrize(
+    "which", ["nyuv2", "sunrgbd"]
+)
+def test_depth_image_mode_matches_reference(
+    reference_datasets, nyu_root, sunrgbd_root, which
+):
+    """return_type="image": the reference reads depth via
+    cv2.IMREAD_GRAYSCALE (nyuv2.py:192-199, sunrgbd.py:257-263), which
+    strips 16-bit PNGs to their HIGH byte before the 3-channel repeat —
+    our PIL path must produce the identical array, not the raw uint16."""
+    if which == "nyuv2":
+        ref = reference_datasets["nyuv2"].NYUv2Dataset(
+            root_dir=nyu_root, split="train", return_type="image"
+        )
+        ours = NYUv2(
+            root_dir=nyu_root, split="train", return_type="image",
+            image_size=None,
+        )
+    else:
+        ref = reference_datasets["sunrgbd"].SUNRGBDDataset(
+            root_dir=sunrgbd_root, split="train", return_type="image"
+        )
+        ours = SUNRGBD(
+            root_dir=sunrgbd_root, split="train", return_type="image",
+            image_size=None,
+        )
+    assert len(ours) == len(ref)
+    for i in range(len(ours)):
+        r_depth = np.asarray(ref[i]["depth"])
+        o_depth = np.asarray(ours[i]["depth"])
+        assert r_depth.max() <= 255  # 16-bit source really was stripped
+        np.testing.assert_array_equal(o_depth, r_depth)
